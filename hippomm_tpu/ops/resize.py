@@ -1,0 +1,57 @@
+"""Fused frame resize + normalize: uint8 decoded frames -> ViT input tensors.
+
+Replaces the reference's per-image PIL/torchvision transform chain inside
+ImageBind.load_data (foundation_models.py:48-114) with one batched device program:
+uint8 (B, H, W, 3) → bicubic-resized, CLIP-normalized (B, 3, S, S) in one jit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# CLIP / ImageBind vision normalization constants
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@partial(jax.jit, static_argnames=("size", "method", "antialias"))
+def resize_normalize(
+    frames: jax.Array,
+    size: int = 224,
+    method: str = "bicubic",
+    antialias: bool = True,
+) -> jax.Array:
+    """uint8/float (B, H, W, 3) RGB -> normalized (B, 3, size, size) float32.
+
+    torchvision semantics: Resize(size) scales the SHORT side to `size` with
+    aspect preserved, then CenterCrop(size). We fuse both: resize so the short
+    side hits `size` (static shapes — computed from the input's static H, W),
+    center-crop, scale to [0,1], normalize with CLIP mean/std, and transpose to
+    NCHW. One fused XLA program; the gather-based resize vectorizes on the VPU.
+    """
+    b, h, w, c = frames.shape
+    x = frames.astype(jnp.float32) / 255.0
+    scale = size / min(h, w)
+    nh, nw = max(size, round(h * scale)), max(size, round(w * scale))
+    x = jax.image.resize(x, (b, nh, nw, c), method=method, antialias=antialias)
+    top = (nh - size) // 2
+    left = (nw - size) // 2
+    x = jax.lax.dynamic_slice(x, (0, top, left, 0), (b, size, size, c))
+    mean = jnp.asarray(CLIP_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(CLIP_STD, dtype=jnp.float32)
+    x = (x - mean) / std
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def resize_frames(frames: jax.Array, height: int, width: int) -> jax.Array:
+    """Plain bilinear uint8 frame resize (B, H, W, C) -> (B, height, width, C),
+    used for SSIM downscaling and detailed-recall thumbnails
+    (reference: hippocampal_memory.py:2210-2251 uses cv2.resize to 320×180)."""
+    b, _, _, c = frames.shape
+    x = frames.astype(jnp.float32)
+    x = jax.image.resize(x, (b, height, width, c), method="bilinear", antialias=True)
+    return jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)

@@ -1,0 +1,86 @@
+"""Cosine similarity / top-k / key-frame dedup kernels.
+
+Replaces the reference's numpy matmuls (vector_ops.py:151-188) and the O(N²) Python
+greedy key-frame loop (hippocampal_memory.py:944-967) with fused device programs:
+normalize + matmul ride the MXU; the greedy dedup is a `lax.scan` over rows of the
+similarity matrix so the whole consolidation step stays on device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# fp32 MXU inputs: retrieval thresholds (0.9 dedup, 0.4 gate) are parity-sensitive.
+_FP32 = jax.lax.Precision.HIGHEST
+
+_EPS = 1e-8
+
+
+def l2_normalize(x: jax.Array, axis: int = -1) -> jax.Array:
+    n = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    return x / jnp.maximum(n, _EPS)
+
+
+@jax.jit
+def cosine_sim_matrix(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(N, D) x (M, D) -> (N, M) cosine similarity, fp32 accumulation on MXU."""
+    a = l2_normalize(a.astype(jnp.float32))
+    b = l2_normalize(b.astype(jnp.float32))
+    return jnp.dot(a, b.T, preferred_element_type=jnp.float32, precision=_FP32)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def top_k_cosine(query: jax.Array, feats: jax.Array, k: int):
+    """Fused normalize+matmul+top-k. query (D,) or (Q, D); feats (N, D).
+
+    Returns (values, indices), each (..., k), sorted descending.
+    """
+    q = l2_normalize(jnp.atleast_2d(query.astype(jnp.float32)))
+    f = l2_normalize(feats.astype(jnp.float32))
+    sims = jnp.dot(q, f.T, preferred_element_type=jnp.float32, precision=_FP32)  # (Q, N)
+    vals, idx = jax.lax.top_k(sims, k)
+    if query.ndim == 1:
+        return vals[0], idx[0]
+    return vals, idx
+
+
+@partial(jax.jit, static_argnames=("threshold",))
+def select_keyframes_mask(features: jax.Array, threshold: float = 0.9) -> jax.Array:
+    """Greedy key-frame selection (reference: hippocampal_memory.py:944-967).
+
+    Reference semantics: take frame 0; take frame i iff its cosine similarity to
+    every already-selected frame is < threshold. Expressed as a scan over rows of
+    the (N, N) similarity matrix carrying the selected mask — O(N²) FLOPs but one
+    compiled program, no host round-trips.
+
+    Returns a bool (N,) mask.
+    """
+    sims = cosine_sim_matrix(features, features)  # (N, N)
+    n = sims.shape[0]
+
+    def body(mask, i):
+        # max similarity of row i against currently-selected earlier frames
+        row = sims[i]
+        masked = jnp.where(mask, row, -jnp.inf)
+        take = jnp.max(masked) < threshold
+        mask = mask.at[i].set(take)
+        return mask, take
+
+    init = jnp.zeros((n,), dtype=bool).at[0].set(True)
+    mask, _ = jax.lax.scan(body, init, jnp.arange(1, n))
+    return mask
+
+
+def select_keyframes(features: np.ndarray, threshold: float = 0.9) -> np.ndarray:
+    """Host wrapper: returns selected indices (ascending), like the reference."""
+    features = np.asarray(features, dtype=np.float32)
+    if features.shape[0] == 0:
+        return np.zeros((0,), dtype=np.int64)
+    if features.shape[0] == 1:
+        return np.zeros((1,), dtype=np.int64)
+    mask = np.asarray(select_keyframes_mask(features, threshold=float(threshold)))
+    return np.nonzero(mask)[0]

@@ -1,0 +1,95 @@
+"""Batched SSIM (structural similarity) on device.
+
+Replaces skimage.metrics.structural_similarity as used by the reference for
+key-framing (batch_process.py:32-71) and segmentation (hippocampal_memory.py:980-991)
+— but batched: one compiled program scores ALL frame pairs of a video at once
+instead of re-reading JPEGs from disk per pair.
+
+Matches skimage defaults for 2-D uint8 grayscale: 7×7 uniform window, sample
+covariance (N/(N-1)), C1=(0.01·L)², C2=(0.03·L)², mean over the valid (crop=3)
+region. A VALID-window mean equals skimage's padded uniform_filter after its
+interior crop, so results agree to fp32 tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+WIN = 7
+
+
+def _window_mean(x: jax.Array) -> jax.Array:
+    """(B, H, W) -> (B, H-6, W-6) mean over 7x7 VALID windows."""
+    s = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, WIN, WIN),
+        window_strides=(1, 1, 1),
+        padding="VALID",
+    )
+    return s / (WIN * WIN)
+
+
+@partial(jax.jit, static_argnames=("data_range",))
+def ssim_pairs(a: jax.Array, b: jax.Array, data_range: float = 255.0) -> jax.Array:
+    """SSIM for B image pairs. a, b: (B, H, W) uint8/float. Returns (B,) fp32."""
+    x = a.astype(jnp.float32)
+    y = b.astype(jnp.float32)
+    np_ = WIN * WIN
+    cov_norm = np_ / (np_ - 1.0)  # sample covariance, skimage default
+
+    ux = _window_mean(x)
+    uy = _window_mean(y)
+    uxx = _window_mean(x * x)
+    uyy = _window_mean(y * y)
+    uxy = _window_mean(x * y)
+
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    s = ((2.0 * ux * uy + c1) * (2.0 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx + vy + c2)
+    )
+    return jnp.mean(s, axis=(1, 2))
+
+
+def batched_ssim(frames_a: np.ndarray, frames_b: np.ndarray, data_range: float = 255.0):
+    """Host wrapper over (B, H, W) grayscale frame stacks -> np.ndarray (B,)."""
+    a = np.asarray(frames_a)
+    b = np.asarray(frames_b)
+    if a.ndim == 2:
+        a = a[None]
+        b = b[None]
+    return np.asarray(ssim_pairs(a, b, data_range=float(data_range)))
+
+
+@partial(jax.jit, static_argnames=("data_range",))
+def adjacent_ssim(frames: jax.Array, data_range: float = 255.0) -> jax.Array:
+    """SSIM between consecutive frames of a (T, H, W) stack -> (T-1,).
+
+    The segmentation front-end: one call scores every adjacent pair; boundary
+    selection then runs on the tiny (T-1,) result (see memory/segmentation.py).
+    """
+    return ssim_pairs(frames[:-1], frames[1:], data_range=data_range)
+
+
+def rgb_to_gray(frames: jax.Array) -> jax.Array:
+    """ITU-R 601 luma, matching cv2.cvtColor(BGR2GRAY) coefficients on RGB input."""
+    f = frames.astype(jnp.float32)
+    return f[..., 0] * 0.299 + f[..., 1] * 0.587 + f[..., 2] * 0.114
+
+
+@partial(jax.jit, static_argnames=("data_range",))
+def frame_difference(a: jax.Array, b: jax.Array, data_range: float = 255.0) -> jax.Array:
+    """1 - SSIM dissimilarity used for key-frame selection
+    (reference: batch_process.py:32-71)."""
+    return 1.0 - ssim_pairs(a, b, data_range=data_range)

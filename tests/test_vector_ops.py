@@ -1,0 +1,77 @@
+import numpy as np
+
+from hippomm_tpu.utils import vector_ops as vo
+
+
+def test_cosine_similarity_matches_numpy(rng):
+    a = rng.normal(size=1024).astype(np.float32)
+    b = rng.normal(size=1024).astype(np.float32)
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(vo.cosine_similarity(a, b) - expected) < 1e-5
+
+
+def test_top_k_cosine_similarity(rng):
+    feats = rng.normal(size=(100, 64)).astype(np.float32)
+    q = rng.normal(size=64).astype(np.float32)
+    idx, vals = vo.top_k_cosine_similarity(q, feats, k=5)
+    fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sims = fn @ (q / np.linalg.norm(q))
+    expected = np.argsort(-sims)[:5]
+    np.testing.assert_array_equal(idx, expected)
+    np.testing.assert_allclose(vals, sims[expected], rtol=1e-5, atol=1e-5)
+    assert np.all(np.diff(vals) <= 1e-7)
+
+
+def test_top_k_clamps_k(rng):
+    feats = rng.normal(size=(3, 8)).astype(np.float32)
+    idx, vals = vo.top_k_cosine_similarity(rng.normal(size=8), feats, k=10)
+    assert len(idx) == 3
+
+
+def test_entropy():
+    assert abs(vo.compute_entropy([0.5, 0.5]) - 1.0) < 1e-9
+    assert vo.compute_entropy([1.0, 0.0]) == 0.0
+
+
+def test_temporal_overlap():
+    assert vo.temporal_overlap(0, 10, 5, 15) == 0.5
+    assert vo.temporal_overlap(0, 10, 20, 30) == 0.0
+    assert vo.temporal_overlap(0, 10, 2, 4) == 1.0
+
+
+def test_misc_helpers(rng):
+    f = rng.normal(size=(5, 16)).astype(np.float32)
+    assert vo.feature_flow(f).shape == (4, 16)
+    merged = vo.merge_features([f[0], f[1]], weights=[1.0, 3.0])
+    np.testing.assert_allclose(merged, 0.25 * f[0] + 0.75 * f[1], rtol=1e-5)
+    w = vo.gaussian_temporal_weighting([0.0, 1.0, 2.0], center=1.0, sigma=1.0)
+    assert w[1] == 1.0 and w[0] < 1.0
+    stats = vo.compute_feature_statistics(f)
+    np.testing.assert_allclose(stats["mean"], f.mean(0), rtol=1e-5)
+    nf = vo.normalize_features(f)
+    np.testing.assert_allclose(np.linalg.norm(nf, axis=1), 1.0, rtol=1e-5)
+    assert vo.spatial_distance(f[0], f[0]) == 0.0
+
+
+def test_select_keyframes_matches_greedy_reference(rng):
+    from hippomm_tpu.ops.similarity import select_keyframes
+
+    # clustered features so dedup actually triggers
+    base = rng.normal(size=(4, 1024)).astype(np.float32)
+    feats = np.concatenate(
+        [base[i] + 0.01 * rng.normal(size=(7, 1024)).astype(np.float32) for i in range(4)]
+    )
+    order = rng.permutation(len(feats))
+    feats = feats[order]
+
+    # python greedy oracle (reference semantics, hippocampal_memory.py:944-967)
+    fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sims = fn @ fn.T
+    selected = [0]
+    for i in range(1, len(feats)):
+        if all(sims[i, j] < 0.9 for j in selected):
+            selected.append(i)
+
+    got = select_keyframes(feats, threshold=0.9)
+    np.testing.assert_array_equal(got, np.array(selected))
+    assert 2 <= len(got) <= 8
