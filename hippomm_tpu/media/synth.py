@@ -1,0 +1,94 @@
+"""Synthetic audiovisual content with ground truth — the hermetic test/bench
+workload generator (the reference has no fixtures at all, SURVEY.md §4).
+
+Videos are scene-structured: each scene has a distinct background + a moving
+square, so frame-difference segmentation has known boundaries. Audio interleaves
+tones and silences at known times, so silence detection has known regions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SynthSpec:
+    duration: float = 30.0
+    fps: float = 10.0
+    width: int = 320
+    height: int = 240
+    scene_changes: Tuple[float, ...] = ()  # times of hard cuts
+    sample_rate: int = 16000
+    silence_regions: Tuple[Tuple[float, float], ...] = ()  # audio silences
+    seed: int = 0
+
+
+@dataclass
+class SynthResult:
+    frames: np.ndarray  # (N, H, W, 3) uint8
+    frame_times: np.ndarray  # (N,)
+    audio: np.ndarray  # (S,) float32 mono 16 kHz
+    spec: SynthSpec = field(repr=False, default=None)
+
+
+def _scene_background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+    """Distinct per-scene background: colored gradient + fixed noise texture."""
+    base = rng.integers(30, 220, size=3)
+    gx = np.linspace(0, 60, w)[None, :, None]
+    gy = np.linspace(0, 40, h)[:, None, None]
+    img = base[None, None, :] + gx + gy + rng.normal(0, 6, size=(h, w, 3))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def generate(spec: SynthSpec) -> SynthResult:
+    rng = np.random.default_rng(spec.seed)
+    n = int(round(spec.duration * spec.fps))
+    times = np.arange(n) / spec.fps
+    boundaries = sorted(t for t in spec.scene_changes if 0 < t < spec.duration)
+    scene_starts = [0.0] + boundaries
+    backgrounds = [_scene_background(rng, spec.height, spec.width) for _ in scene_starts]
+    sq = max(8, spec.height // 6)
+
+    frames = np.empty((n, spec.height, spec.width, 3), dtype=np.uint8)
+    for i, t in enumerate(times):
+        scene = sum(1 for b in boundaries if t >= b)
+        img = backgrounds[scene].copy()
+        # moving square gives small intra-scene motion (below SSIM cut threshold)
+        phase = (t - scene_starts[scene]) * 0.15
+        cx = int((0.2 + 0.6 * (phase % 1.0)) * (spec.width - sq))
+        cy = int((0.3 + 0.3 * np.sin(2 * np.pi * phase)) * (spec.height - sq))
+        color = (np.array([255, 255, 255]) - backgrounds[scene][0, 0]).astype(np.uint8)
+        img[cy : cy + sq, cx : cx + sq] = color
+        frames[i] = img
+
+    s = int(round(spec.duration * spec.sample_rate))
+    tt = np.arange(s) / spec.sample_rate
+    freq = 220.0 * (1 + (tt // 5.0) % 4)  # changing tone every 5 s
+    audio = (0.3 * np.sin(2 * np.pi * freq * tt)).astype(np.float32)
+    for start, end in spec.silence_regions:
+        audio[int(start * spec.sample_rate) : int(end * spec.sample_rate)] = 0.0
+    return SynthResult(frames=frames, frame_times=times, audio=audio, spec=spec)
+
+
+def write_synthetic_video(
+    path: str,
+    spec: Optional[SynthSpec] = None,
+    audio_path: Optional[str] = None,
+) -> SynthResult:
+    """Generate and persist a synthetic clip (container chosen by extension)."""
+    from hippomm_tpu.media import io as mio
+
+    spec = spec or SynthSpec()
+    result = generate(spec)
+    if path.endswith(".y4m"):
+        mio.write_y4m(path, result.frames, fps=spec.fps)
+    elif path.endswith(".avi"):
+        mio.write_avi(path, result.frames, fps=spec.fps)
+    else:
+        raise ValueError(f"unsupported container: {path}")
+    if audio_path:
+        mio.write_wav(audio_path, result.audio, spec.sample_rate)
+    return result
