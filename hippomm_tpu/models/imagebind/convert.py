@@ -1,0 +1,149 @@
+"""Convert the public ImageBind checkpoint (`imagebind_huge.pth`, a torch
+state_dict) into the hippomm_tpu param pytree.
+
+The reference loads this checkpoint through the `imagebind` package
+(foundation_models.py:31-46); here we map its state_dict names directly:
+
+  modality_preprocessors.vision.cls_token                      → vision.cls_token
+  modality_preprocessors.vision.rgbt_stem.proj.1.weight        → vision.patch_conv.weight
+  modality_preprocessors.vision.pos_embedding_helper.pos_embed → vision.pos_embed
+  modality_trunks.vision.pre_transformer_layer.0.{weight,bias} → vision.pre_ln
+  modality_trunks.vision.blocks.{i}.attn.in_proj_{weight,bias} → vision.blocks…attn.in_proj
+  modality_trunks.vision.blocks.{i}.attn.out_proj.*            → …attn.out_proj
+  modality_trunks.vision.blocks.{i}.norm_{1,2}.*               → …norm_{1,2}
+  modality_trunks.vision.blocks.{i}.mlp.fc{1,2}.*              → …mlp.fc{1,2}
+  modality_heads.vision.0.{weight,bias}                        → vision.head_ln
+  modality_heads.vision.2.weight                               → vision.head_proj.weight
+  (audio analogous with audio_stem; audio_stem.norm_layer → audio.patch_norm)
+  modality_preprocessors.text.token_embedding.weight           → text.token_embedding
+  modality_preprocessors.text.pos_embed                        → text.pos_embed
+  modality_trunks.text.blocks.*                                → text.blocks…
+  modality_heads.text.proj.0.* / .proj.1.weight                → text.final_ln / head_proj
+  modality_postprocessors.text.1.log_logit_scale               → text.logit_scale
+
+Verified structurally against a torch mini-reference with identical naming in
+tests/test_imagebind_parity.py (no network access in this environment, so the
+real checkpoint can't be fetched here — load_imagebind() accepts any local
+path).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+from hippomm_tpu.models.imagebind.model import ImageBindConfig, huge_config
+
+
+def _np(t) -> np.ndarray:
+    try:
+        return t.detach().cpu().numpy().astype(np.float32)
+    except AttributeError:
+        return np.asarray(t, dtype=np.float32)
+
+
+def _collect_blocks(sd: Dict, trunk: str, depth: int) -> Dict:
+    """Stack per-block tensors into (depth, ...) leaves for lax.scan."""
+
+    def grab(fmt):
+        return np.stack([_np(sd[fmt.format(i=i)]) for i in range(depth)])
+
+    base = f"modality_trunks.{trunk}.blocks.{{i}}"
+    out = {
+        "attn": {
+            "in_proj": {
+                "weight": grab(base + ".attn.in_proj_weight"),
+                "bias": grab(base + ".attn.in_proj_bias"),
+            },
+            "out_proj": {
+                "weight": grab(base + ".attn.out_proj.weight"),
+                "bias": grab(base + ".attn.out_proj.bias"),
+            },
+        },
+        "mlp": {
+            "fc1": {"weight": grab(base + ".mlp.fc1.weight"), "bias": grab(base + ".mlp.fc1.bias")},
+            "fc2": {"weight": grab(base + ".mlp.fc2.weight"), "bias": grab(base + ".mlp.fc2.bias")},
+        },
+        "norm_1": {"weight": grab(base + ".norm_1.weight"), "bias": grab(base + ".norm_1.bias")},
+        "norm_2": {"weight": grab(base + ".norm_2.weight"), "bias": grab(base + ".norm_2.bias")},
+    }
+    return out
+
+
+def convert_state_dict(sd: Dict, cfg: ImageBindConfig = None) -> Dict:
+    """torch state_dict (name → tensor) → hippomm_tpu ImageBind params."""
+    cfg = cfg or huge_config()
+    params: Dict = {}
+
+    params["vision"] = {
+        "patch_conv": {"weight": _np(sd["modality_preprocessors.vision.rgbt_stem.proj.1.weight"])},
+        "cls_token": _np(sd["modality_preprocessors.vision.cls_token"]),
+        "pos_embed": _np(sd["modality_preprocessors.vision.pos_embedding_helper.pos_embed"]),
+        "pre_ln": {
+            "weight": _np(sd["modality_trunks.vision.pre_transformer_layer.0.weight"]),
+            "bias": _np(sd["modality_trunks.vision.pre_transformer_layer.0.bias"]),
+        },
+        "blocks": _collect_blocks(sd, "vision", cfg.vision.depth),
+        "head_ln": {
+            "weight": _np(sd["modality_heads.vision.0.weight"]),
+            "bias": _np(sd["modality_heads.vision.0.bias"]),
+        },
+        "head_proj": {"weight": _np(sd["modality_heads.vision.2.weight"])},
+    }
+
+    params["audio"] = {
+        "patch_conv": {"weight": _np(sd["modality_preprocessors.audio.audio_stem.proj.0.weight"])},
+        "patch_norm": {
+            "weight": _np(sd["modality_preprocessors.audio.audio_stem.norm_layer.weight"]),
+            "bias": _np(sd["modality_preprocessors.audio.audio_stem.norm_layer.bias"]),
+        },
+        "cls_token": _np(sd["modality_preprocessors.audio.cls_token"]),
+        "pos_embed": _np(sd["modality_preprocessors.audio.pos_embedding_helper.pos_embed"]),
+        "blocks": _collect_blocks(sd, "audio", cfg.audio.depth),
+        "head_ln": {
+            "weight": _np(sd["modality_heads.audio.0.weight"]),
+            "bias": _np(sd["modality_heads.audio.0.bias"]),
+        },
+        "head_proj": {"weight": _np(sd["modality_heads.audio.2.weight"])},
+    }
+
+    params["text"] = {
+        "token_embedding": _np(sd["modality_preprocessors.text.token_embedding.weight"]),
+        "pos_embed": _np(sd["modality_preprocessors.text.pos_embed"]),
+        "blocks": _collect_blocks(sd, "text", cfg.text.depth),
+        "final_ln": {
+            "weight": _np(sd["modality_heads.text.proj.0.weight"]),
+            "bias": _np(sd["modality_heads.text.proj.0.bias"]),
+        },
+        "head_proj": {"weight": _np(sd["modality_heads.text.proj.1.weight"])},
+        "logit_scale": _np(
+            sd.get(
+                "modality_postprocessors.text.1.log_logit_scale",
+                np.asarray(np.log(1 / 0.07), np.float32),
+            )
+        ).reshape(()),
+    }
+    return params
+
+
+def load_imagebind(checkpoint_path: str, cfg: ImageBindConfig = None) -> Dict:
+    """Load imagebind_huge.pth (torch serialized) and convert."""
+    import torch
+
+    sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return convert_state_dict(sd, cfg)
+
+
+def infer_depths(sd: Dict) -> Dict[str, int]:
+    """Depth per trunk from state_dict names (sanity checks in convert)."""
+    depths: Dict[str, int] = {}
+    pat = re.compile(r"modality_trunks\.(\w+)\.blocks\.(\d+)\.")
+    for k in sd:
+        m = pat.match(k)
+        if m:
+            depths[m.group(1)] = max(depths.get(m.group(1), 0), int(m.group(2)) + 1)
+    return depths

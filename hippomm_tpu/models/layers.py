@@ -1,0 +1,200 @@
+"""Shared transformer building blocks (pure-function JAX, param pytrees).
+
+Used by every tower in the model layer (ImageBind vision/audio/text, Whisper
+encoder/decoder). Conventions:
+  * params are nested dicts of jnp arrays; functions are pure and jit-safe
+  * matmuls run in `compute_dtype` (bfloat16 on TPU → MXU) with fp32 accumulation
+  * LayerNorm always runs in fp32 (numerical parity with the torch references)
+  * weights follow torch Linear convention: W (out, in), y = x @ W.T + b,
+    so converted checkpoints drop in without transposes
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def linear(p: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    w = p["weight"].astype(dtype)
+    y = jnp.dot(x.astype(dtype), w.T, preferred_element_type=jnp.float32)
+    if "bias" in p and p["bias"] is not None:
+        y = y + p["bias"].astype(jnp.float32)
+    return y
+
+
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # exact (erf) GELU — torch nn.GELU default
+    return jax.nn.gelu(x, approximate=False)
+
+
+def attention(
+    p: Params,
+    x_q: jax.Array,
+    x_kv: Optional[jax.Array] = None,
+    num_heads: int = 8,
+    mask: Optional[jax.Array] = None,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Multi-head attention with torch packed-in_proj convention.
+
+    p: {"in_proj": {"weight" (3D, D), "bias" (3D,)}, "out_proj": {...}}
+    or separate {"q_proj","k_proj","v_proj","out_proj"} (Whisper/HF style).
+    x_q: (B, Tq, D); x_kv: (B, Tk, D) for cross-attention (defaults to x_q).
+    mask: additive fp32 (Tq, Tk) or (B, 1, Tq, Tk); -inf for masked.
+    """
+    if x_kv is None:
+        x_kv = x_q
+    d = x_q.shape[-1]
+    hd = d // num_heads
+
+    if "in_proj" in p:
+        w = p["in_proj"]["weight"]
+        b = p["in_proj"].get("bias")
+        q = jnp.dot(x_q.astype(dtype), w[:d].T.astype(dtype), preferred_element_type=jnp.float32)
+        k = jnp.dot(x_kv.astype(dtype), w[d : 2 * d].T.astype(dtype), preferred_element_type=jnp.float32)
+        v = jnp.dot(x_kv.astype(dtype), w[2 * d :].T.astype(dtype), preferred_element_type=jnp.float32)
+        if b is not None:
+            q = q + b[:d].astype(jnp.float32)
+            k = k + b[d : 2 * d].astype(jnp.float32)
+            v = v + b[2 * d :].astype(jnp.float32)
+    else:
+        q = linear(p["q_proj"], x_q, dtype)
+        k = linear(p["k_proj"], x_kv, dtype)
+        v = linear(p["v_proj"], x_kv, dtype)
+
+    def split(t):  # (B, T, D) -> (B, H, T, hd)
+        b_, t_, _ = t.shape
+        return t.reshape(b_, t_, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    scale = 1.0 / np.sqrt(hd)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype), preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = logits + mask
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        weights.astype(dtype),
+        v.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    b_, h_, t_, _ = out.shape
+    out = out.transpose(0, 2, 1, 3).reshape(b_, t_, d)
+    return linear(p["out_proj"], out, dtype)
+
+
+def mlp(p: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return linear(p["fc2"], gelu(linear(p["fc1"], x, dtype)), dtype)
+
+
+def encoder_block(
+    p: Params,
+    x: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Pre-LN transformer block: x + attn(ln1(x)); x + mlp(ln2(x))."""
+    x = x + attention(p["attn"], layer_norm(p["norm_1"], x, eps), num_heads=num_heads, mask=mask, dtype=dtype)
+    x = x + mlp(p["mlp"], layer_norm(p["norm_2"], x, eps), dtype=dtype)
+    return x
+
+
+def stacked_blocks(
+    p_blocks: Params,
+    x: jax.Array,
+    num_heads: int,
+    mask: Optional[jax.Array] = None,
+    eps: float = 1e-6,
+    dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> jax.Array:
+    """Run a stack of identical blocks via lax.scan over stacked params.
+
+    p_blocks: pytree whose leaves have a leading (depth,) axis. One compiled
+    block body regardless of depth — fast compiles, and `remat` trades memory
+    for recompute when training.
+    """
+
+    def body(h, pb):
+        fn = encoder_block
+        if remat:
+            fn = jax.checkpoint(encoder_block, static_argnums=(2, 4, 5))
+        h = fn(pb, h, num_heads, mask, eps, dtype)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, p_blocks)
+    return x
+
+
+def stack_block_params(block_list) -> Params:
+    """List of per-block param dicts -> single dict with stacked (depth-first) leaves."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *block_list)
+
+
+# ---------------------------------------------------------------------------
+# Initializers (for hermetic tiny configs and training-from-scratch)
+# ---------------------------------------------------------------------------
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True) -> Params:
+    k1, _ = jax.random.split(key)
+    scale = 1.0 / np.sqrt(d_in)
+    p = {"weight": jax.random.uniform(k1, (d_out, d_in), jnp.float32, -scale, scale)}
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def init_layer_norm(d: int) -> Params:
+    return {"weight": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def init_attention(key, d: int, packed: bool = True, bias: bool = True) -> Params:
+    k1, k2 = jax.random.split(key)
+    if packed:
+        scale = 1.0 / np.sqrt(d)
+        p = {
+            "in_proj": {
+                "weight": jax.random.uniform(k1, (3 * d, d), jnp.float32, -scale, scale),
+            },
+            "out_proj": init_linear(k2, d, d, bias=bias),
+        }
+        if bias:
+            p["in_proj"]["bias"] = jnp.zeros((3 * d,), jnp.float32)
+        return p
+    k1a, k1b, k1c = jax.random.split(k1, 3)
+    return {
+        "q_proj": init_linear(k1a, d, d, bias=bias),
+        "k_proj": init_linear(k1b, d, d, bias=bias),
+        "v_proj": init_linear(k1c, d, d, bias=bias),
+        "out_proj": init_linear(k2, d, d, bias=bias),
+    }
+
+
+def init_block(key, d: int, mlp_ratio: float = 4.0, packed: bool = True) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    hidden = int(d * mlp_ratio)
+    return {
+        "attn": init_attention(k1, d, packed=packed),
+        "mlp": {"fc1": init_linear(k2, d, hidden), "fc2": init_linear(k3, hidden, d)},
+        "norm_1": init_layer_norm(d),
+        "norm_2": init_layer_norm(d),
+    }
