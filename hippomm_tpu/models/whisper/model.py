@@ -1,0 +1,353 @@
+"""Whisper encoder/decoder in JAX with jitted KV-cached greedy decode.
+
+Replaces the reference's faster-whisper/CTranslate2 C++ inference
+(foundation_models.py:153-215) with a TPU program: log-mel frontend
+(ops/mel.WhisperMel), convolutional + transformer encoder, and a decoder whose
+autoregressive loop is a `lax.while_loop` over static-shape KV caches — no
+dynamic shapes, early exit by mask (SURVEY.md §7 hard part #2).
+
+Weights convert from HuggingFace `WhisperModel` state_dicts (convert.py), so
+any distil/openai Whisper checkpoint drops in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hippomm_tpu.models import layers as L
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    n_mels: int = 128
+    d_model: int = 1280
+    encoder_layers: int = 32
+    decoder_layers: int = 2
+    heads: int = 20
+    ffn: int = 5120
+    vocab_size: int = 51866
+    max_source_positions: int = 1500  # 30 s of mel frames / 2
+    max_target_positions: int = 448
+    eps: float = 1e-5
+    # special tokens (large-v3 vocab layout)
+    bos_token: int = 50258  # <|startoftranscript|>
+    eot_token: int = 50257  # <|endoftext|>
+    lang_en_token: int = 50259
+    task_transcribe_token: int = 50360
+    no_timestamps_token: int = 50364
+
+
+def distil_large_v3_config() -> WhisperConfig:
+    return WhisperConfig()
+
+
+def tiny_config() -> WhisperConfig:
+    """Hermetic tiny variant (matches a tiny-random transformers WhisperModel)."""
+    return WhisperConfig(
+        n_mels=80,
+        d_model=64,
+        encoder_layers=2,
+        decoder_layers=2,
+        heads=4,
+        ffn=128,
+        vocab_size=256,
+        max_source_positions=100,
+        max_target_positions=32,
+        bos_token=250,
+        eot_token=251,
+        lang_en_token=252,
+        task_transcribe_token=253,
+        no_timestamps_token=254,
+    )
+
+
+def get_config(variant: str) -> WhisperConfig:
+    if variant in ("distil-large-v3", "large-v3"):
+        return distil_large_v3_config()
+    if variant == "tiny":
+        return tiny_config()
+    raise ValueError(f"unknown whisper variant: {variant}")
+
+
+# ---------------------------------------------------------------------------
+# Init (hermetic tiny models / tests)
+# ---------------------------------------------------------------------------
+
+
+def _init_whisper_block(key, d: int, ffn: int, cross: bool) -> Dict:
+    ks = jax.random.split(key, 4)
+    p = {
+        "self_attn": L.init_attention(ks[0], d, packed=False),
+        "self_ln": L.init_layer_norm(d),
+        "mlp": {"fc1": L.init_linear(ks[1], d, ffn), "fc2": L.init_linear(ks[2], ffn, d)},
+        "final_ln": L.init_layer_norm(d),
+    }
+    p["self_attn"]["k_proj"].pop("bias", None)  # whisper: k_proj has no bias
+    if cross:
+        p["cross_attn"] = L.init_attention(ks[3], d, packed=False)
+        p["cross_attn"]["k_proj"].pop("bias", None)
+        p["cross_ln"] = L.init_layer_norm(d)
+    return p
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper encoder positional embedding (sinusoidal)."""
+    log_timescale = np.log(10000) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def init_whisper(key: jax.Array, cfg: WhisperConfig) -> Dict:
+    ks = jax.random.split(key, 8)
+    d = cfg.d_model
+    enc_blocks = [
+        _init_whisper_block(k, d, cfg.ffn, cross=False)
+        for k in jax.random.split(ks[0], cfg.encoder_layers)
+    ]
+    dec_blocks = [
+        _init_whisper_block(k, d, cfg.ffn, cross=True)
+        for k in jax.random.split(ks[1], cfg.decoder_layers)
+    ]
+    return {
+        "encoder": {
+            "conv1": {
+                "weight": 0.02 * jax.random.normal(ks[2], (d, cfg.n_mels, 3), jnp.float32),
+                "bias": jnp.zeros((d,), jnp.float32),
+            },
+            "conv2": {
+                "weight": 0.02 * jax.random.normal(ks[3], (d, d, 3), jnp.float32),
+                "bias": jnp.zeros((d,), jnp.float32),
+            },
+            "pos_embed": jnp.asarray(_sinusoids(cfg.max_source_positions, d)),
+            "blocks": L.stack_block_params(enc_blocks),
+            "ln": L.init_layer_norm(d),
+        },
+        "decoder": {
+            "token_embedding": 0.02
+            * jax.random.normal(ks[4], (cfg.vocab_size, d), jnp.float32),
+            "pos_embed": 0.01
+            * jax.random.normal(ks[5], (cfg.max_target_positions, d), jnp.float32),
+            "blocks": L.stack_block_params(dec_blocks),
+            "ln": L.init_layer_norm(d),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _whisper_block(p, x, heads, eps, mask=None, dtype=jnp.bfloat16, cross_kv=None):
+    x = x + L.attention(
+        p["self_attn"], L.layer_norm(p["self_ln"], x, eps), num_heads=heads, mask=mask, dtype=dtype
+    )
+    if cross_kv is not None:
+        x = x + L.attention(
+            p["cross_attn"],
+            L.layer_norm(p["cross_ln"], x, eps),
+            x_kv=cross_kv,
+            num_heads=heads,
+            dtype=dtype,
+        )
+    x = x + L.mlp(p["mlp"], L.layer_norm(p["final_ln"], x, eps), dtype=dtype)
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def encoder_forward(params: Dict, mel: jax.Array, cfg: WhisperConfig, dtype=jnp.bfloat16):
+    """mel (B, n_mels, T) -> (B, T//2, d). T must be 2*max_source_positions
+    for checkpoint-positional parity (pad/trim in the caller)."""
+    p = params["encoder"]
+    x = mel.astype(dtype)
+    # conv1: kernel 3 stride 1 pad 1, gelu
+    x = jax.lax.conv_general_dilated(
+        x, p["conv1"]["weight"].astype(dtype), (1,), [(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"), preferred_element_type=jnp.float32,
+    ) + p["conv1"]["bias"][None, :, None]
+    x = L.gelu(x)
+    # conv2: kernel 3 stride 2 pad 1, gelu
+    x = jax.lax.conv_general_dilated(
+        x.astype(dtype), p["conv2"]["weight"].astype(dtype), (2,), [(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"), preferred_element_type=jnp.float32,
+    ) + p["conv2"]["bias"][None, :, None]
+    x = L.gelu(x).transpose(0, 2, 1)  # (B, T/2, d)
+    x = x + p["pos_embed"][None, : x.shape[1]].astype(jnp.float32)
+
+    def body(h, pb):
+        return _whisper_block(pb, h, cfg.heads, cfg.eps, dtype=dtype), None
+
+    x, _ = jax.lax.scan(body, x, p["blocks"])
+    return L.layer_norm(p["ln"], x, cfg.eps)
+
+
+# ---------------------------------------------------------------------------
+# Decoder with KV cache
+# ---------------------------------------------------------------------------
+
+
+def _proj_heads(p, x, heads, dtype):
+    """(B, T, D) -> (B, H, T, hd) through a linear proj."""
+    y = L.linear(p, x, dtype)
+    b, t, d = y.shape
+    return y.reshape(b, t, heads, d // heads).transpose(0, 2, 1, 3)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def decoder_forward(
+    params: Dict, tokens: jax.Array, enc_out: jax.Array, cfg: WhisperConfig, dtype=jnp.bfloat16
+):
+    """Teacher-forced decoder: tokens (B, T) -> logits (B, T, vocab)."""
+    p = params["decoder"]
+    b, t = tokens.shape
+    x = p["token_embedding"][tokens].astype(jnp.float32) + p["pos_embed"][None, :t].astype(
+        jnp.float32
+    )
+    causal = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+
+    def body(h, pb):
+        return (
+            _whisper_block(pb, h, cfg.heads, cfg.eps, mask=causal, dtype=dtype, cross_kv=enc_out),
+            None,
+        )
+
+    x, _ = jax.lax.scan(body, x, p["blocks"])
+    x = L.layer_norm(p["ln"], x, cfg.eps)
+    return jnp.dot(
+        x.astype(dtype), p["token_embedding"].T.astype(dtype), preferred_element_type=jnp.float32
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "dtype"))
+def greedy_decode(
+    params: Dict,
+    enc_out: jax.Array,
+    prompt: jax.Array,
+    cfg: WhisperConfig,
+    max_len: int = 224,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """Greedy autoregressive decode under jit.
+
+    enc_out: (B, S, d); prompt: (B, P) forced decoder ids.
+    Returns (tokens (B, max_len), lengths (B,)). Static shapes throughout:
+    the while_loop exits early once every row has emitted <|endoftext|>.
+    """
+    p = params["decoder"]
+    b, s, d = enc_out.shape
+    heads, hd = cfg.heads, d // cfg.heads
+    nl = cfg.decoder_layers
+    plen = prompt.shape[1]
+
+    # Pre-compute cross-attention K/V once per layer (the big win of caching).
+    def cross_kv(pb):
+        k = _proj_heads(pb["cross_attn"]["k_proj"], enc_out, heads, dtype)
+        v = _proj_heads(pb["cross_attn"]["v_proj"], enc_out, heads, dtype)
+        return k, v
+
+    # vmap over the stacked layer axis → (L, B, H, S, hd)
+    xk, xv = jax.vmap(cross_kv, in_axes=0)(params["decoder"]["blocks"])
+
+    tokens = jnp.zeros((b, max_len), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+    self_k = jnp.zeros((nl, b, heads, max_len, hd), jnp.float32)
+    self_v = jnp.zeros_like(self_k)
+    finished = jnp.zeros((b,), bool)
+    lengths = jnp.full((b,), max_len, jnp.int32)
+
+    def step_layers(x, pos, self_k, self_v):
+        """One token through all decoder layers; x: (B, 1, d)."""
+
+        def layer(carry, inp):
+            h = carry
+            pb, xk_l, xv_l, sk_l, sv_l = inp
+            # self-attention with cache
+            q = _proj_heads(pb["self_attn"]["q_proj"], L.layer_norm(pb["self_ln"], h, cfg.eps), heads, dtype)
+            hn = L.layer_norm(pb["self_ln"], h, cfg.eps)
+            k_new = _proj_heads(pb["self_attn"]["k_proj"], hn, heads, dtype)
+            v_new = _proj_heads(pb["self_attn"]["v_proj"], hn, heads, dtype)
+            sk_l = jax.lax.dynamic_update_slice(sk_l, k_new.astype(jnp.float32), (0, 0, pos, 0))
+            sv_l = jax.lax.dynamic_update_slice(sv_l, v_new.astype(jnp.float32), (0, 0, pos, 0))
+            scale = 1.0 / np.sqrt(hd)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q.astype(dtype), sk_l.astype(dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            key_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
+            logits = jnp.where(key_mask, logits, -jnp.inf)
+            w = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum(
+                "bhqk,bhkd->bhqd", w.astype(dtype), sv_l.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
+            h = h + L.linear(pb["self_attn"]["out_proj"], attn, dtype)
+            # cross-attention against precomputed enc K/V
+            q = _proj_heads(pb["cross_attn"]["q_proj"], L.layer_norm(pb["cross_ln"], h, cfg.eps), heads, dtype)
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q.astype(dtype), xk_l.astype(dtype),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            w = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum(
+                "bhqk,bhkd->bhqd", w.astype(dtype), xv_l.astype(dtype),
+                preferred_element_type=jnp.float32,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
+            h = h + L.linear(pb["cross_attn"]["out_proj"], attn, dtype)
+            h = h + L.mlp(pb["mlp"], L.layer_norm(pb["final_ln"], h, cfg.eps), dtype=dtype)
+            return h, (sk_l, sv_l)
+
+        x, (self_k, self_v) = jax.lax.scan(
+            layer, x, (params["decoder"]["blocks"], xk, xv, self_k, self_v)
+        )
+        return x, self_k, self_v
+
+    def embed_at(tokens, pos):
+        tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
+        return (
+            p["token_embedding"][tok].astype(jnp.float32)
+            + jax.lax.dynamic_slice(p["pos_embed"], (pos, 0), (1, d))[None].astype(jnp.float32)
+        )
+
+    # Prefill the prompt token-by-token (prompt is short: ≤4 ids).
+    def prefill(i, carry):
+        self_k, self_v = carry
+        x = embed_at(tokens, i)
+        _, self_k, self_v = step_layers(x, i, self_k, self_v)
+        return self_k, self_v
+
+    self_k, self_v = jax.lax.fori_loop(0, plen - 1, prefill, (self_k, self_v))
+
+    def cond(state):
+        pos, tokens, self_k, self_v, finished, lengths = state
+        return jnp.logical_and(pos < max_len, ~jnp.all(finished))
+
+    def body(state):
+        pos, tokens, self_k, self_v, finished, lengths = state
+        x = embed_at(tokens, pos - 1)
+        x, self_k, self_v = step_layers(x, pos - 1, self_k, self_v)
+        x = L.layer_norm(p["ln"], x, cfg.eps)
+        logits = jnp.dot(
+            x[:, 0].astype(dtype),
+            p["token_embedding"].T.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, cfg.eot_token, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos))
+        now_done = nxt == cfg.eot_token
+        lengths = jnp.where(now_done & ~finished, pos, lengths)
+        finished = finished | now_done
+        return pos + 1, tokens, self_k, self_v, finished, lengths
+
+    state = (jnp.asarray(plen, jnp.int32), tokens, self_k, self_v, finished, lengths)
+    _, tokens, _, _, finished, lengths = jax.lax.while_loop(cond, body, state)
+    return tokens, lengths
