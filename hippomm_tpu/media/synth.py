@@ -56,8 +56,10 @@ def generate(spec: SynthSpec) -> SynthResult:
     for i, t in enumerate(times):
         scene = sum(1 for b in boundaries if t >= b)
         img = backgrounds[scene].copy()
-        # moving square gives small intra-scene motion (below SSIM cut threshold)
-        phase = (t - scene_starts[scene]) * 0.15
+        # slowly moving square: small intra-scene motion so adjacent-frame SSIM
+        # stays above the 0.95 segmentation threshold (like real video at
+        # native fps), while scene cuts drop it far below
+        phase = (t - scene_starts[scene]) * 0.02
         cx = int((0.2 + 0.6 * (phase % 1.0)) * (spec.width - sq))
         cy = int((0.3 + 0.3 * np.sin(2 * np.pi * phase)) * (spec.height - sq))
         color = (np.array([255, 255, 255]) - backgrounds[scene][0, 0]).astype(np.uint8)

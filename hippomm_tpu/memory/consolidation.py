@@ -1,0 +1,95 @@
+"""Memory consolidation (reference: hippocampal_memory.py:540-967).
+
+Merges a video's ShortTermMemories into one consolidated record: vision
+features stacked with their times and deduplicated to key frames via the
+on-device greedy cosine scan (ops/similarity.select_keyframes — the reference
+builds the N×N similarity matrix in numpy and greedy-loops in Python,
+:944-967); audio features stacked with segment start times; transcriptions
+concatenated in temporal order. No mp.Pool theatrics (the reference opens a
+Pool(4) it never uses, :791-802).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from hippomm_tpu.memory.schema import ShortTermMemory
+from hippomm_tpu.ops.similarity import select_keyframes
+
+logger = logging.getLogger(__name__)
+
+
+def consolidate_short_term_memory(
+    stms: List[ShortTermMemory],
+    keyframe_threshold: float = 0.9,
+) -> Optional[Dict]:
+    """All STMs of one video -> consolidated dict (pre-ThetaEvent).
+
+    Returns {features, feature_times, frames, frame_times, audio_times,
+    audio_transcription, modalities, start_time, end_time, keyframe_indices}.
+    """
+    if not stms:
+        return None
+    stms = sorted(stms, key=lambda m: m.segment_info.get("start_time", m.source_time))
+
+    modalities: List[str] = []
+    for stm in stms:
+        for m in stm.modalities:
+            if m not in modalities:
+                modalities.append(m)
+
+    out: Dict = {
+        "features": {},
+        "feature_times": {},
+        "frames": [],
+        "frame_times": [],
+        "audio_times": [],
+        "audio_transcription": [],
+        "modalities": modalities,
+        "start_time": min(s.segment_info.get("start_time", 0.0) for s in stms),
+        "end_time": max(s.segment_info.get("end_time", 0.0) for s in stms),
+    }
+
+    # ---- vision: stack, then on-device key-frame dedup ----
+    vis_feats, vis_times, vis_frames = [], [], []
+    for stm in stms:
+        f = stm.features.get("vision")
+        if f is None or f.shape[0] == 0:
+            continue
+        times = stm.segment_info.get("frame_times", [])
+        frames = stm.segment_info.get("frames", [])
+        for i in range(f.shape[0]):
+            vis_feats.append(f[i])
+            vis_times.append(times[i] if i < len(times) else stm.source_time)
+            vis_frames.append(frames[i] if i < len(frames) else "")
+    if vis_feats:
+        feats = np.stack(vis_feats).astype(np.float32)
+        keep = select_keyframes(feats, threshold=keyframe_threshold)
+        out["features"]["vision"] = feats[keep]
+        out["feature_times"]["vision"] = [vis_times[i] for i in keep]
+        out["frames"] = [vis_frames[i] for i in keep]
+        out["frame_times"] = [vis_times[i] for i in keep]
+        out["keyframe_indices"] = [int(i) for i in keep]
+
+    # ---- audio: stack features + start times, concat transcriptions ----
+    aud_feats, aud_times, transcripts = [], [], []
+    for stm in stms:
+        f = stm.features.get("audio")
+        if f is not None and f.shape[0] > 0:
+            for i in range(f.shape[0]):
+                aud_feats.append(f[i])
+                aud_times.append(stm.segment_info.get("start_time", stm.source_time))
+        if stm.transcription:
+            transcripts.append(stm.transcription)
+            if f is None or f.shape[0] == 0:
+                aud_times.append(stm.segment_info.get("start_time", stm.source_time))
+    if aud_feats:
+        out["features"]["audio"] = np.stack(aud_feats).astype(np.float32)
+        out["feature_times"]["audio"] = aud_times[: len(aud_feats)]
+    out["audio_times"] = aud_times
+    out["audio_transcription"] = transcripts
+
+    return out

@@ -1,0 +1,484 @@
+"""HippocampalMemory — the memory engine (reference: hippocampal_memory.py:214-1612).
+
+Same cognitive stages and public surface as the reference, re-planned for TPU:
+
+  * temporal pattern separation: one batched device program scores all frame
+    pairs + audio windows, host does the tiny greedy walk (segmentation.py)
+  * perceptual encoding: ALL segments' frames go through ONE bucketized
+    ImageBind vision forward; all segments' audio clips through ONE audio
+    forward (the reference loops modality-by-modality per segment,
+    :1172-1266, paying a CUDA round-trip each)
+  * consolidation: on-device key-frame dedup scan (consolidation.py)
+  * semantic replay: caption fan-out via thread-pooled HTTP (or stub), no
+    mp.Pool pickling hazards (:2263)
+
+Short-term buffer is keyed by video_id (the reference accidentally keys by
+the first frame path, :538). Checkpoint/resume semantics preserved: per-video
+STM checkpoints auto-resumed at the top of process_sequence (:1136-1150).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from hippomm_tpu.config import Config
+from hippomm_tpu.memory.consolidation import consolidate_short_term_memory
+from hippomm_tpu.memory.schema import SequenceSegment, ShortTermMemory, ThetaEvent
+from hippomm_tpu.memory.segmentation import segment_sequence
+from hippomm_tpu.memory.store import MemoryStore
+from hippomm_tpu.models.clients import make_client
+from hippomm_tpu.models.foundation import ImageBind, QwenVL, Whisper
+from hippomm_tpu.utils.timers import StageTimer
+
+logger = logging.getLogger(__name__)
+
+CAPTION_PROMPT = "Describe this image in one concise sentence."
+
+
+class HippocampalMemory:
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        imagebind_path: Optional[str] = None,
+        whisper_model: Optional[str] = None,
+        qwen_path: Optional[str] = None,
+        models: Optional[Dict] = None,
+    ):
+        self.config = config or Config()
+        m = self.config.models
+        p = self.config.processing
+
+        # engine parameters (reference defaults, hippocampal_memory.py:253-266)
+        self.max_short_term = self.config.memory.max_short_term
+        self.max_long_term = self.config.memory.max_long_term
+        self.frame_buffer_size = p.frame_buffer_size
+        self.max_segment_duration = p.max_segment_duration
+        self.min_segment_duration = p.min_segment_duration
+        self.frame_similarity_threshold = p.frame_similarity_threshold
+        self.audio_silence_threshold = p.audio_silence_threshold
+        self.keyframe_dedup_threshold = p.keyframe_dedup_threshold
+
+        # foundation models (injectable for tests)
+        models = models or {}
+        self.imagebind: ImageBind = models.get("imagebind") or ImageBind(
+            model_path=imagebind_path or m.imagebind_path, variant=m.imagebind_variant
+        )
+        self.whisper: Whisper = models.get("whisper") or Whisper(
+            model_name=whisper_model or m.whisper_model,
+            variant=m.whisper_variant,
+        )
+        self.qwen: QwenVL = models.get("qwen") or QwenVL(
+            model_name=qwen_path or m.qwen_path, config=self.config
+        )
+        self.frame_client = models.get("frame_client") or make_client(
+            self.config.api.frame_processing, self.config.api.mode, purpose="frame-captioning"
+        )
+
+        # memory state
+        self.short_term_buffer: Dict[str, List[ShortTermMemory]] = {}
+        self.long_term_store: List[ThetaEvent] = []
+        self.consolidated: Dict[str, Dict] = {}
+        self._frame_buffer: Dict[str, List] = {}  # video_id -> [(path, time)]
+        self._full_audio: Dict[str, np.ndarray] = {}
+
+        self.store = MemoryStore(self.config.storage.base_dir)
+        self.timers = StageTimer()
+
+    # ------------------------------------------------------------------ ingest
+
+    def add_video(self, video_id: str, video_path: str = "") -> None:
+        """Register a video (reference: hippocampal_memory.py:1277-1288)."""
+        self.store.add_video(video_id, video_path)
+        self.short_term_buffer.setdefault(video_id, [])
+
+    def process_sequence(
+        self,
+        video_id: str,
+        frame_paths: Optional[Sequence[str]] = None,
+        frame_times: Optional[Sequence[float]] = None,
+        frames_rgb: Optional[np.ndarray] = None,
+        audio_data: Optional[np.ndarray] = None,
+        sample_rate: int = 16000,
+        video_duration: Optional[float] = None,
+        auto_consolidate: bool = True,
+    ) -> List[ShortTermMemory]:
+        """Segment + perceptually encode a video's frames/audio into STMs
+        (reference: hippocampal_memory.py:1116-1275).
+
+        Accepts in-memory RGB frames (TPU path — no disk re-read) and/or frame
+        paths (store-compat). Auto-resumes from a checkpoint if present.
+        """
+        # checkpoint fast-path (reference :1136-1150)
+        if self.store.has_checkpoint(video_id):
+            stms = self.store.load_checkpoint(video_id)
+            if stms:
+                logger.info("resumed %d STMs from checkpoint for %s", len(stms), video_id)
+                self.short_term_buffer[video_id] = stms
+                if audio_data is not None:
+                    self._full_audio[video_id] = np.asarray(audio_data, np.float32)
+                if auto_consolidate:
+                    self.consolidate(video_id)
+                    self.replay(video_id)
+                return stms
+
+        frame_paths = list(frame_paths) if frame_paths is not None else []
+        frame_times = list(frame_times) if frame_times is not None else []
+        if frames_rgb is None and frame_paths:
+            from hippomm_tpu.media.io import read_jpeg
+
+            frames_rgb = np.stack([read_jpeg(fp) for fp in frame_paths])
+        if audio_data is not None:
+            audio_data = np.asarray(audio_data, dtype=np.float32)
+            self._full_audio[video_id] = audio_data
+
+        with self.timers.stage("segmentation"):
+            segments = segment_sequence(
+                frame_paths,
+                frame_times,
+                frames_rgb,
+                audio_data,
+                sample_rate=sample_rate,
+                max_segment=self.max_segment_duration,
+                min_segment=self.min_segment_duration,
+                ssim_threshold=self.frame_similarity_threshold,
+                silence_db=self.audio_silence_threshold,
+                duration=video_duration,
+            )
+        logger.info("%s: %d segments", video_id, len(segments))
+
+        stms = self._encode_segments(video_id, segments, frames_rgb, frame_times, sample_rate)
+        self.short_term_buffer.setdefault(video_id, []).extend(stms)
+
+        with self.timers.stage("checkpoint"):
+            self.store.save_checkpoint(video_id, self.short_term_buffer[video_id])
+
+        if auto_consolidate:
+            self.consolidate(video_id)
+            self.replay(video_id)
+        return stms
+
+    def _encode_segments(
+        self,
+        video_id: str,
+        segments: List[SequenceSegment],
+        frames_rgb: Optional[np.ndarray],
+        frame_times: Sequence[float],
+        sample_rate: int,
+    ) -> List[ShortTermMemory]:
+        """Perceptual encoding, batched across segments."""
+        ft = np.asarray(list(frame_times), dtype=np.float64)
+
+        # ---- vision: one forward over the concatenation of all segments ----
+        seg_frame_idx: List[np.ndarray] = []
+        for seg in segments:
+            if len(ft):
+                idx = np.nonzero((ft >= seg.start_time) & (ft < seg.end_time))[0]
+            else:
+                idx = np.zeros((0,), int)
+            seg_frame_idx.append(idx)
+
+        vision_feats: Optional[np.ndarray] = None
+        if frames_rgb is not None and len(frames_rgb):
+            all_idx = np.concatenate([i for i in seg_frame_idx]) if seg_frame_idx else []
+            with self.timers.stage("encode_vision"):
+                flat = self.imagebind.encode_vision(frames_rgb[all_idx])
+            vision_feats = flat
+
+        # ---- audio features: one forward over all segments' mel clips ----
+        from hippomm_tpu.models.imagebind.preprocess import preprocess_audio
+        from hippomm_tpu.models.imagebind import model as ib_model
+        import jax.numpy as jnp
+
+        audio_embs: Dict[int, np.ndarray] = {}
+        mel_batch, mel_owner = [], []
+        for si, seg in enumerate(segments):
+            a = seg.audio_data
+            if a is None or len(a) < sample_rate // 10:
+                continue
+            peak = float(np.max(np.abs(a))) or 1.0
+            mel_batch.append(
+                np.asarray(
+                    preprocess_audio(
+                        a / peak,
+                        mel_bins=self.imagebind.cfg.audio_mel_bins,
+                        target_len=self.imagebind.cfg.audio_target_len,
+                    )
+                )
+            )
+            mel_owner.append(si)
+        if mel_batch:
+            with self.timers.stage("encode_audio"):
+                mels = jnp.asarray(np.concatenate(mel_batch, axis=0))
+                embs = np.asarray(
+                    ib_model.audio_forward(
+                        self.imagebind.params, mels, self.imagebind.cfg, self.imagebind.dtype
+                    ),
+                    dtype=np.float32,
+                )
+            for si, e in zip(mel_owner, embs):
+                audio_embs[si] = e[None]
+
+        # ---- transcription per segment (600 s chunking handled inside) ----
+        transcripts: Dict[int, str] = {}
+        for si, seg in enumerate(segments):
+            if seg.audio_data is None or len(seg.audio_data) < sample_rate // 10:
+                continue
+            with self.timers.stage("transcribe"):
+                segs = self.whisper.transcribe(seg.audio_data, sample_rate)
+            transcripts[si] = " ".join(s.text for s in segs if s.text).strip()
+
+        # ---- assemble STMs ----
+        stms: List[ShortTermMemory] = []
+        offset = 0
+        for si, seg in enumerate(segments):
+            idx = seg_frame_idx[si]
+            feats: Dict[str, np.ndarray] = {}
+            if vision_feats is not None and len(idx):
+                feats["vision"] = vision_feats[offset : offset + len(idx)]
+            offset += len(idx)
+            if si in audio_embs:
+                feats["audio"] = audio_embs[si]
+            modalities = [m for m in ("vision", "audio") if m in feats]
+            stms.append(
+                ShortTermMemory(
+                    features=feats,
+                    content="",
+                    timestamp=time.time(),
+                    source_time=seg.start_time,
+                    modalities=modalities,
+                    segment_info={
+                        "video_id": video_id,
+                        "start_time": seg.start_time,
+                        "end_time": seg.end_time,
+                        "frames": list(seg.frames),
+                        "frame_times": list(seg.frame_times),
+                    },
+                    transcription=transcripts.get(si, ""),
+                )
+            )
+        return stms
+
+    def add_memory(
+        self,
+        video_id: str,
+        video_frames: Optional[Sequence[str]] = None,
+        audio_data: Optional[np.ndarray] = None,
+        frame_times: Optional[Sequence[float]] = None,
+        start_time: float = 0.0,
+        end_time: float = 0.0,
+    ) -> ShortTermMemory:
+        """Encode one pre-segmented chunk directly (reference add_memory,
+        hippocampal_memory.py:451-538 — which buggily keys the buffer by
+        video_frames[0]; here the video_id is explicit)."""
+        seg = SequenceSegment(
+            start_time=start_time,
+            end_time=end_time,
+            frames=list(video_frames or []),
+            audio_data=audio_data,
+            frame_times=list(frame_times or list(np.arange(len(video_frames or [])))),
+        )
+        frames_rgb = None
+        if video_frames:
+            from hippomm_tpu.media.io import read_jpeg
+
+            frames_rgb = np.stack([read_jpeg(p) for p in video_frames])
+        stm = self._encode_segments(
+            video_id, [seg], frames_rgb, seg.frame_times, 16000
+        )[0]
+        buf = self.short_term_buffer.setdefault(video_id, [])
+        buf.append(stm)
+        if len(buf) > self.max_short_term:
+            self.consolidate(video_id)
+        return stm
+
+    # ------------------------------------------------------- frame micro-batch
+
+    def add_single_frame(self, video_id: str, frame_path: str, frame_time: float) -> None:
+        """Streaming ingest: buffer frames, encode in frame_buffer_size batches
+        (reference: hippocampal_memory.py:1290-1365)."""
+        buf = self._frame_buffer.setdefault(video_id, [])
+        buf.append((frame_path, float(frame_time)))
+        if len(buf) >= self.frame_buffer_size:
+            self._process_frame_batch(video_id)
+
+    def flush_frame_buffer(self, video_id: str) -> None:
+        if self._frame_buffer.get(video_id):
+            self._process_frame_batch(video_id)
+
+    def _process_frame_batch(self, video_id: str) -> None:
+        batch = self._frame_buffer.pop(video_id, [])
+        if not batch:
+            return
+        paths = [p for p, _ in batch]
+        times = [t for _, t in batch]
+        feats = self.imagebind.encode_vision(paths)
+        stm = ShortTermMemory(
+            features={"vision": feats},
+            timestamp=time.time(),
+            source_time=times[0],
+            modalities=["vision"],
+            segment_info={
+                "video_id": video_id,
+                "start_time": times[0],
+                "end_time": times[-1],
+                "frames": paths,
+                "frame_times": times,
+            },
+        )
+        self.short_term_buffer.setdefault(video_id, []).append(stm)
+
+    # ------------------------------------------------------------- consolidate
+
+    def consolidate(self, video_id: Optional[str] = None) -> Optional[Dict]:
+        """Merge a video's STMs into one consolidated record
+        (reference: hippocampal_memory.py:540-586)."""
+        if video_id is None:
+            for vid in list(self.short_term_buffer):
+                self.consolidate(vid)
+            return None
+        stms = self.short_term_buffer.get(video_id, [])
+        with self.timers.stage("consolidate"):
+            merged = consolidate_short_term_memory(
+                stms, keyframe_threshold=self.keyframe_dedup_threshold
+            )
+        if merged is not None:
+            merged["video_id"] = video_id
+            self.consolidated[video_id] = merged
+        return merged
+
+    # ------------------------------------------------------------------ replay
+
+    def replay(self, video_id: Optional[str] = None) -> Optional[ThetaEvent]:
+        """Semantic replay: caption key frames, summarize, persist ThetaEvent
+        (reference: hippocampal_memory.py:588-752)."""
+        if video_id is None:
+            if not self.consolidated:
+                return None
+            video_id = next(iter(self.consolidated))
+        merged = self.consolidated.get(video_id)
+        if merged is None:
+            merged = self.consolidate(video_id)
+            if merged is None:
+                return None
+
+        # caption every key frame (thread-pooled HTTP or stub)
+        captions: List[str] = []
+        frame_paths = [p for p in merged.get("frames", []) if p]
+        if frame_paths:
+            jpegs = []
+            for p in frame_paths:
+                try:
+                    with open(p, "rb") as f:
+                        jpegs.append(f.read())
+                except OSError:
+                    jpegs.append(b"")
+            with self.timers.stage("caption"):
+                captions = self.frame_client.caption_images(jpegs, CAPTION_PROMPT)
+
+        transcripts = merged.get("audio_transcription", [])
+        with self.timers.stage("summary"):
+            summary = self._summarize_event(captions, transcripts, merged["modalities"])
+
+        event = ThetaEvent(
+            video_id=video_id,
+            features={k: v for k, v in merged["features"].items()},
+            feature_times=merged["feature_times"],
+            frames=merged.get("frames", []),
+            frame_times=merged.get("frame_times", []),
+            frame_captions=captions,
+            audio_times=merged.get("audio_times", []),
+            audio_transcription=transcripts,
+            summary=summary,
+            start_time=merged["start_time"],
+            end_time=merged["end_time"],
+            modalities=merged["modalities"],
+        )
+        # holistic transcription over the full audio track (reference :1367-1415)
+        full_audio = self._full_audio.get(video_id)
+        if full_audio is not None and len(full_audio) > 1600:
+            with self.timers.stage("holistic_transcribe"):
+                segs = self.whisper.transcribe(full_audio)
+            event.holistic_audio_transcription = " ".join(s.text for s in segs if s.text).strip()
+
+        self.store.save_theta_event(event)
+        self.long_term_store.append(event)
+        if len(self.long_term_store) > self.max_long_term:
+            self.long_term_store = self.long_term_store[-self.max_long_term :]
+        # consumed: a second replay() shouldn't duplicate the event (the
+        # reference double-replays each video, SURVEY.md §3.1 note)
+        self.consolidated.pop(video_id, None)
+        return event
+
+    def _summarize_event(
+        self, captions: List[str], transcripts: List[str], modalities: List[str]
+    ) -> str:
+        parts = []
+        if captions:
+            shown = captions if len(captions) <= 1000 else captions[:: max(1, len(captions) // 1000)]
+            parts.append("Frame captions:\n" + "\n".join(f"- {c}" for c in shown))
+        if transcripts:
+            parts.append("Audio transcription:\n" + " ".join(transcripts))
+        if not parts:
+            return ""
+        prompt = (
+            "Summarize the following video content in one sentence.\n\n" + "\n\n".join(parts)
+        )
+        try:
+            return self.qwen.generate(prompt, max_tokens=128).strip()
+        except Exception:
+            logger.exception("summary generation failed")
+            return (captions[0] if captions else (transcripts[0] if transcripts else ""))
+
+    # ------------------------------------------------------------- persistence
+
+    def save_theta_event(self, event: ThetaEvent) -> str:
+        return self.store.save_theta_event(event)
+
+    def load_theta_event(self, event_id: str) -> ThetaEvent:
+        event = self.store.load_theta_event(event_id)
+        if all(e.event_id != event.event_id for e in self.long_term_store):
+            self.long_term_store.append(event)
+        return event
+
+    def load_all_events(self) -> List[ThetaEvent]:
+        self.long_term_store = self.store.load_all_events()
+        return self.long_term_store
+
+    def _save_checkpoint(self, video_id: str) -> str:
+        return self.store.save_checkpoint(video_id, self.short_term_buffer.get(video_id, []))
+
+    def _check_for_checkpoint(self, video_id: str) -> bool:
+        return self.store.has_checkpoint(video_id)
+
+    def _load_checkpoint(self, video_id: str) -> bool:
+        stms = self.store.load_checkpoint(video_id)
+        if stms is None:
+            return False
+        self.short_term_buffer[video_id] = stms
+        return True
+
+    def save_short_term_buffer(self, tag: str = "buffer") -> str:
+        return self.store.save_short_term_buffer(self.short_term_buffer, tag)
+
+    def load_short_term_buffer(self, tag: str = "buffer") -> None:
+        loaded = self.store.load_short_term_buffer(tag)
+        if loaded:
+            self.short_term_buffer.update(loaded)
+
+    # ------------------------------------------------------------------- misc
+
+    def get_stats(self) -> Dict:
+        """Buffer sizes + config snapshot (reference: hippocampal_memory.py:969-978)."""
+        return {
+            "short_term_videos": len(self.short_term_buffer),
+            "short_term_memories": sum(len(v) for v in self.short_term_buffer.values()),
+            "long_term_events": len(self.long_term_store),
+            "max_short_term": self.max_short_term,
+            "max_long_term": self.max_long_term,
+            "frame_buffer_size": self.frame_buffer_size,
+            "timers": self.timers.summary(),
+        }

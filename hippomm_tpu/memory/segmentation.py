@@ -1,0 +1,156 @@
+"""Temporal pattern separation (reference: hippocampal_memory.py:980-1114).
+
+Reference semantics: grow a window to max_segment_duration; walk backwards to
+the LATEST boundary inside the window — a frame pair with SSIM < threshold, or
+a 500 ms audio window with RMS < silence_db — respecting min_segment_duration;
+cut there, repeat. The reference recomputes SSIM per pair by re-reading JPEGs
+from disk inside the loop (:1052-1056) — quadratic disk traffic.
+
+TPU-native reformulation: ONE batched device program scores every adjacent
+frame pair (downscaled-gray SSIM) and every audio window (RMS dB); the greedy
+boundary walk then runs over those two tiny fp32 vectors on host. Identical
+segmentation semantics, ~zero marginal cost per window.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from hippomm_tpu.memory.schema import SequenceSegment
+from hippomm_tpu.ops.resize import resize_frames
+from hippomm_tpu.ops.silence import window_rms_db
+from hippomm_tpu.ops.ssim import adjacent_ssim, rgb_to_gray
+
+SSIM_DOWNSCALE_H = 90  # reference computes SSIM on small grayscale frames
+SSIM_DOWNSCALE_W = 160
+AUDIO_WIN_S = 0.5
+AUDIO_HOP_S = 0.1
+
+
+def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
+    """(T, H, W, 3) uint8 -> (T-1,) SSIM between consecutive frames, computed
+    on device at a fixed downscale (one fused program: resize→gray→SSIM)."""
+    import jax.numpy as jnp
+
+    if frames_rgb.shape[0] < 2:
+        return np.zeros((0,), np.float32)
+    small = resize_frames(jnp.asarray(frames_rgb), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W)
+    gray = rgb_to_gray(small)
+    return np.asarray(adjacent_ssim(gray))
+
+
+def audio_window_levels(
+    audio: Optional[np.ndarray], sample_rate: int = 16000
+) -> Optional[np.ndarray]:
+    """(S,) pcm -> per-window RMS dB at 500 ms / 100 ms hop (device reduction)."""
+    if audio is None:
+        return None
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    win = int(AUDIO_WIN_S * sample_rate)
+    hop = int(AUDIO_HOP_S * sample_rate)
+    if len(audio) < win:
+        return None
+    import jax.numpy as jnp
+
+    return np.asarray(window_rms_db(jnp.asarray(audio), win, hop))
+
+
+def find_boundaries(
+    frame_times: Sequence[float],
+    frame_ssim: np.ndarray,
+    audio_db: Optional[np.ndarray],
+    duration: float,
+    max_segment: float = 30.0,
+    min_segment: float = 10.0,
+    ssim_threshold: float = 0.95,
+    silence_db: float = -40.0,
+    audio_hop_s: float = AUDIO_HOP_S,
+) -> List[float]:
+    """Greedy boundary times over precomputed scores (reference walk-back
+    semantics, hippocampal_memory.py:1043-1084). Returns interior cut times."""
+    frame_times = np.asarray(frame_times, dtype=np.float64)
+    cuts: List[float] = []
+    start = 0.0
+    while duration - start > max_segment:
+        lo, hi = start + min_segment, start + max_segment
+        best: Optional[float] = None
+
+        # latest dissimilar frame pair inside (lo, hi]: boundary at pair's 2nd frame
+        if len(frame_ssim):
+            pair_t = frame_times[1:]  # boundary time = time of the later frame
+            mask = (pair_t > lo) & (pair_t <= hi) & (frame_ssim < ssim_threshold)
+            idx = np.nonzero(mask)[0]
+            if len(idx):
+                best = float(pair_t[idx[-1]])
+
+        # latest silent audio window inside (lo, hi]
+        if audio_db is not None and len(audio_db):
+            win_t = np.arange(len(audio_db)) * audio_hop_s + AUDIO_WIN_S / 2
+            mask = (win_t > lo) & (win_t <= hi) & (audio_db < silence_db)
+            idx = np.nonzero(mask)[0]
+            if len(idx):
+                cand = float(win_t[idx[-1]])
+                best = cand if best is None else max(best, cand)
+
+        if best is None:
+            best = hi  # hard cut at max duration
+        cuts.append(best)
+        start = best
+    return cuts
+
+
+def segment_sequence(
+    frame_paths: Sequence[str],
+    frame_times: Sequence[float],
+    frames_rgb: Optional[np.ndarray],
+    audio: Optional[np.ndarray],
+    sample_rate: int = 16000,
+    max_segment: float = 30.0,
+    min_segment: float = 10.0,
+    ssim_threshold: float = 0.95,
+    silence_db: float = -40.0,
+    duration: Optional[float] = None,
+) -> List[SequenceSegment]:
+    """Full temporal pattern separation -> SequenceSegments with sliced frames
+    and audio (reference: _segment_sequence, hippocampal_memory.py:1002-1114)."""
+    frame_times = list(map(float, frame_times))
+    if duration is None:
+        candidates = []
+        if frame_times:
+            candidates.append(frame_times[-1] + 1e-3)
+        if audio is not None:
+            candidates.append(len(audio) / sample_rate)
+        duration = max(candidates) if candidates else 0.0
+
+    ssim = (
+        adjacent_frame_similarity(frames_rgb)
+        if frames_rgb is not None and len(frames_rgb) >= 2
+        else np.zeros((0,), np.float32)
+    )
+    db = audio_window_levels(audio, sample_rate)
+    cuts = find_boundaries(
+        frame_times, ssim, db, duration, max_segment, min_segment, ssim_threshold, silence_db
+    )
+    bounds = [0.0] + cuts + [duration]
+
+    segments: List[SequenceSegment] = []
+    ft = np.asarray(frame_times, dtype=np.float64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e <= s:
+            continue
+        sel = np.nonzero((ft >= s) & (ft < e))[0] if len(ft) else np.zeros((0,), int)
+        seg_audio = None
+        if audio is not None:
+            seg_audio = np.asarray(audio[int(s * sample_rate) : int(e * sample_rate)])
+        segments.append(
+            SequenceSegment(
+                start_time=float(s),
+                end_time=float(e),
+                frames=[frame_paths[i] for i in sel] if frame_paths else [],
+                audio_data=seg_audio,
+                frame_times=[frame_times[i] for i in sel],
+            )
+        )
+    return segments

@@ -1,0 +1,265 @@
+"""Foundation model wrappers — the reference-compatible model surface.
+
+Mirrors hippomm/models/foundation_models.py's three classes (ImageBind :21-151,
+Whisper :153-215, QwenVL :217-344) on top of the JAX towers:
+
+  * ImageBind.extract_features  — batched, bucket-padded device forward; one
+    jit per bucket size instead of per-call recompiles
+  * Whisper.transcribe          — JAX Whisper, or a deterministic stub when no
+    checkpoint is available (hermetic pipelines)
+  * QwenVL.generate             — OpenAI-protocol HTTP client or stub; accepts
+    both `prompt` strings and full message lists
+
+Device placement is jax-native (pjit-ready); the reference's .cuda() calls
+have no analog here.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hippomm_tpu.config import Config
+from hippomm_tpu.models.clients import ChatClient, make_client
+from hippomm_tpu.models.imagebind import model as ib_model
+from hippomm_tpu.models.imagebind.preprocess import (
+    load_tokenizer,
+    preprocess_audio,
+    preprocess_vision,
+)
+from hippomm_tpu.models.whisper import model as wh_model
+from hippomm_tpu.models.whisper.transcribe import Segment, WhisperTranscriber
+
+logger = logging.getLogger(__name__)
+
+_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + 63) // 64) * 64
+
+
+class ImageBind:
+    """Joint-embedding model wrapper (reference surface: extract_features)."""
+
+    def __init__(
+        self,
+        model_path: Optional[str] = None,
+        variant: str = "huge",
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.cfg = ib_model.get_config(variant)
+        self.dtype = dtype
+        ckpt = None
+        if model_path:
+            for cand in (model_path, os.path.join(model_path, "imagebind_huge.pth")):
+                if os.path.isfile(cand):
+                    ckpt = cand
+                    break
+        if ckpt:
+            from hippomm_tpu.models.imagebind.convert import load_imagebind
+
+            logger.info("loading ImageBind checkpoint: %s", ckpt)
+            self.params = load_imagebind(ckpt, self.cfg)
+        else:
+            if variant == "huge":
+                logger.warning(
+                    "no ImageBind checkpoint at %s — random-init weights "
+                    "(embeddings are structurally valid but not semantic)",
+                    model_path,
+                )
+            self.params = ib_model.init_imagebind(jax.random.PRNGKey(seed), self.cfg)
+        self.params = jax.device_put(self.params)
+        self.tokenizer = load_tokenizer(
+            model_path, vocab_size=self.cfg.vocab_size, context_length=self.cfg.context_length
+        )
+
+    # -- encoders ----------------------------------------------------------
+
+    def encode_vision(self, frames: Union[np.ndarray, Sequence[str]]) -> np.ndarray:
+        """uint8 (N, H, W, 3) frames or jpeg paths -> (N, 1024) fp32."""
+        if len(frames) == 0:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
+        if isinstance(frames[0], str):
+            from hippomm_tpu.media.io import read_jpeg
+
+            frames = np.stack([read_jpeg(p) for p in frames])
+        frames = np.asarray(frames)
+        n = frames.shape[0]
+        b = _bucket(n)
+        if b != n:
+            frames = np.concatenate([frames, np.repeat(frames[-1:], b - n, axis=0)])
+        x = preprocess_vision(frames, self.cfg.image_size)
+        out = ib_model.vision_forward(self.params, x, self.cfg, self.dtype)
+        return np.asarray(out[:n], dtype=np.float32)
+
+    def encode_audio(self, pcm: np.ndarray, clips_per_video: int = 3) -> np.ndarray:
+        """16 kHz mono float32 -> (1, 1024) fp32 (clip-ensembled)."""
+        mel = preprocess_audio(
+            pcm,
+            mel_bins=self.cfg.audio_mel_bins,
+            target_len=self.cfg.audio_target_len,
+            clips_per_video=clips_per_video,
+        )
+        out = ib_model.audio_forward(self.params, mel, self.cfg, self.dtype)
+        return np.asarray(out, dtype=np.float32)
+
+    def encode_text(self, texts: Sequence[str]) -> np.ndarray:
+        """list[str] -> (N, 1024) fp32."""
+        if not texts:
+            return np.zeros((0, self.cfg.embed_dim), np.float32)
+        tokens = self.tokenizer(list(texts))
+        out = ib_model.text_forward(self.params, jnp.asarray(tokens), self.cfg, self.dtype)
+        return np.asarray(out, dtype=np.float32)
+
+    # -- reference-compatible surface (foundation_models.py:135-151) --------
+
+    def extract_features(self, inputs: Dict[str, object]) -> Dict[str, np.ndarray]:
+        out: Dict[str, np.ndarray] = {}
+        if "vision" in inputs:
+            out["vision"] = self.encode_vision(inputs["vision"])
+        if "audio" in inputs:
+            out["audio"] = self.encode_audio(np.asarray(inputs["audio"]))
+        if "text" in inputs:
+            out["text"] = self.encode_text(inputs["text"])
+        return out
+
+
+class StubWhisperSegments:
+    """Deterministic transcription stub: emits per-5 s segments describing the
+    audio's measured energy, so hermetic pipelines get stable non-empty text."""
+
+    def transcribe(self, pcm: np.ndarray, sample_rate: int = 16000) -> List[Segment]:
+        pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+        segs: List[Segment] = []
+        step = 5 * sample_rate
+        for i, start in enumerate(range(0, len(pcm), step)):
+            chunk = pcm[start : start + step]
+            rms = float(np.sqrt(np.mean(chunk**2))) if len(chunk) else 0.0
+            if rms < 1e-4:
+                text = ""
+            else:
+                text = f"Tone segment {i} with level {rms:.2f}."
+            segs.append(
+                Segment(start / sample_rate, min(len(pcm), start + step) / sample_rate, text)
+            )
+        return [s for s in segs if s.text]
+
+
+class Whisper:
+    """ASR wrapper (reference surface: transcribe with timestamps,
+    foundation_models.py:181-215; feature extraction deliberately unsupported,
+    same as the reference's NotImplemented __call__)."""
+
+    def __init__(
+        self,
+        model_name: str = "distil-large-v3",
+        model_path: Optional[str] = None,
+        variant: Optional[str] = None,
+        dtype=jnp.bfloat16,
+        seed: int = 0,
+    ):
+        self.model_name = model_name
+        variant = variant or model_name
+        ckpt = None
+        if model_path:
+            for cand in (
+                model_path,
+                os.path.join(model_path, "pytorch_model.bin"),
+                os.path.join(model_path, "whisper.pth"),
+            ):
+                if os.path.isfile(cand):
+                    ckpt = cand
+                    break
+        if variant == "stub":
+            self.cfg = None
+            self._impl = StubWhisperSegments()
+        elif ckpt:
+            from hippomm_tpu.models.whisper.convert import load_whisper
+
+            self.cfg = wh_model.get_config(variant)
+            params = load_whisper(ckpt, self.cfg)
+            tokenizer = _try_whisper_tokenizer(model_path)
+            self._impl = WhisperTranscriber(jax.device_put(params), self.cfg, tokenizer, dtype)
+        elif variant == "tiny":
+            self.cfg = wh_model.get_config("tiny")
+            params = wh_model.init_whisper(jax.random.PRNGKey(seed), self.cfg)
+            self._impl = WhisperTranscriber(jax.device_put(params), self.cfg, None, dtype)
+        else:
+            logger.warning("no Whisper checkpoint — using deterministic stub transcriber")
+            self.cfg = None
+            self._impl = StubWhisperSegments()
+
+    def transcribe(self, audio: Union[str, np.ndarray], sample_rate: int = 16000) -> List[Segment]:
+        if isinstance(audio, str):
+            from hippomm_tpu.media.io import load_audio_mono16k
+
+            audio = load_audio_mono16k(audio)
+            sample_rate = 16000
+        return self._impl.transcribe(np.asarray(audio, dtype=np.float32), sample_rate)
+
+    def __call__(self, *a, **k):
+        raise NotImplementedError(
+            "Whisper is transcription-only; use ImageBind for audio features"
+        )
+
+
+def _try_whisper_tokenizer(model_path: Optional[str]):
+    if not model_path:
+        return None
+    try:
+        from transformers import WhisperTokenizerFast
+
+        return WhisperTokenizerFast.from_pretrained(model_path, local_files_only=True)
+    except Exception:
+        return None
+
+
+class QwenVL:
+    """VLM client wrapper (reference surface: generate, foundation_models.py:275-344).
+
+    Unlike the reference — whose __init__ crashes when passed config
+    (hippocampal_memory.py:250 vs foundation_models.py:220) and whose client
+    hardcodes localhost:8000 — base urls come from config, and `mode:"stub"`
+    runs without any endpoint."""
+
+    def __init__(self, model_name: Optional[str] = None, config: Optional[Config] = None):
+        cfg = config or Config()
+        self.client: ChatClient = make_client(cfg.api.qwen, cfg.api.mode, purpose="qwen-vl")
+        self.model_name = model_name or cfg.api.qwen.model_name
+
+    def generate(
+        self,
+        prompt: Union[str, List[Dict]],
+        images: Optional[Sequence[bytes]] = None,
+        video_frames: Optional[np.ndarray] = None,
+        max_tokens: int = 512,
+    ) -> str:
+        """Text (+ optional jpeg images / raw frames) -> completion."""
+        if isinstance(prompt, list):
+            return self.client.chat(prompt, max_tokens=max_tokens)
+        content: List[Dict] = [{"type": "text", "text": prompt}]
+        jpegs: List[bytes] = list(images or [])
+        if video_frames is not None:
+            from hippomm_tpu.media.io import jpeg_encode
+
+            jpegs += [jpeg_encode(f) for f in np.asarray(video_frames)]
+        import base64 as b64
+
+        for data in jpegs:
+            content.append(
+                {
+                    "type": "image_url",
+                    "image_url": {"url": "data:image/jpeg;base64," + b64.b64encode(data).decode()},
+                }
+            )
+        return self.client.chat([{"role": "user", "content": content}], max_tokens=max_tokens)

@@ -1,0 +1,144 @@
+"""End-to-end memory engine tests (hermetic: tiny ImageBind, stub Whisper,
+stub VLM)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from hippomm_tpu.config import Config
+from hippomm_tpu.media.synth import SynthSpec, generate
+from hippomm_tpu.memory.engine import HippocampalMemory
+from hippomm_tpu.memory.schema import ThetaEvent
+
+
+@pytest.fixture(scope="module")
+def engine_factory(tmp_path_factory):
+    def make(tag: str) -> HippocampalMemory:
+        cfg = Config()
+        cfg.api.mode = "stub"
+        cfg.models.imagebind_variant = "tiny"
+        cfg.models.whisper_variant = "stub"
+        cfg.storage.base_dir = str(tmp_path_factory.mktemp(tag))
+        return HippocampalMemory(config=cfg)
+
+    return make
+
+
+@pytest.fixture(scope="module")
+def ingested(engine_factory):
+    """One video pushed through the full pipeline."""
+    mem = engine_factory("ingest")
+    spec = SynthSpec(
+        duration=40.0, fps=2.0, width=160, height=120,
+        scene_changes=(18.0,), silence_regions=((17.5, 18.5),), seed=3,
+    )
+    res = generate(spec)
+    mem.add_video("vid1", "vid1.y4m")
+    stms = mem.process_sequence(
+        "vid1",
+        frame_paths=[f"frames/vid1/f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+    )
+    return mem, res, stms
+
+
+def test_process_sequence_builds_stms(ingested):
+    mem, res, stms = ingested
+    assert len(stms) == 2
+    for stm in stms:
+        assert "vision" in stm.features
+        assert stm.features["vision"].shape[1] == 1024
+        assert "audio" in stm.features
+        assert stm.transcription  # stub whisper produced text
+
+
+def test_replay_produced_theta_event(ingested):
+    mem, _, _ = ingested
+    assert len(mem.long_term_store) == 1
+    ev = mem.long_term_store[0]
+    assert ev.video_id == "vid1"
+    assert ev.features["vision"].shape[1] == 1024
+    # keyframe dedup: far fewer keyframes than raw frames (2 scenes → small set)
+    assert 1 <= ev.features["vision"].shape[0] <= 20
+    assert len(ev.frame_captions) == ev.features["vision"].shape[0]
+    assert ev.summary
+    assert ev.holistic_audio_transcription
+    assert ev.end_time == 40.0
+
+
+def test_event_persisted_and_reloadable(ingested):
+    mem, _, _ = ingested
+    ev = mem.long_term_store[0]
+    path = os.path.join(mem.store.events_dir, "vid1", f"{ev.event_id}.json")
+    assert os.path.exists(path)
+    loaded = mem.store.load_theta_event(ev.event_id)
+    assert isinstance(loaded, ThetaEvent)
+    np.testing.assert_allclose(loaded.features["vision"], ev.features["vision"], rtol=1e-6)
+    assert loaded.summary == ev.summary
+
+
+def test_checkpoint_resume(engine_factory, ingested):
+    """A new engine over the same store resumes from the STM checkpoint and
+    skips re-encoding."""
+    mem, res, _ = ingested
+    mem2 = HippocampalMemory(config=mem.config, models={
+        "imagebind": mem.imagebind, "whisper": mem.whisper,
+        "qwen": mem.qwen, "frame_client": mem.frame_client,
+    })
+    stms = mem2.process_sequence("vid1", audio_data=res.audio)
+    assert len(stms) == 2
+    assert len(mem2.long_term_store) == 1
+
+
+def test_no_double_replay(ingested):
+    mem, _, _ = ingested
+    n = len(mem.long_term_store)
+    assert mem.replay("vid1") is None or len(mem.long_term_store) == n + 1
+    # reference double-replays (SURVEY §3.1); we consume the consolidated
+    # record, so a bare second replay with no new consolidate is a no-op…
+    # unless STMs still exist, in which case consolidate() re-runs. Either
+    # way the store has at most one MORE event:
+    assert len(mem.long_term_store) <= n + 1
+
+
+def test_frame_buffer_microbatching(engine_factory, tmp_path):
+    from hippomm_tpu.media.io import write_jpeg
+
+    mem = engine_factory("micro")
+    mem.frame_buffer_size = 4
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"f{i}.jpg")
+        write_jpeg(p, rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8))
+        paths.append(p)
+    for i, p in enumerate(paths):
+        mem.add_single_frame("vid2", p, float(i))
+    assert len(mem.short_term_buffer.get("vid2", [])) == 1  # one 4-frame batch
+    mem.flush_frame_buffer("vid2")
+    assert len(mem.short_term_buffer["vid2"]) == 2
+    assert mem.short_term_buffer["vid2"][0].features["vision"].shape == (4, 1024)
+
+
+def test_get_stats(ingested):
+    mem, _, _ = ingested
+    stats = mem.get_stats()
+    assert stats["long_term_events"] >= 1
+    assert "timers" in stats
+
+
+def test_save_load_short_term_buffer(ingested):
+    mem, _, _ = ingested
+    mem.save_short_term_buffer("t1")
+    fresh = HippocampalMemory(config=mem.config, models={
+        "imagebind": mem.imagebind, "whisper": mem.whisper,
+        "qwen": mem.qwen, "frame_client": mem.frame_client,
+    })
+    fresh.load_short_term_buffer("t1")
+    assert "vid1" in fresh.short_term_buffer
+    a = fresh.short_term_buffer["vid1"][0].features["vision"]
+    b = mem.short_term_buffer["vid1"][0].features["vision"]
+    np.testing.assert_allclose(a, b, rtol=1e-6)
