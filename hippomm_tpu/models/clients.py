@@ -201,10 +201,12 @@ class StubClient(ChatClient):
                             h = hashlib.sha1(url.encode()).hexdigest()[:8]
             return f"A scene showing synthetic content (frame signature {h})."
 
-        if "classify" in lower and "question" in lower:
-            if re.search(r"\b(hear|sound|say|speech|voice|audio)\b", lower):
+        if "classify" in lower and "question:" in lower:
+            # classify based on the question text only, not the label glossary
+            q = lower.rsplit("question:", 1)[-1]
+            if re.search(r"\b(hear|heard|sound|sounds|say|said|speech|voice|audio)\b", q):
                 return "AUDIO"
-            if "overall" in lower or "summary" in lower or "main topic" in lower:
+            if re.search(r"\b(overall|summary|summarize|main topic|about)\b", q):
                 return "SUMMARY"
             return "VIDEO"
         if "search query" in lower or ("2-5 word" in lower or "short query" in lower):

@@ -1,0 +1,654 @@
+"""QARecallSystem — dual-pathway retrieval (reference: hippocampal_memory.py:1615-3449).
+
+Flow (reference answer_question :1644-1703):
+  1. classify the question → VIDEO / AUDIO / VIDEO+AUDIO / SUMMARY
+  2. FAST PATH: direct answer over event summaries + type-conditional detail,
+     structured ANSWER/CONFIDENCE parse, accept if SUMMARY or confidence > 0.7
+  3. DETAILED RECALL by type:
+       VIDEO  — LLM-compressed 2-5 word query → ImageBind text embedding →
+                fused top-k over the packed vision feature store → ±1 s
+                windows → frame re-decode + caption → final answer
+       AUDIO  — speech: transcripts → LLM JSON time frames (≤5, ±2 s buffer);
+                sound: text→audio-feature top-k (< 0.4 gate → transcript LLM
+                fallback) → merged windows → audio re-slice → re-transcribe →
+                final answer
+       VIDEO+AUDIO — primary-modality routing, localize in primary,
+                cross-look-up the secondary via *_in_timeframe, answer
+  4. empty retrieval → corner-case answer from all summaries/captions/
+     transcripts at confidence 0.3
+  5. REFLECTION: reconcile direct vs detailed answers
+
+The hot compute (text embedding + top-k) is one fused device program per query
+(search.FeatureSearchIndex); everything LLM-side goes through ChatClient
+(HTTP or stub), so the whole system runs hermetically.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hippomm_tpu.config import Config
+from hippomm_tpu.memory.schema import QARecallResult, ThetaEvent
+from hippomm_tpu.models.clients import ChatClient, make_client
+from hippomm_tpu.retrieval.budget import (
+    evenly_distribute_items,
+    proportional_split,
+    subsample_note,
+    truncate_text_to_tokens,
+)
+from hippomm_tpu.retrieval.search import FeatureSearchIndex, SearchHit, merge_windows
+
+logger = logging.getLogger(__name__)
+
+QUESTION_TYPES = ("VIDEO", "AUDIO", "VIDEO+AUDIO", "SUMMARY")
+
+
+class QARecallSystem:
+    def __init__(self, memory, config: Optional[Config] = None, reasoning_client: Optional[ChatClient] = None):
+        self.memory = memory
+        self.config = config or getattr(memory, "config", None) or Config()
+        p = self.config.processing
+        self.token_budget = p.token_budget
+        self.top_k = p.retrieval_top_k
+        self.low_sim_gate = p.low_similarity_gate
+        self.confidence_gate = p.fast_path_confidence
+        self.reasoning = reasoning_client or make_client(
+            self.config.api.reasoning, self.config.api.mode, purpose="reasoning"
+        )
+        self._index_cache: Dict[str, Tuple[int, FeatureSearchIndex]] = {}
+
+    # ------------------------------------------------------------------ events
+
+    @property
+    def events(self) -> List[ThetaEvent]:
+        return list(getattr(self.memory, "long_term_store", []))
+
+    def _index(self, modality: str) -> FeatureSearchIndex:
+        events = self.events
+        key = modality
+        cached = self._index_cache.get(key)
+        if cached and cached[0] == len(events):
+            return cached[1]
+        idx = FeatureSearchIndex.build(events, modality)
+        self._index_cache[key] = (len(events), idx)
+        return idx
+
+    # ------------------------------------------------------------- entry point
+
+    def answer_question(self, question: str, event_id: Optional[str] = None) -> QARecallResult:
+        """(reference: hippocampal_memory.py:1644-1703)"""
+        if event_id is not None:
+            self.memory.load_theta_event(event_id)
+        if not self.events:
+            return QARecallResult(
+                answer="No memories available.", confidence=0.0, question_type="NONE"
+            )
+
+        qtype = self._classify_question_type(question)
+        direct_answer, direct_conf = self._try_direct_answer(question, qtype)
+
+        if qtype == "SUMMARY" or (direct_answer and direct_conf > self.confidence_gate):
+            return QARecallResult(
+                answer=direct_answer,
+                confidence=direct_conf,
+                reasoning="direct answer over event summaries",
+                question_type=qtype,
+                used_direct_answer=True,
+            )
+
+        if qtype == "VIDEO":
+            result = self._process_video_query(question)
+        elif qtype == "AUDIO":
+            result = self._process_audio_query(question)
+        else:
+            result = self._process_multimodal_query(question)
+        result.question_type = qtype
+
+        if not result.retrieved_segments and not result.used_corner_case:
+            result = self._handle_multimodal_corner_cases(question)
+            result.question_type = qtype
+
+        if direct_answer and result.answer and direct_answer != result.answer:
+            result = self._reflect_on_answer(question, direct_answer, direct_conf, result)
+        return result
+
+    # -------------------------------------------------------------- classifier
+
+    def _classify_question_type(self, question: str) -> str:
+        """(reference :1884-1921)"""
+        prompt = (
+            "Classify this question about a video memory into exactly one of: "
+            "VIDEO (visual content), AUDIO (speech or sounds), VIDEO+AUDIO "
+            "(needs both), SUMMARY (overall content). Reply with the label only.\n"
+            f"Question: {question}"
+        )
+        try:
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=8)
+        except Exception:
+            logger.exception("classification failed; defaulting to VIDEO+AUDIO")
+            return "VIDEO+AUDIO"
+        reply = reply.strip().upper()
+        for qt in QUESTION_TYPES:
+            if qt in reply.replace(" ", ""):
+                return qt
+        return "VIDEO+AUDIO"
+
+    # --------------------------------------------------------------- fast path
+
+    def _try_direct_answer(self, question: str, qtype: str) -> Tuple[str, float]:
+        """(reference :1923-2062)"""
+        events = self.events
+        summaries = [f"[{e.start_time:.0f}-{e.end_time:.0f}s] {e.summary}" for e in events if e.summary]
+        details: List[str] = []
+        budget_parts = proportional_split(self.token_budget // 2, [1.0, 1.0])
+        if qtype in ("VIDEO", "VIDEO+AUDIO", "SUMMARY"):
+            captions = [c for e in events for c in e.frame_captions]
+            kept, sub = evenly_distribute_items(captions, budget_parts[0], "- {}\n")
+            if kept:
+                details.append(
+                    "Frame captions:\n" + "\n".join(f"- {c}" for c in kept)
+                    + ("\n" + subsample_note(len(kept), len(captions)) if sub else "")
+                )
+        if qtype in ("AUDIO", "VIDEO+AUDIO", "SUMMARY"):
+            transcript = " ".join(
+                e.holistic_audio_transcription or " ".join(e.audio_transcription) for e in events
+            ).strip()
+            if transcript:
+                details.append(
+                    "Audio transcription:\n" + truncate_text_to_tokens(transcript, budget_parts[1])
+                )
+        prompt = (
+            "Answer the question from this video memory. Reply in the form:\n"
+            "ANSWER: <answer>\nCONFIDENCE: <0.0-1.0>\n\n"
+            "Event summaries:\n" + "\n".join(summaries) + "\n\n" + "\n\n".join(details)
+            + f"\n\nQuestion: {question}"
+        )
+        try:
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=256)
+        except Exception:
+            logger.exception("direct answer failed")
+            return "", 0.0
+        return self._parse_answer_confidence(reply)
+
+    @staticmethod
+    def _parse_answer_confidence(reply: str) -> Tuple[str, float]:
+        answer, conf = "", 0.0
+        m = re.search(r"ANSWER:\s*(.+?)(?:\n|$)", reply, re.DOTALL)
+        if m:
+            answer = m.group(1).strip()
+        m = re.search(r"CONFIDENCE:\s*([0-9.]+)", reply)
+        if m:
+            try:
+                conf = min(1.0, float(m.group(1)))
+            except ValueError:
+                conf = 0.0
+        if not answer:
+            answer = reply.strip()
+            conf = min(conf, 0.4)
+        return answer, conf
+
+    # ----------------------------------------------------------- video pathway
+
+    def _format_search_query(self, question: str) -> str:
+        """LLM-compress the question to a 2-5 word embedding query
+        (reference :3102-3125)."""
+        prompt = (
+            "Compress this question into a short 2-5 word search query describing "
+            f"the visual content to find. Reply with the query only.\nQuestion: {question}"
+        )
+        try:
+            q = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=16).strip()
+            return q or question
+        except Exception:
+            return question
+
+    def _find_relevant_video_segments(self, question: str) -> List[SearchHit]:
+        """(reference :3127-3279) — fused top-k + caption-LLM fallback below gate."""
+        index = self._index("vision")
+        if len(index) == 0:
+            return []
+        query = self._format_search_query(question)
+        emb = self.memory.imagebind.encode_text([query])[0]
+        hits = index.search(emb, top_k_per_event=self.top_k, global_top_k=self.top_k, window_s=1.0)
+        if hits and max(h.similarity for h in hits) >= self.low_sim_gate:
+            return hits
+        return self._caption_selection_fallback(question) or hits
+
+    def _caption_selection_fallback(self, question: str) -> List[SearchHit]:
+        """Low-similarity fallback: ask the LLM to pick caption indices
+        (reference :3156-3257, incl. off-by-one fix at :3229)."""
+        entries = []
+        for e in self.events:
+            for i, c in enumerate(e.frame_captions):
+                t = e.frame_times[i] if i < len(e.frame_times) else e.start_time
+                entries.append((e, i, t, c))
+        if not entries:
+            return []
+        listing = [f"{i}: {c}" for i, (_, _, _, c) in enumerate(entries)]
+        kept, _ = evenly_distribute_items(listing, self.token_budget // 4, "{}\n")
+        prompt = (
+            "Below are numbered frame captions from a video. Return the indices "
+            "(JSON list of integers, max 5) of the frames most relevant to the "
+            f"question.\n\n" + "\n".join(kept) + f"\n\nQuestion: {question}"
+        )
+        try:
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=64)
+            idx = [int(i) for i in json.loads(re.search(r"\[.*?\]", reply, re.DOTALL).group(0))]
+        except Exception:
+            idx = list(range(min(self.top_k, len(entries))))  # fallback-to-top-k (:3243-3257)
+        hits = []
+        for i in idx[: self.top_k]:
+            if 0 <= i < len(entries):
+                e, iei, t, _ = entries[i]
+                hits.append(
+                    SearchHit(e.event_id, e.video_id, t, 0.0, iei, (max(0.0, t - 1.0), t + 1.0))
+                )
+        return hits
+
+    def _frames_for_windows(
+        self, video_id: str, windows: Sequence[Tuple[float, float]], fps: float = 1.0
+    ) -> Tuple[List[bytes], List[float]]:
+        """Re-decode source frames inside the windows at ~1 fps, 320×180, with
+        consecutive-similar dedup (reference :2210-2251 — cv2 seek loops; here
+        one batched decode + device resize/SSIM)."""
+        from hippomm_tpu.media.io import jpeg_encode, open_video, probe_video
+
+        path = None
+        store = getattr(self.memory, "store", None)
+        if store is not None:
+            path = store.video_path(video_id)
+        times: List[float] = []
+        for s, e in windows:
+            t = s
+            while t <= e:
+                times.append(t)
+                t += 1.0 / fps
+        if not times:
+            return [], []
+
+        frames = None
+        if path:
+            try:
+                info = probe_video(path)
+                r = open_video(path)
+                idx = [min(info.num_frames - 1, max(0, int(round(t * info.fps)))) for t in times]
+                frames = r.read_rgb(idx)
+                r.close()
+            except (OSError, ValueError):
+                frames = None
+        if frames is None:
+            # fall back to stored keyframes nearest each time
+            ev_frames: List[Tuple[float, str]] = []
+            for e in self.events:
+                if e.video_id == video_id:
+                    ev_frames += list(zip(e.frame_times, e.frames))
+            if not ev_frames:
+                return [], []
+            from hippomm_tpu.media.io import read_jpeg
+
+            out_jpegs, out_times = [], []
+            for t in times:
+                ft, fp = min(ev_frames, key=lambda x: abs(x[0] - t))
+                try:
+                    out_jpegs.append(jpeg_encode(read_jpeg(fp)))
+                    out_times.append(ft)
+                except OSError:
+                    continue
+            return out_jpegs, out_times
+
+        import jax.numpy as jnp
+
+        from hippomm_tpu.ops.resize import resize_frames
+        from hippomm_tpu.ops.ssim import rgb_to_gray, ssim_pairs
+
+        small = np.asarray(resize_frames(jnp.asarray(frames), 180, 320))
+        keep = [0]
+        if len(small) > 1:
+            gray = rgb_to_gray(jnp.asarray(small))
+            sims = np.asarray(ssim_pairs(gray[:-1], gray[1:]))
+            for i, s in enumerate(sims):
+                if s < 0.9:  # keep frames that changed (reference gate 0.3)
+                    keep.append(i + 1)
+        return [jpeg_encode(small[i]) for i in keep], [times[i] for i in keep]
+
+    def _process_video_query(self, question: str) -> QARecallResult:
+        """(reference :2155-2325)"""
+        hits = self._find_relevant_video_segments(question)
+        if not hits:
+            return QARecallResult(answer="", confidence=0.0, primary_modality="video")
+        windows_by_video: Dict[str, List[Tuple[float, float]]] = {}
+        for h in hits:
+            windows_by_video.setdefault(h.video_id, []).append(h.window)
+        captions: List[str] = []
+        for vid, ws in windows_by_video.items():
+            jpegs, times = self._frames_for_windows(vid, merge_windows(ws))
+            caps = self._caption_frames(jpegs)
+            captions += [f"[{t:.1f}s] {c}" for t, c in zip(times, caps)]
+        if len(captions) > 10:
+            captions = [self._summarize_captions(captions)]
+        answer, conf = self._final_answer(question, captions=captions)
+        return QARecallResult(
+            answer=answer,
+            confidence=conf,
+            reasoning="detailed video recall",
+            retrieved_segments=[h.__dict__ for h in hits],
+            primary_modality="video",
+            segments_analyzed=len(hits),
+        )
+
+    def _caption_frames(self, jpegs: List[bytes]) -> List[str]:
+        client = getattr(self.memory, "frame_client", None) or self.reasoning
+        return client.caption_images(jpegs, "Describe this image in one concise sentence.")
+
+    def _summarize_captions(self, captions: List[str]) -> str:
+        """(reference :3430-3449)"""
+        kept, _ = evenly_distribute_items(captions, self.token_budget // 4, "- {}\n")
+        prompt = "Summarize these frame captions into a short paragraph:\n" + "\n".join(kept)
+        try:
+            return self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=256)
+        except Exception:
+            return " ".join(kept[:5])
+
+    def _final_answer(
+        self,
+        question: str,
+        captions: Sequence[str] = (),
+        transcripts: Sequence[str] = (),
+        extra: str = "",
+    ) -> Tuple[str, float]:
+        """(reference _format_final_answer_prompt :3390-3428)"""
+        parts = []
+        if captions:
+            parts.append("Relevant frame captions:\n" + "\n".join(f"- {c}" for c in captions))
+        if transcripts:
+            parts.append("Relevant audio transcription:\n" + " ".join(transcripts))
+        if extra:
+            parts.append(extra)
+        prompt = (
+            "Using only the retrieved evidence below, answer the question. Reply as:\n"
+            "ANSWER: <answer>\nCONFIDENCE: <0.0-1.0>\n\n"
+            + "\n\n".join(parts)
+            + f"\n\nQuestion: {question}"
+        )
+        try:
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=256)
+        except Exception:
+            logger.exception("final answer failed")
+            return "", 0.0
+        return self._parse_answer_confidence(reply)
+
+    # ----------------------------------------------------------- audio pathway
+
+    def _gather_transcripts(self) -> List[Tuple[float, float, str]]:
+        out = []
+        for e in self.events:
+            if e.audio_transcription:
+                n = len(e.audio_transcription)
+                times = list(e.audio_times[:n]) + [e.start_time] * max(0, n - len(e.audio_times))
+                for t, txt in zip(times, e.audio_transcription):
+                    out.append((float(t), float(t) + 5.0, txt))
+            elif e.holistic_audio_transcription:
+                out.append((e.start_time, e.end_time, e.holistic_audio_transcription))
+        return sorted(out)
+
+    def _speech_timeframes(self, question: str) -> List[Tuple[float, float]]:
+        """LLM JSON time-frames over transcripts (reference :2330-2428)."""
+        transcripts = self._gather_transcripts()
+        if not transcripts:
+            return []
+        listing = [f"[{s:.1f}-{e:.1f}s] {t}" for s, e, t in transcripts]
+        kept, _ = evenly_distribute_items(listing, self.token_budget // 3, "{}\n")
+        prompt = (
+            "Given these timestamped transcript snippets, return a JSON list "
+            "(max 5) of time frames relevant to the question, e.g. "
+            '[{"start_time": 1.0, "end_time": 4.0}].\n\n'
+            + "\n".join(kept)
+            + f"\n\nQuestion: {question}"
+        )
+        try:
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=128)
+            frames = json.loads(re.search(r"\[.*\]", reply, re.DOTALL).group(0))
+            out = []
+            for fr in frames[:5]:
+                s = float(fr.get("start_time", 0.0)) - 2.0  # ±2 s buffer
+                e = float(fr.get("end_time", 0.0)) + 2.0
+                if e > s:
+                    out.append((max(0.0, s), e))
+            return out
+        except Exception:
+            logger.warning("speech timeframe parse failed; using transcript times")
+            return [(max(0.0, s - 2.0), e + 2.0) for s, e, _ in transcripts[:5]]
+
+    def _find_relevant_audio_segments(self, question: str) -> List[SearchHit]:
+        """Sound path: text→audio-feature top-k with transcript fallback below
+        the similarity gate (reference :3281-3383)."""
+        index = self._index("audio")
+        if len(index) == 0:
+            return []
+        emb = self.memory.imagebind.encode_text([self._format_search_query(question)])[0]
+        hits = index.search(emb, top_k_per_event=self.top_k, global_top_k=self.top_k, window_s=2.0)
+        if hits and max(h.similarity for h in hits) >= self.low_sim_gate:
+            return hits
+        frames = self._speech_timeframes(question)
+        if frames:
+            return [
+                SearchHit("", vid or "", (s + e) / 2, 0.0, -1, (s, e))
+                for (s, e), vid in zip(frames, [self.events[0].video_id] * len(frames))
+            ]
+        return hits
+
+    def _audio_for_windows(
+        self, video_id: str, windows: Sequence[Tuple[float, float]], sample_rate: int = 16000
+    ) -> List[np.ndarray]:
+        """Re-slice source audio per window (reference ffmpeg trims :3044-3100;
+        here numpy slices of the stored 16 kHz track)."""
+        pcm = None
+        full = getattr(self.memory, "_full_audio", {})
+        if video_id in full:
+            pcm = full[video_id]
+        else:
+            store = getattr(self.memory, "store", None)
+            if store is not None:
+                import os
+
+                cand = os.path.join(store.audio_dir, video_id, "audio.npy")
+                if os.path.exists(cand):
+                    pcm = np.load(cand)
+        if pcm is None:
+            return []
+        return [
+            pcm[int(s * sample_rate) : int(e * sample_rate)]
+            for s, e in windows
+            if int(e * sample_rate) > int(s * sample_rate)
+        ]
+
+    def _process_audio_query(self, question: str) -> QARecallResult:
+        """(reference :2327-2521)"""
+        is_speech = bool(
+            re.search(r"\b(say|said|speak|talk|mention|word|tell|told)\b", question.lower())
+        )
+        if is_speech:
+            windows = self._speech_timeframes(question)
+            hits = [SearchHit("", "", (s + e) / 2, 0.0, -1, (s, e)) for s, e in windows]
+        else:
+            hits = self._find_relevant_audio_segments(question)
+            windows = [h.window for h in hits]
+        if not windows:
+            return QARecallResult(answer="", confidence=0.0, primary_modality="speech" if is_speech else "sound")
+        windows = merge_windows(windows, gap=2.0)
+        video_ids = {h.video_id for h in hits if h.video_id} or {
+            e.video_id for e in self.events
+        }
+        transcripts: List[str] = []
+        for vid in video_ids:
+            for clip in self._audio_for_windows(vid, windows):
+                if len(clip) < 1600:
+                    continue
+                segs = self.memory.whisper.transcribe(clip)
+                transcripts += [s.text for s in segs if s.text]
+        if not transcripts:  # fall back to stored transcripts inside windows
+            for s, e, txt in self._gather_transcripts():
+                if any(ws <= s <= we or ws <= e <= we for ws, we in windows):
+                    transcripts.append(txt)
+        answer, conf = self._final_answer(question, transcripts=transcripts)
+        return QARecallResult(
+            answer=answer,
+            confidence=conf,
+            reasoning="detailed audio recall",
+            retrieved_segments=[{"window": w} for w in windows],
+            primary_modality="speech" if is_speech else "sound",
+            segments_analyzed=len(windows),
+        )
+
+    # ------------------------------------------------------ multimodal pathway
+
+    def _determine_primary_modality(self, question: str) -> str:
+        """(reference :2964-3018)"""
+        prompt = (
+            "For this question, which primary modality should be localized first: "
+            "video, speech, or sound? Reply with one word.\nQuestion: " + question
+        )
+        try:
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=4).lower()
+        except Exception:
+            return "video"
+        for m in ("video", "speech", "sound"):
+            if m in reply:
+                return m
+        return "video"
+
+    def _process_multimodal_query(self, question: str) -> QARecallResult:
+        """(reference :2724-2962)"""
+        primary = self._determine_primary_modality(question)
+        if primary in ("speech", "sound"):
+            audio_res = self._process_audio_query(question)
+            windows = [tuple(s["window"]) for s in audio_res.retrieved_segments if "window" in s]
+            captions: List[str] = []
+            for e in {ev.video_id for ev in self.events}:
+                jpegs, times = self._frames_for_windows(e, windows)
+                caps = self._caption_frames(jpegs)
+                captions += [f"[{t:.1f}s] {c}" for t, c in zip(times, caps)]
+            answer, conf = self._final_answer(
+                question,
+                captions=captions,
+                extra="Audio-derived answer: " + audio_res.answer if audio_res.answer else "",
+            )
+            return QARecallResult(
+                answer=answer,
+                confidence=max(conf, audio_res.confidence * 0.8),
+                reasoning=f"multimodal recall, {primary}-first",
+                retrieved_segments=audio_res.retrieved_segments,
+                primary_modality=primary,
+                segments_analyzed=audio_res.segments_analyzed,
+            )
+        video_res = self._process_video_query(question)
+        windows = merge_windows(
+            [tuple(s["window"]) for s in video_res.retrieved_segments if "window" in s], gap=2.0
+        )
+        transcripts: List[str] = []
+        for vid in {e.video_id for e in self.events}:
+            for clip in self._audio_for_windows(vid, windows):
+                if len(clip) < 1600:
+                    continue
+                segs = self.memory.whisper.transcribe(clip)
+                transcripts += [s.text for s in segs if s.text]
+        answer, conf = self._final_answer(
+            question,
+            transcripts=transcripts,
+            extra="Video-derived answer: " + video_res.answer if video_res.answer else "",
+        )
+        return QARecallResult(
+            answer=answer,
+            confidence=max(conf, video_res.confidence * 0.8),
+            reasoning="multimodal recall, video-first",
+            retrieved_segments=video_res.retrieved_segments,
+            primary_modality="video",
+            segments_analyzed=video_res.segments_analyzed,
+        )
+
+    # ------------------------------------------------------------ corner cases
+
+    def _handle_multimodal_corner_cases(self, question: str) -> QARecallResult:
+        """Empty-retrieval fallback: answer from everything at confidence 0.3
+        (reference :2623-2721)."""
+        events = self.events
+        summaries = [e.summary for e in events if e.summary]
+        captions = []
+        for e in events:
+            captions += [
+                f"[{t:.1f}s] {c}" for t, c in zip(e.frame_times, e.frame_captions)
+            ]
+        captions.sort()
+        kept_caps, _ = evenly_distribute_items(captions, self.token_budget // 3, "- {}\n")
+        transcript = " ".join(
+            e.holistic_audio_transcription or " ".join(e.audio_transcription) for e in events
+        )
+        answer, conf = self._final_answer(
+            question,
+            captions=kept_caps,
+            transcripts=[truncate_text_to_tokens(transcript, self.token_budget // 3)]
+            if transcript.strip()
+            else (),
+            extra="Event summaries:\n" + "\n".join(summaries),
+        )
+        return QARecallResult(
+            answer=answer,
+            confidence=min(conf, 0.3),
+            reasoning="corner-case answer from full memory sweep",
+            used_corner_case=True,
+        )
+
+    # -------------------------------------------------------------- reflection
+
+    def _reflect_on_answer(
+        self, question: str, direct: str, direct_conf: float, detailed: QARecallResult
+    ) -> QARecallResult:
+        """Reconcile fast-path vs detailed answers (reference :1705-1882)."""
+        agree_prompt = (
+            "Do these two answers to the same question agree? Reply YES or NO.\n"
+            f"Question: {question}\nAnswer A: {direct}\nAnswer B: {detailed.answer}"
+        )
+        try:
+            agree = "YES" in self.reasoning.chat(
+                [{"role": "user", "content": agree_prompt}], max_tokens=4
+            ).upper()
+        except Exception:
+            agree = False
+        if agree:
+            detailed.confidence = max(detailed.confidence, direct_conf)
+            detailed.used_reflection = True
+            return detailed
+        # arbitration with sampled context
+        captions = [c for e in self.events for c in e.frame_captions]
+        kept, _ = evenly_distribute_items(captions, self.token_budget // 4, "- {}\n")
+        prompt = (
+            "Two answers disagree. Using the context, pick the better one. "
+            "Reply exactly 'A' or 'B' then a colon and the final answer text.\n"
+            f"Question: {question}\nAnswer A: {direct}\nAnswer B: {detailed.answer}\n"
+            "Context captions:\n" + "\n".join(kept)
+        )
+        try:
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=128)
+        except Exception:
+            detailed.used_reflection = True
+            return detailed
+        choice = reply.strip()[:1].upper()
+        if choice == "A":
+            return QARecallResult(
+                answer=direct,
+                confidence=direct_conf,
+                reasoning="reflection chose direct answer",
+                retrieved_segments=detailed.retrieved_segments,
+                question_type=detailed.question_type,
+                used_direct_answer=True,
+                used_reflection=True,
+                primary_modality=detailed.primary_modality,
+                segments_analyzed=detailed.segments_analyzed,
+            )
+        detailed.used_reflection = True
+        return detailed

@@ -1,0 +1,133 @@
+"""Detailed-recall feature search over ThetaEvent stores.
+
+Reference behavior (hippocampal_memory.py:3127-3279, 3281-3383): per-event
+top-5 cosine of a 1024-d query against that event's (N, 1024) vision or audio
+features, then a global sort keeping the best 5, with ±window time expansion.
+
+TPU-native: event features are packed once into a single (ΣN, 1024) device
+matrix with an owner/time sidecar; a query is ONE fused normalize+matmul+top-k
+(ops/similarity.top_k_cosine) instead of a Python loop of numpy matmuls per
+event. Per-event caps are applied on the (tiny) candidate list on host.
+`parallel/sharded_store.py` shards the same layout across a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hippomm_tpu.memory.schema import ThetaEvent
+from hippomm_tpu.ops.similarity import top_k_cosine
+
+
+@dataclasses.dataclass
+class SearchHit:
+    event_id: str
+    video_id: str
+    time: float
+    similarity: float
+    index_in_event: int
+    window: Tuple[float, float] = (0.0, 0.0)
+
+
+class FeatureSearchIndex:
+    """Packed on-device feature store for one modality across many events."""
+
+    def __init__(self, modality: str):
+        self.modality = modality
+        self._feats: Optional[np.ndarray] = None
+        self._device = None
+        self.owners: List[str] = []  # event_id per row
+        self.videos: List[str] = []
+        self.times: np.ndarray = np.zeros((0,), np.float64)
+        self.in_event_idx: np.ndarray = np.zeros((0,), np.int64)
+
+    @classmethod
+    def build(cls, events: Sequence[ThetaEvent], modality: str) -> "FeatureSearchIndex":
+        self = cls(modality)
+        rows, owners, videos, times, iei = [], [], [], [], []
+        for ev in events:
+            f = ev.features.get(modality)
+            if f is None or len(f) == 0:
+                continue
+            t = list(ev.feature_times.get(modality, []))
+            for i in range(f.shape[0]):
+                rows.append(f[i])
+                owners.append(ev.event_id)
+                videos.append(ev.video_id)
+                times.append(t[i] if i < len(t) else ev.start_time)
+                iei.append(i)
+        if rows:
+            self._feats = np.stack(rows).astype(np.float32)
+            self.owners = owners
+            self.videos = videos
+            self.times = np.asarray(times)
+            self.in_event_idx = np.asarray(iei)
+        return self
+
+    def __len__(self) -> int:
+        return 0 if self._feats is None else self._feats.shape[0]
+
+    def _device_feats(self):
+        import jax
+
+        if self._device is None and self._feats is not None:
+            self._device = jax.device_put(self._feats)
+        return self._device
+
+    def search(
+        self,
+        query: np.ndarray,
+        top_k_per_event: int = 5,
+        global_top_k: int = 5,
+        window_s: float = 1.0,
+    ) -> List[SearchHit]:
+        """One fused top-k over the packed store, then reference-compatible
+        per-event cap + global cut."""
+        n = len(self)
+        if n == 0:
+            return []
+        # over-fetch so the per-event cap still leaves global_top_k candidates
+        k = min(n, max(global_top_k * 4, top_k_per_event * 8))
+        vals, idx = top_k_cosine(np.asarray(query, np.float32).reshape(-1), self._device_feats(), k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        per_event: Dict[str, int] = {}
+        hits: List[SearchHit] = []
+        for v, i in zip(vals, idx):
+            eid = self.owners[i]
+            if per_event.get(eid, 0) >= top_k_per_event:
+                continue
+            per_event[eid] = per_event.get(eid, 0) + 1
+            t = float(self.times[i])
+            hits.append(
+                SearchHit(
+                    event_id=eid,
+                    video_id=self.videos[i],
+                    time=t,
+                    similarity=float(v),
+                    index_in_event=int(self.in_event_idx[i]),
+                    window=(max(0.0, t - window_s), t + window_s),
+                )
+            )
+            if len(hits) >= global_top_k:
+                break
+        return hits
+
+
+def merge_windows(
+    windows: Sequence[Tuple[float, float]], gap: float = 2.0
+) -> List[Tuple[float, float]]:
+    """Merge overlapping/nearby time windows (reference:
+    hippocampal_memory.py:2470-2482)."""
+    if not windows:
+        return []
+    ws = sorted(windows)
+    out = [list(ws[0])]
+    for s, e in ws[1:]:
+        if s <= out[-1][1] + gap:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [(s, e) for s, e in out]

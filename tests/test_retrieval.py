@@ -1,0 +1,146 @@
+"""Dual-pathway retrieval tests (hermetic stub LLM + tiny ImageBind)."""
+
+import numpy as np
+import pytest
+
+from hippomm_tpu.config import Config
+from hippomm_tpu.media.synth import SynthSpec, generate
+from hippomm_tpu.memory.engine import HippocampalMemory
+from hippomm_tpu.retrieval.budget import (
+    evenly_distribute_items,
+    evenly_spaced_indices,
+    truncate_text_to_tokens,
+)
+from hippomm_tpu.retrieval.qa import QARecallSystem
+from hippomm_tpu.retrieval.search import FeatureSearchIndex, merge_windows
+
+
+@pytest.fixture(scope="module")
+def qa_env(tmp_path_factory):
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path_factory.mktemp("qa"))
+    mem = HippocampalMemory(config=cfg)
+    spec = SynthSpec(
+        duration=40.0, fps=2.0, width=160, height=120,
+        scene_changes=(18.0,), silence_regions=((17.5, 18.5),), seed=7,
+    )
+    res = generate(spec)
+    mem.add_video("vidq", "")
+    mem.process_sequence(
+        "vidq",
+        frame_paths=[f"f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+    )
+    qa = QARecallSystem(mem, cfg)
+    return mem, qa
+
+
+def test_summary_question_uses_fast_path(qa_env):
+    _, qa = qa_env
+    r = qa.answer_question("What is the overall summary of the video?")
+    assert r.question_type == "SUMMARY"
+    assert r.used_direct_answer
+    assert r.answer
+
+
+def test_video_question(qa_env):
+    _, qa = qa_env
+    r = qa.answer_question("What color is the moving square?")
+    assert r.answer
+    assert r.confidence > 0
+
+
+def test_audio_question(qa_env):
+    _, qa = qa_env
+    r = qa.answer_question("What sound can be heard halfway through?")
+    assert r.question_type == "AUDIO"
+    assert r.answer
+
+
+def test_classifier_types(qa_env):
+    _, qa = qa_env
+    assert qa._classify_question_type("What did the person say?") == "AUDIO"
+    assert qa._classify_question_type("What is shown on screen?") == "VIDEO"
+
+
+def test_search_index(qa_env):
+    mem, _ = qa_env
+    n = mem.long_term_store[0].features["vision"].shape[0]
+    idx = FeatureSearchIndex.build(mem.long_term_store, "vision")
+    assert len(idx) == n
+    q = mem.long_term_store[0].features["vision"][0]
+    hits = idx.search(q, top_k_per_event=5, global_top_k=3)
+    assert len(hits) == min(3, n)
+    assert hits[0].similarity > 0.999  # self-match first
+    assert hits[0].index_in_event == 0
+
+
+def test_search_per_event_cap(rng):
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    events = []
+    base = rng.normal(size=1024).astype(np.float32)
+    for vid in range(2):
+        feats = base[None] + 0.01 * rng.normal(size=(10, 1024)).astype(np.float32)
+        events.append(
+            ThetaEvent(
+                video_id=f"v{vid}",
+                features={"vision": feats},
+                feature_times={"vision": list(np.arange(10.0))},
+                start_time=0.0,
+                end_time=10.0,
+            )
+        )
+    idx = FeatureSearchIndex.build(events, "vision")
+    hits = idx.search(base, top_k_per_event=2, global_top_k=4)
+    assert len(hits) == 4
+    per = {}
+    for h in hits:
+        per[h.event_id] = per.get(h.event_id, 0) + 1
+    assert max(per.values()) <= 2
+
+
+def test_merge_windows():
+    assert merge_windows([(0, 2), (3, 5), (10, 12)], gap=2.0) == [(0, 5), (10, 12)]
+    assert merge_windows([], gap=2.0) == []
+
+
+def test_budget_helpers():
+    assert evenly_spaced_indices(10, 3) == [0, 4, 9]  # round-half-even midpoint
+    items = [f"caption {i} " + "x" * 50 for i in range(100)]
+    kept, sub = evenly_distribute_items(items, 200)
+    assert sub and 1 <= len(kept) < 100
+    assert kept[0] == items[0] and kept[-1] == items[-1]
+    long = " ".join(["word"] * 10000)
+    short = truncate_text_to_tokens(long, 100)
+    assert "[…]" in short
+
+
+def test_corner_case_on_empty_store(tmp_path):
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path)
+    mem = HippocampalMemory(config=cfg)
+    qa = QARecallSystem(mem, cfg)
+    r = qa.answer_question("What happens?")
+    assert r.confidence == 0.0
+    assert "No memories" in r.answer
+
+
+def test_qarecall_result_fields(qa_env):
+    _, qa = qa_env
+    r = qa.answer_question("What is shown in the scene at the start?")
+    d = r.to_dict()
+    for key in (
+        "answer", "confidence", "reasoning", "retrieved_segments", "question_type",
+        "used_direct_answer", "used_corner_case", "primary_modality",
+        "segments_analyzed", "used_reflection",
+    ):
+        assert key in d
