@@ -1,0 +1,13 @@
+"""Reference-compatible module path (reference: hippomm/utils/vector_ops.py)."""
+from hippomm_tpu.utils.vector_ops import (  # noqa: F401
+    compute_entropy,
+    compute_feature_statistics,
+    cosine_similarity,
+    feature_flow,
+    gaussian_temporal_weighting,
+    merge_features,
+    normalize_features,
+    spatial_distance,
+    temporal_overlap,
+    top_k_cosine_similarity,
+)

@@ -1,0 +1,425 @@
+"""Ingestion pipeline + batch CLI (reference: hippomm/core/batch_process.py).
+
+Same public surface — extract_frames_from_video (:116), extract_audio_from_video
+(:257), process_single_video (:380), process_video_folder (:437),
+process_memory_sync (:666), main (:749) — re-planned for TPU:
+
+  * video decode via the C++ media shim (no cv2.VideoCapture python loop)
+  * frame-difference key-framing as ONE batched device SSIM program over
+    ~1 Hz candidates (the reference SSIMs pairs in Python every 30th frame)
+  * silence detection as a device RMS reduction (no ffmpeg subprocess)
+  * the engine receives in-memory RGB + audio, so nothing is re-read from disk
+  * the streaming consumer (process_memory_sync) is the CORRECTED version of
+    the reference's broken path (nonexistent consolidate_video_memories,
+    missing video_id — batch_process.py:732, :739-742)
+
+Containers: .y4m and MJPEG .avi natively; audio comes from a sibling
+`<stem>.wav` (our containers are video-only — the reference demuxed mp4 audio
+with ffmpeg, batch_process.py:266-290).
+"""
+
+from __future__ import annotations
+
+import argparse
+import concurrent.futures
+import json
+import logging
+import os
+import queue
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import yaml
+
+from hippomm_tpu.config import Config, load_config
+from hippomm_tpu.utils.timers import Throughput
+
+logger = logging.getLogger(__name__)
+
+VIDEO_EXTENSIONS = (".y4m", ".avi")
+DECODE_BATCH = 64
+
+
+# ---------------------------------------------------------------------------
+# Frame extraction
+# ---------------------------------------------------------------------------
+
+
+def compute_frame_difference(frame_a: np.ndarray, frame_b: np.ndarray) -> float:
+    """1 - SSIM between two RGB frames (reference: batch_process.py:32-71)."""
+    import jax.numpy as jnp
+
+    from hippomm_tpu.ops.ssim import frame_difference, rgb_to_gray
+
+    g = rgb_to_gray(jnp.asarray(np.stack([frame_a, frame_b])))
+    return float(frame_difference(g[:1], g[1:])[0])
+
+
+def save_frame(frame_rgb: np.ndarray, path: str, quality: int = 90) -> None:
+    """(reference: batch_process.py:73-114)"""
+    from hippomm_tpu.media.io import write_jpeg
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    write_jpeg(path, frame_rgb, quality)
+
+
+def extract_frames_from_video(
+    video_path: str,
+    output_dir: str,
+    video_id: Optional[str] = None,
+    max_diff_threshold: float = 0.3,
+    min_interval_s: float = 1.0,
+    keep_rgb: bool = True,
+) -> Dict:
+    """Dynamic key-frame extraction (reference: batch_process.py:116-255).
+
+    Reference semantics preserved: save the first frame; consider candidates at
+    ≥1 s spacing; save when the SSIM difference to the last-saved frame — or the
+    accumulated difference since it — exceeds max_diff_threshold. Idempotent:
+    resumes from metadata.yaml when all frames exist (:137-149).
+
+    TPU plan: candidates are decoded in batches and scored by one fused
+    resize→gray→SSIM device program per batch.
+    """
+    import jax.numpy as jnp
+
+    from hippomm_tpu.media.io import open_video
+    from hippomm_tpu.ops.resize import resize_frames
+    from hippomm_tpu.ops.ssim import rgb_to_gray, ssim_pairs
+
+    video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
+    frames_dir = os.path.join(output_dir, "frames", video_id)
+    meta_path = os.path.join(frames_dir, "metadata.yaml")
+
+    # idempotent resume
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                meta = yaml.safe_load(f)
+            if meta and all(os.path.exists(p) for p in meta.get("frame_paths", [])):
+                logger.info("frames already extracted for %s", video_id)
+                meta["resumed"] = True
+                if keep_rgb:
+                    from hippomm_tpu.media.io import read_jpeg
+
+                    meta["frames_rgb"] = np.stack(
+                        [read_jpeg(p) for p in meta["frame_paths"]]
+                    ) if meta["frame_paths"] else None
+                return meta
+        except Exception:
+            logger.exception("bad metadata for %s; re-extracting", video_id)
+
+    reader = open_video(video_path)
+    info = reader.info
+    stride = max(1, int(round(info.fps * min_interval_s)))
+    candidate_idx = list(range(0, info.num_frames, stride))
+
+    saved_paths: List[str] = []
+    saved_times: List[float] = []
+    saved_rgb: List[np.ndarray] = []
+    last_saved_small = None
+    cumulative = 0.0
+
+    for start in range(0, len(candidate_idx), DECODE_BATCH):
+        batch_idx = candidate_idx[start : start + DECODE_BATCH]
+        rgb = reader.read_rgb(batch_idx)
+        small = np.asarray(resize_frames(jnp.asarray(rgb), 90, 160))
+        gray = np.asarray(rgb_to_gray(jnp.asarray(small)))
+        # one device program scores every candidate against its predecessor
+        prev = np.concatenate(
+            [last_saved_small[None] if last_saved_small is not None else gray[:1], gray[:-1]]
+        )
+        diffs = 1.0 - np.asarray(ssim_pairs(jnp.asarray(prev), jnp.asarray(gray)))
+        for j, gidx in enumerate(batch_idx):
+            t = gidx / info.fps
+            is_first = last_saved_small is None
+            cumulative += float(diffs[j])
+            if is_first or float(diffs[j]) > max_diff_threshold or cumulative > max_diff_threshold:
+                sec_dir = os.path.join(frames_dir, f"t_{int(t)}")
+                path = os.path.join(sec_dir, f"frame_{len(saved_paths)}.jpg")
+                save_frame(rgb[j], path)
+                saved_paths.append(path)
+                saved_times.append(t)
+                if keep_rgb:
+                    saved_rgb.append(rgb[j])
+                last_saved_small = gray[j]
+                cumulative = 0.0
+            else:
+                # subsequent diffs accumulate relative to the last saved frame
+                pass
+    reader.close()
+
+    meta = {
+        "video_id": video_id,
+        "video_path": video_path,
+        "fps": info.fps,
+        "duration": info.duration,
+        "num_source_frames": info.num_frames,
+        "frame_paths": saved_paths,
+        "frame_times": [float(t) for t in saved_times],
+    }
+    os.makedirs(frames_dir, exist_ok=True)
+    with open(meta_path, "w") as f:
+        yaml.safe_dump(meta, f)
+    out = dict(meta)
+    out["resumed"] = False
+    if keep_rgb:
+        out["frames_rgb"] = np.stack(saved_rgb) if saved_rgb else None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Audio extraction
+# ---------------------------------------------------------------------------
+
+
+def extract_audio_from_video(
+    video_path: str,
+    output_dir: str,
+    video_id: Optional[str] = None,
+    silence_db: float = -50.0,
+    skip_silent_fraction: float = 0.9,
+) -> Dict:
+    """Audio track → 16 kHz mono + silence analysis (reference:
+    batch_process.py:257-378 — ffmpeg demux + silencedetect; here the sibling
+    WAV is loaded via numpy and silence runs as a device RMS reduction).
+    Writes audio/<video_id>/audio.npy + metadata.yaml; idempotent."""
+    from hippomm_tpu.media.io import load_audio_mono16k
+    from hippomm_tpu.ops.silence import detect_silence_regions, silence_fraction
+
+    video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
+    audio_dir = os.path.join(output_dir, "audio", video_id)
+    meta_path = os.path.join(audio_dir, "metadata.yaml")
+    npy_path = os.path.join(audio_dir, "audio.npy")
+
+    if os.path.exists(meta_path) and os.path.exists(npy_path):
+        with open(meta_path) as f:
+            meta = yaml.safe_load(f)
+        meta["resumed"] = True
+        meta["audio"] = np.load(npy_path)
+        return meta
+
+    wav_path = os.path.splitext(video_path)[0] + ".wav"
+    if not os.path.exists(wav_path):
+        return {"video_id": video_id, "has_audio": False, "audio": None, "resumed": False}
+
+    pcm = load_audio_mono16k(wav_path)
+    frac = silence_fraction(pcm, 16000, silence_db)
+    regions = detect_silence_regions(pcm, 16000, silence_db)
+    skipped = frac > skip_silent_fraction
+    meta = {
+        "video_id": video_id,
+        "has_audio": not skipped,
+        "duration": len(pcm) / 16000.0,
+        "sample_rate": 16000,
+        "silence_fraction": float(frac),
+        "silence_regions": [[float(s), float(e)] for s, e in regions],
+        "skipped_as_silent": bool(skipped),
+    }
+    os.makedirs(audio_dir, exist_ok=True)
+    if not skipped:
+        np.save(npy_path, pcm)
+    with open(meta_path, "w") as f:
+        yaml.safe_dump(meta, f)
+    meta["audio"] = None if skipped else pcm
+    meta["resumed"] = False
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# Per-video + folder orchestration
+# ---------------------------------------------------------------------------
+
+
+def process_single_video(video_path: str, memory_store_dir: str, video_id: Optional[str] = None) -> Dict:
+    """Frame + audio extraction, concurrently (reference: batch_process.py:380-435
+    used a ProcessPoolExecutor(2); threads suffice — the heavy work is in C++/XLA
+    which releases the GIL)."""
+    video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+        f_frames = ex.submit(extract_frames_from_video, video_path, memory_store_dir, video_id)
+        f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
+        frames = f_frames.result()
+        audio = f_audio.result()
+    return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
+
+
+def process_video_folder(
+    folder: str,
+    memory_store_dir: str,
+    config: Optional[Config] = None,
+    memory_system=None,
+    sort_by: str = "name",
+    checkpoint_every: int = 5,
+    limit: Optional[int] = None,
+) -> Dict:
+    """Batch ingest driver (reference: batch_process.py:437-663)."""
+    from hippomm_tpu.memory.engine import HippocampalMemory
+
+    config = config or load_config(None)
+    config.storage.base_dir = memory_store_dir
+    mem = memory_system or HippocampalMemory(config=config)
+
+    videos = [
+        os.path.join(folder, f)
+        for f in os.listdir(folder)
+        if os.path.splitext(f)[1].lower() in VIDEO_EXTENSIONS
+    ]
+    if sort_by == "name":
+        videos.sort()
+    elif sort_by == "time":
+        videos.sort(key=os.path.getmtime)
+    elif sort_by == "size":
+        videos.sort(key=os.path.getsize)
+    if limit:
+        videos = videos[:limit]
+
+    stats: Dict = {
+        "total": len(videos),
+        "processed": 0,
+        "skipped": 0,
+        "failed": 0,
+        "errors": {},
+        "wall_seconds": 0.0,
+        "media_seconds": 0.0,
+    }
+    throughput = Throughput()
+    throughput.start()
+
+    for i, path in enumerate(videos):
+        video_id = os.path.splitext(os.path.basename(path))[0]
+        # skip-existing via video_index + existing events (reference :489-531)
+        if mem.store.has_video(video_id) and mem.store.events_for_video(video_id):
+            logger.info("skipping %s (already ingested)", video_id)
+            stats["skipped"] += 1
+            continue
+        t0 = time.perf_counter()
+        try:
+            extracted = process_single_video(path, memory_store_dir, video_id)
+            mem.add_video(video_id, path)
+            frames = extracted["frames"]
+            audio = extracted["audio"]
+            mem.process_sequence(
+                video_id,
+                frame_paths=frames.get("frame_paths", []),
+                frame_times=frames.get("frame_times", []),
+                frames_rgb=frames.get("frames_rgb"),
+                audio_data=audio.get("audio"),
+                video_duration=frames.get("duration"),
+                auto_consolidate=True,
+            )
+            stats["processed"] += 1
+            stats["media_seconds"] += float(frames.get("duration") or 0.0)
+            throughput.add_media(float(frames.get("duration") or 0.0))
+            logger.info("%s done in %.2fs", video_id, time.perf_counter() - t0)
+        except Exception as e:
+            logger.exception("failed on %s", video_id)
+            stats["failed"] += 1
+            stats["errors"][video_id] = repr(e)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            _save_driver_checkpoint(mem, memory_store_dir, stats)
+    throughput.stop()
+    stats["wall_seconds"] = throughput.wall_seconds
+    stats["realtime_multiple"] = throughput.realtime_multiple
+    stats["engine"] = mem.get_stats()
+    _save_driver_checkpoint(mem, memory_store_dir, stats)
+    logger.info("batch complete: %s", json.dumps({k: v for k, v in stats.items() if k != "engine"}))
+    return stats
+
+
+def _save_driver_checkpoint(mem, store_dir: str, stats: Dict, keep_last: int = 3) -> None:
+    """Driver checkpoints with keep-last-N rotation (reference :598-627)."""
+    ckpt_dir = os.path.join(store_dir, "checkpoints")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tag = f"driver_{int(time.time() * 1000)}"
+    mem.save_short_term_buffer(tag)
+    with open(os.path.join(ckpt_dir, f"{tag}_stats.json"), "w") as f:
+        json.dump({k: v for k, v in stats.items() if k != "engine"}, f)
+    drivers = sorted(
+        fn for fn in os.listdir(ckpt_dir) if fn.startswith("driver_") and fn.endswith("_stats.json")
+    )
+    for old in drivers[:-keep_last]:
+        base = old[: -len("_stats.json")]
+        for suffix in ("_stats.json", ".json"):
+            p = os.path.join(ckpt_dir, base + suffix)
+            if os.path.exists(p):
+                os.remove(p)
+
+
+# ---------------------------------------------------------------------------
+# Streaming consumer (the corrected process_memory_sync)
+# ---------------------------------------------------------------------------
+
+
+def process_memory_sync(
+    memory_system,
+    frame_queue: "queue.Queue",
+    checkpoint_every: int = 64,
+) -> Dict:
+    """Queue-driven streaming ingest (reference: batch_process.py:666-747 —
+    which calls a nonexistent consolidate_video_memories and drops video_id;
+    this version works): items are
+      {"type": "frame", "video_id", "path", "time"}
+      {"type": "complete", "video_id"}   → flush + consolidate + replay
+      {"type": "error", "video_id", "message"}
+      {"type": "stop"}                    → drain and return stats
+    """
+    stats = {"frames": 0, "completed": [], "errors": {}}
+    n_since_ckpt = 0
+    while True:
+        item = frame_queue.get()
+        if item is None or item.get("type") == "stop":
+            break
+        kind = item.get("type")
+        vid = item.get("video_id", "stream")
+        if kind == "frame":
+            memory_system.add_single_frame(vid, item["path"], item.get("time", 0.0))
+            stats["frames"] += 1
+            n_since_ckpt += 1
+            if checkpoint_every and n_since_ckpt >= checkpoint_every:
+                memory_system.save_short_term_buffer("stream")
+                n_since_ckpt = 0
+        elif kind == "complete":
+            memory_system.flush_frame_buffer(vid)
+            memory_system.consolidate(vid)
+            memory_system.replay(vid)
+            stats["completed"].append(vid)
+        elif kind == "error":
+            stats["errors"][vid] = item.get("message", "")
+            logger.error("stream error for %s: %s", vid, item.get("message"))
+    memory_system.save_short_term_buffer("stream")
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# CLI
+# ---------------------------------------------------------------------------
+
+
+def main(argv: Optional[Sequence[str]] = None) -> Dict:
+    """(reference: batch_process.py:749-826)"""
+    parser = argparse.ArgumentParser(description="hippomm-tpu batch video ingest")
+    parser.add_argument("--path", required=True, help="folder of videos (.y4m/.avi + sibling .wav)")
+    parser.add_argument("--memory_store", "--memory-store", default="memory_store")
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--sort", choices=("name", "time", "size"), default="name")
+    parser.add_argument("--checkpoint-every", type=int, default=5)
+    parser.add_argument("--limit", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s")
+    config = load_config(args.config)
+    config.storage.base_dir = args.memory_store
+    return process_video_folder(
+        args.path,
+        args.memory_store,
+        config=config,
+        sort_by=args.sort,
+        checkpoint_every=args.checkpoint_every,
+        limit=args.limit,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,160 @@
+"""End-to-end CLI test: synthetic videos → batch_process → ask_question,
+hermetically (stub endpoints, tiny towers) — driver config #1/#3 shape."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    videos = root / "videos"
+    videos.mkdir()
+    for i, container in enumerate((".y4m", ".avi")):
+        spec = SynthSpec(
+            duration=30.0,
+            fps=4.0,
+            width=160,
+            height=120,
+            scene_changes=(14.0,),
+            silence_regions=((13.5, 14.5), (25.0, 26.0)),
+            seed=i,
+        )
+        write_synthetic_video(
+            str(videos / f"clip{i}{container}"),
+            spec,
+            audio_path=str(videos / f"clip{i}.wav"),
+        )
+    cfg_path = root / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(
+            {
+                "api": {"mode": "stub"},
+                "models": {"imagebind_variant": "tiny", "whisper_variant": "stub"},
+            },
+            f,
+        )
+    return root, str(videos), str(root / "store"), str(cfg_path)
+
+
+@pytest.fixture(scope="module")
+def ingested(workspace):
+    from hippomm_tpu.core.batch_process import main as batch_main
+
+    root, videos, store, cfg = workspace
+    stats = batch_main(
+        ["--path", videos, "--memory_store", store, "--config", cfg, "--checkpoint-every", "1"]
+    )
+    return workspace, stats
+
+
+def test_batch_process_ingests_all(ingested):
+    (root, videos, store, cfg), stats = ingested
+    assert stats["processed"] == 2
+    assert stats["failed"] == 0
+    # store layout (reference-compatible tree)
+    assert os.path.isdir(os.path.join(store, "frames", "clip0"))
+    assert os.path.isfile(os.path.join(store, "audio", "clip0", "audio.npy"))
+    assert os.path.isfile(os.path.join(store, "video_index.json"))
+    events = os.listdir(os.path.join(store, "events", "clip0"))
+    assert len(events) == 1
+    with open(os.path.join(store, "events", "clip0", events[0])) as f:
+        ev = json.load(f)
+    assert np.asarray(ev["features"]["vision"]).shape[1] == 1024
+    assert ev["summary"]
+
+
+def test_batch_process_skips_already_ingested(ingested):
+    from hippomm_tpu.core.batch_process import main as batch_main
+
+    (root, videos, store, cfg), _ = ingested
+    stats = batch_main(["--path", videos, "--memory_store", store, "--config", cfg])
+    assert stats["skipped"] == 2
+    assert stats["processed"] == 0
+
+
+def test_ask_question_list(ingested, capsys):
+    from hippomm_tpu.core.ask_question import main as ask_main
+
+    (root, videos, store, cfg), _ = ingested
+    rc = ask_main(["--memory-store", store, "--config", cfg, "--list"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 event(s)" in out
+
+
+def test_ask_question_event_inspect(ingested, capsys):
+    from hippomm_tpu.core.ask_question import main as ask_main
+    from hippomm_tpu.memory.store import MemoryStore
+
+    (root, videos, store, cfg), _ = ingested
+    eid = MemoryStore(store).list_events()[0]
+    rc = ask_main(["--memory-store", store, "--config", cfg, "--event", eid])
+    assert rc == 0
+    assert "features[vision]" in capsys.readouterr().out
+
+
+def test_ask_question_answers(ingested, capsys):
+    from hippomm_tpu.core.ask_question import main as ask_main
+
+    (root, videos, store, cfg), _ = ingested
+    rc = ask_main(
+        [
+            "--memory-store", store, "--config", cfg,
+            "--question", "What is the overall content of these videos?",
+            "--json",
+        ]
+    )
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out)
+    assert result["answer"]
+    assert result["question_type"] == "SUMMARY"
+
+
+def test_reference_namespace_imports():
+    import hippomm.core.batch_process as bp
+    import hippomm.core.ask_question as aq
+    import hippomm.core.hippocampal_memory as hm
+    import hippomm.models.foundation_models as fm
+    import hippomm.utils.vector_ops as vo
+
+    assert callable(bp.main) and callable(aq.main)
+    assert hasattr(hm, "HippocampalMemory") and hasattr(hm, "ThetaEvent")
+    assert hasattr(fm, "ImageBind") and hasattr(fm, "Whisper") and hasattr(fm, "QwenVL")
+    assert callable(vo.top_k_cosine_similarity)
+
+
+def test_streaming_consumer(ingested, tmp_path):
+    import queue
+
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.core.batch_process import process_memory_sync
+    from hippomm_tpu.media.io import write_jpeg
+    from hippomm_tpu.memory.engine import HippocampalMemory
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "stream_store")
+    mem = HippocampalMemory(config=cfg)
+    mem.frame_buffer_size = 4
+
+    q = queue.Queue()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        p = str(tmp_path / f"s{i}.jpg")
+        write_jpeg(p, rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8))
+        q.put({"type": "frame", "video_id": "stream1", "path": p, "time": float(i)})
+    q.put({"type": "complete", "video_id": "stream1"})
+    q.put({"type": "stop"})
+    stats = process_memory_sync(mem, q, checkpoint_every=3)
+    assert stats["frames"] == 6
+    assert stats["completed"] == ["stream1"]
+    assert len(mem.long_term_store) == 1
