@@ -1,0 +1,103 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed backend at all (SURVEY.md §2.4 — its
+"parallelism" is mp.Pool/subprocess). Here the communication backend is JAX
+collectives over ICI: a ("data", "model") mesh where
+
+  * data  — batch axis: frames/segments/audio clips shard across chips
+    (ingest is embarrassingly parallel over segments)
+  * model — tensor-parallel axis for the ViT-H towers: attention heads and
+    MLP hidden dims shard; XLA inserts the psum/all-gathers on ICI
+
+Param shardings are rule-based over pytree paths, so the same rules drive
+pjit for inference (engine) and training (train/contrastive.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """("data", "model") mesh over the local devices.
+
+    model_parallel must divide the device count; data gets the rest.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % model_parallel != 0:
+        raise ValueError(f"model_parallel={model_parallel} must divide device count {n}")
+    arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules (tensor parallelism of the transformer stacks)
+# ---------------------------------------------------------------------------
+
+# torch Linear convention W (out, in):
+#   fc1 / in_proj / q,k,v: shard OUT dim  -> heads/hidden split across "model"
+#   fc2 / out_proj:        shard IN dim   -> psum after the second matmul
+# Stacked blocks carry a leading (depth,) axis → specs get a leading None.
+
+
+def _spec_for(path: str, ndim: int, stacked: bool) -> P:
+    lead = (None,) if stacked else ()
+
+    def pad(spec_tail):
+        full = lead + tuple(spec_tail)
+        # pad/trim to ndim
+        full = full[:ndim] + (None,) * max(0, ndim - len(full))
+        return P(*full)
+
+    if any(k in path for k in ("fc1", "in_proj", "q_proj", "k_proj", "v_proj")):
+        if path.endswith("weight") and ndim >= (2 + (1 if stacked else 0)):
+            return pad(("model", None))
+        if path.endswith("bias"):
+            return pad(("model",))
+    if any(k in path for k in ("fc2", "out_proj")):
+        if path.endswith("weight") and ndim >= (2 + (1 if stacked else 0)):
+            return pad((None, "model"))
+        if path.endswith("bias"):
+            return pad((None,))
+    # embeddings / norms / convs / heads: replicated
+    return P(*((None,) * ndim))
+
+
+def param_shardings(params, mesh: Mesh):
+    """Pytree of NamedShardings implementing the TP rules above."""
+
+    def one(path_entries, leaf):
+        path = ".".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path_entries
+        )
+        stacked = ".blocks." in f".{path}."
+        spec = _spec_for(path, np.ndim(leaf), stacked)
+        # guard: axis size must divide the dimension; otherwise replicate
+        dims = np.shape(leaf)
+        for axis, name in enumerate(spec):
+            if name == "model" and dims[axis] % mesh.shape["model"] != 0:
+                spec = P(*((None,) * np.ndim(leaf)))
+                break
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Batch-sharded activation: leading axis over "data"."""
+    return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,87 @@
+"""ImageBind-style contrastive fine-tuning under pjit.
+
+The reference is inference-only, but its embedding space comes from exactly
+this objective (InfoNCE between modality pairs). Providing the training step
+makes the framework self-sufficient: embeddings can be adapted to a domain
+(e.g. fine-tune vision↔text on captioned key frames from the memory store).
+
+Sharding: batch over "data", tower params tensor-parallel over "model"
+(parallel/mesh.py rules); jit over the mesh inserts the ICI collectives
+(gradient psum over data, activation collectives for TP) automatically.
+`jax.checkpoint` on the block scan bounds memory at ViT-H depth.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from hippomm_tpu.models.imagebind.model import (
+    ImageBindConfig,
+    init_imagebind,
+    text_forward,
+    vision_forward,
+)
+from hippomm_tpu.parallel.mesh import data_sharding, param_shardings, replicated
+
+
+def contrastive_loss(
+    params: Dict,
+    images: jax.Array,
+    tokens: jax.Array,
+    cfg: ImageBindConfig,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict]:
+    """Symmetric InfoNCE between vision and text embeddings.
+
+    images (B, 3, S, S), tokens (B, T). Embeddings are already L2-normalized
+    (and text is scaled by the learnable logit scale) by the towers.
+    """
+    v = vision_forward(params, images, cfg, dtype)  # (B, D), unit norm
+    t = text_forward(params, tokens, cfg, dtype)  # (B, D), scaled
+    logits = jnp.dot(v, t.T, preferred_element_type=jnp.float32)  # (B, B)
+    labels = jnp.arange(logits.shape[0])
+    loss_v2t = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+    loss_t2v = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+    loss = 0.5 * (loss_v2t + loss_t2v)
+    acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def init_train_state(
+    key: jax.Array,
+    cfg: ImageBindConfig,
+    mesh,
+    learning_rate: float = 1e-5,
+    weight_decay: float = 0.01,
+):
+    """(params, opt_state, tx) with params placed per the TP sharding rules."""
+    params = init_imagebind(key, cfg)
+    shardings = param_shardings(params, mesh)
+    params = jax.device_put(params, shardings)
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+    return params, opt_state, tx, shardings
+
+
+def make_train_step(cfg: ImageBindConfig, mesh, tx, shardings, dtype=jnp.bfloat16):
+    """Jitted pjit train step: (params, opt_state, images, tokens) → updated."""
+
+    def step(params, opt_state, images, tokens):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: contrastive_loss(p, images, tokens, cfg, dtype), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    # opt-state shardings follow params (jit infers them from the input placement)
+    return jax.jit(
+        step,
+        in_shardings=(shardings, None, data_sharding(mesh, 4), data_sharding(mesh, 2)),
+        out_shardings=(shardings, None, None),
+        donate_argnums=(0, 1),
+    )

@@ -1,0 +1,126 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+sharded top-k over a synthetic event store; TP/DP train step)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hippomm_tpu.memory.schema import ThetaEvent
+from hippomm_tpu.parallel.mesh import data_sharding, make_mesh, param_shardings
+from hippomm_tpu.parallel.sharded_store import ShardedFeatureStore
+
+
+def make_events(rng, n_events=20, rows_per_event=50):
+    events = []
+    for i in range(n_events):
+        feats = rng.normal(size=(rows_per_event, 1024)).astype(np.float32)
+        events.append(
+            ThetaEvent(
+                video_id=f"v{i}",
+                features={"vision": feats},
+                feature_times={"vision": list(np.arange(rows_per_event, dtype=float))},
+                start_time=0.0,
+                end_time=float(rows_per_event),
+            )
+        )
+    return events
+
+
+def test_make_mesh_shapes():
+    m = make_mesh(8, model_parallel=2)
+    assert m.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        make_mesh(8, model_parallel=3)
+
+
+def test_sharded_topk_exact(rng):
+    """Sharded top-k == dense numpy top-k (1k-row store, 8-way shard)."""
+    mesh = make_mesh(8, model_parallel=1)
+    events = make_events(rng)  # 1000 rows
+    store = ShardedFeatureStore.build(events, mesh, "vision")
+    assert len(store) == 1000
+
+    q = rng.normal(size=1024).astype(np.float32)
+    hits = store.search(q, k=7)
+    assert len(hits) == 7
+
+    # dense oracle
+    feats = np.concatenate([e.features["vision"] for e in events])
+    fn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sims = fn @ (q / np.linalg.norm(q))
+    order = np.argsort(-sims)[:7]
+    np.testing.assert_allclose(
+        [h[3] for h in hits], sims[order], rtol=1e-5, atol=1e-5
+    )
+    # owners map back correctly
+    assert [h[0] for h in hits] == [events[i // 50].event_id for i in order]
+
+
+def test_sharded_topk_with_padding(rng):
+    """Row count not divisible by shard count still returns exact results."""
+    mesh = make_mesh(8, model_parallel=1)
+    events = make_events(rng, n_events=3, rows_per_event=7)  # 21 rows, pad to 24
+    store = ShardedFeatureStore.build(events, mesh, "vision")
+    q = np.asarray(events[1].features["vision"][3])
+    hits = store.search(q, k=3)
+    assert hits[0][0] == events[1].event_id
+    assert hits[0][3] > 0.999
+
+
+def test_param_shardings_tp_rules(rng):
+    from hippomm_tpu.models.imagebind.model import init_imagebind, tiny_config
+
+    mesh = make_mesh(8, model_parallel=2)
+    cfg = tiny_config()
+    params = init_imagebind(jax.random.PRNGKey(0), cfg)
+    shardings = param_shardings(params, mesh)
+    blk = shardings["vision"]["blocks"]
+    # stacked fc1 weight (depth, hidden, width): hidden sharded over model
+    assert blk["mlp"]["fc1"]["weight"].spec == jax.sharding.PartitionSpec(None, "model", None)
+    assert blk["mlp"]["fc2"]["weight"].spec == jax.sharding.PartitionSpec(None, None, "model")
+    assert blk["attn"]["in_proj"]["weight"].spec == jax.sharding.PartitionSpec(None, "model", None)
+    # norms replicated
+    assert blk["norm_1"]["weight"].spec == jax.sharding.PartitionSpec(None, None)
+
+
+def test_tp_forward_matches_single_device(rng):
+    """vision_forward under a dp×tp mesh == single-device forward."""
+    from hippomm_tpu.models.imagebind.model import init_imagebind, tiny_config, vision_forward
+
+    cfg = tiny_config()
+    params = init_imagebind(jax.random.PRNGKey(0), cfg)
+    img = rng.normal(size=(4, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    want = np.asarray(vision_forward(params, jnp.asarray(img), cfg, dtype=jnp.float32))
+
+    mesh = make_mesh(8, model_parallel=2)
+    sh_params = jax.device_put(params, param_shardings(params, mesh))
+    sh_img = jax.device_put(img, data_sharding(mesh, 4))
+    got = np.asarray(vision_forward(sh_params, sh_img, cfg, dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+def test_train_step_runs_and_descends(rng):
+    """Contrastive train step on the dp×tp mesh: loss decreases over steps."""
+    import optax
+
+    from hippomm_tpu.models.imagebind.model import tiny_config
+    from hippomm_tpu.train.contrastive import init_train_state, make_train_step
+
+    cfg = tiny_config()
+    mesh = make_mesh(8, model_parallel=2)
+    params, opt_state, tx, shardings = init_train_state(
+        jax.random.PRNGKey(0), cfg, mesh, learning_rate=1e-3
+    )
+    step = make_train_step(cfg, mesh, tx, shardings, dtype=jnp.float32)
+
+    images = rng.normal(size=(8, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    tokens = rng.integers(1, cfg.vocab_size - 2, size=(8, cfg.context_length)).astype(np.int32)
+    tokens[:, -1] = cfg.vocab_size - 1  # EOS
+
+    losses = []
+    for _ in range(3):
+        params, opt_state, metrics = step(params, opt_state, images, tokens)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
