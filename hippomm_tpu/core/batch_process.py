@@ -124,6 +124,11 @@ def extract_frames_from_video(
     for start in range(0, len(candidate_idx), DECODE_BATCH):
         batch_idx = candidate_idx[start : start + DECODE_BATCH]
         rgb = reader.read_rgb(batch_idx)
+        if len(batch_idx) < DECODE_BATCH:
+            # keep one compiled shape for the scoring program (final batch)
+            rgb = np.concatenate(
+                [rgb, np.repeat(rgb[-1:], DECODE_BATCH - len(batch_idx), axis=0)]
+            )
         small = np.asarray(resize_frames(jnp.asarray(rgb), 90, 160))
         gray = np.asarray(rgb_to_gray(jnp.asarray(small)))
         # one device program scores every candidate against its predecessor

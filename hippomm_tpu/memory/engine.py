@@ -211,14 +211,19 @@ class HippocampalMemory:
             )
             mel_owner.append(si)
         if mel_batch:
+            from hippomm_tpu.ops.bucketing import pad_leading
+
             with self.timers.stage("encode_audio"):
-                mels = jnp.asarray(np.concatenate(mel_batch, axis=0))
+                mels, n_real = pad_leading(np.concatenate(mel_batch, axis=0))
                 embs = np.asarray(
                     ib_model.audio_forward(
-                        self.imagebind.params, mels, self.imagebind.cfg, self.imagebind.dtype
+                        self.imagebind.params,
+                        jnp.asarray(mels),
+                        self.imagebind.cfg,
+                        self.imagebind.dtype,
                     ),
                     dtype=np.float32,
-                )
+                )[:n_real]
             for si, e in zip(mel_owner, embs):
                 audio_embs[si] = e[None]
 
@@ -432,6 +437,20 @@ class HippocampalMemory:
         except Exception:
             logger.exception("summary generation failed")
             return (captions[0] if captions else (transcripts[0] if transcripts else ""))
+
+    def update_holistic_audio_transcription(
+        self, event: ThetaEvent, audio: Optional[np.ndarray] = None
+    ) -> ThetaEvent:
+        """Whole-track transcription onto an event (reference:
+        hippocampal_memory.py:1367-1415 — ffmpeg full-video extract + Whisper;
+        here the cached 16 kHz track or an explicit array)."""
+        if audio is None:
+            audio = self._full_audio.get(event.video_id)
+        if audio is None or len(audio) <= 1600:
+            return event
+        segs = self.whisper.transcribe(np.asarray(audio, np.float32))
+        event.holistic_audio_transcription = " ".join(s.text for s in segs if s.text).strip()
+        return event
 
     # ------------------------------------------------------------- persistence
 

@@ -31,14 +31,19 @@ AUDIO_HOP_S = 0.1
 
 def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
     """(T, H, W, 3) uint8 -> (T-1,) SSIM between consecutive frames, computed
-    on device at a fixed downscale (one fused program: resize→gray→SSIM)."""
+    on device at a fixed downscale (one fused program: resize→gray→SSIM).
+    The frame axis is bucket-padded so the program compiles once per bucket,
+    not once per video."""
     import jax.numpy as jnp
+
+    from hippomm_tpu.ops.bucketing import pad_leading
 
     if frames_rgb.shape[0] < 2:
         return np.zeros((0,), np.float32)
-    small = resize_frames(jnp.asarray(frames_rgb), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W)
+    padded, orig = pad_leading(np.asarray(frames_rgb))
+    small = resize_frames(jnp.asarray(padded), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W)
     gray = rgb_to_gray(small)
-    return np.asarray(adjacent_ssim(gray))
+    return np.asarray(adjacent_ssim(gray))[: orig - 1]
 
 
 def audio_window_levels(
@@ -54,7 +59,14 @@ def audio_window_levels(
         return None
     import jax.numpy as jnp
 
-    return np.asarray(window_rms_db(jnp.asarray(audio), win, hop))
+    # pad to 10 s quanta (zeros → floor-dB windows; boundary search masks by
+    # time so padding can never be selected) — one compile per bucket
+    n_windows = 1 + (len(audio) - win) // hop
+    quantum = 10 * sample_rate
+    target = ((len(audio) + quantum - 1) // quantum) * quantum
+    padded = np.pad(audio, (0, target - len(audio)))
+    db = np.asarray(window_rms_db(jnp.asarray(padded), win, hop))
+    return db[:n_windows]
 
 
 def find_boundaries(

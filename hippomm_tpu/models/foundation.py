@@ -237,6 +237,20 @@ class QwenVL:
         self.client: ChatClient = make_client(cfg.api.qwen, cfg.api.mode, purpose="qwen-vl")
         self.model_name = model_name or cfg.api.qwen.model_name
 
+    def _load_video_frames(self, video_path: str, max_frames: int = 8) -> List[bytes]:
+        """Uniformly sample frames from a video as JPEG bytes (reference:
+        foundation_models.py:233-273 via decord; here the C++ media shim)."""
+        from hippomm_tpu.media.io import jpeg_encode, open_video
+
+        r = open_video(video_path)
+        try:
+            n = r.info.num_frames
+            idx = sorted(set(np.linspace(0, n - 1, min(max_frames, n)).astype(int)))
+            frames = r.read_rgb(idx)
+        finally:
+            r.close()
+        return [jpeg_encode(f) for f in frames]
+
     def generate(
         self,
         prompt: Union[str, List[Dict]],

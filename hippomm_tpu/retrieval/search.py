@@ -91,7 +91,11 @@ class FeatureSearchIndex:
             return []
         # over-fetch so the per-event cap still leaves global_top_k candidates
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
-        vals, idx = top_k_cosine(np.asarray(query, np.float32).reshape(-1), self._device_feats(), k)
+        from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
+
+        vals, idx = top_k_cosine_auto(
+            np.asarray(query, np.float32).reshape(-1), self._device_feats(), k
+        )
         vals, idx = np.asarray(vals), np.asarray(idx)
         per_event: Dict[str, int] = {}
         hits: List[SearchHit] = []
