@@ -29,6 +29,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr)
+
     from hippomm_tpu.config import Config
     from hippomm_tpu.core.batch_process import process_video_folder
     from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video

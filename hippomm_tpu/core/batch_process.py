@@ -121,14 +121,21 @@ def extract_frames_from_video(
     last_saved_small = None
     cumulative = 0.0
 
-    for start in range(0, len(candidate_idx), DECODE_BATCH):
-        batch_idx = candidate_idx[start : start + DECODE_BATCH]
+    from hippomm_tpu.media.pipeline import prefetched_batches
+
+    def decode_batch(bi: int):
+        batch_idx = candidate_idx[bi * DECODE_BATCH : (bi + 1) * DECODE_BATCH]
         rgb = reader.read_rgb(batch_idx)
         if len(batch_idx) < DECODE_BATCH:
             # keep one compiled shape for the scoring program (final batch)
             rgb = np.concatenate(
                 [rgb, np.repeat(rgb[-1:], DECODE_BATCH - len(batch_idx), axis=0)]
             )
+        return batch_idx, rgb
+
+    num_batches = (len(candidate_idx) + DECODE_BATCH - 1) // DECODE_BATCH
+    # decode-ahead: host decodes batch i+1 while the device scores batch i
+    for batch_idx, rgb in prefetched_batches(decode_batch, num_batches, lookahead=2):
         small = np.asarray(resize_frames(jnp.asarray(rgb), 90, 160))
         gray = np.asarray(rgb_to_gray(jnp.asarray(small)))
         # one device program scores every candidate against its predecessor

@@ -325,17 +325,36 @@ class Y4MReader:
         pass
 
 
+def _rgb_to_yuv420_np(rgb: np.ndarray):
+    """Host-side BT.601 full-range RGB→YUV420 (same math as ops/color.py).
+
+    The WRITE path is fixture/tooling code — doing it in numpy avoids shipping
+    whole videos across the host↔device link just to encode a file. The READ
+    path stays on device (ops/color.yuv420_to_rgb) where it feeds compute.
+    """
+    f = rgb.astype(np.float32)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def down2(x):
+        n, h, w = x.shape
+        return x.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+
+    to_u8 = lambda x: np.clip(np.round(x), 0, 255).astype(np.uint8)
+    return to_u8(y), to_u8(down2(u)), to_u8(down2(v))
+
+
 def write_y4m(path: str, frames_rgb: np.ndarray, fps: float = 30.0) -> None:
     """(N, H, W, 3) uint8 RGB -> y4m 420 file (BT.601 full-range)."""
-    from hippomm_tpu.ops.color import rgb_to_yuv420
-
     n, h, w, _ = frames_rgb.shape
     from fractions import Fraction
 
     fr = Fraction(fps).limit_denominator(1000)
     with open(path, "wb") as f:
         f.write(f"YUV4MPEG2 W{w} H{h} F{fr.numerator}:{fr.denominator} Ip A1:1 C420\n".encode())
-        y, u, v = (np.asarray(p) for p in rgb_to_yuv420(frames_rgb))
+        y, u, v = _rgb_to_yuv420_np(np.asarray(frames_rgb))
         for i in range(n):
             f.write(b"FRAME\n")
             f.write(y[i].tobytes())
