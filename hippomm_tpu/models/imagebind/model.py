@@ -101,7 +101,11 @@ def get_config(variant: str) -> ImageBindConfig:
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("cfg",))
 def init_imagebind(key: jax.Array, cfg: ImageBindConfig) -> Dict:
+    """Random init as ONE jitted device program — at ViT-H scale this is ~1B
+    params; issuing per-leaf RNG ops would mean hundreds of separate dispatches
+    (pathological over remote/tunneled device links)."""
     kv, ka, kt = jax.random.split(key, 3)
     params: Dict = {}
 
