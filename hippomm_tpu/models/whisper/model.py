@@ -225,6 +225,90 @@ def decoder_forward(
     )
 
 
+def _cross_kv(params: Dict, enc_out: jax.Array, heads: int, dtype):
+    """Pre-compute cross-attention K/V once per layer → (L, B, H, S, hd)."""
+
+    def one(pb):
+        k = _proj_heads(pb["cross_attn"]["k_proj"], enc_out, heads, dtype)
+        v = _proj_heads(pb["cross_attn"]["v_proj"], enc_out, heads, dtype)
+        return k, v
+
+    return jax.vmap(one, in_axes=0)(params["decoder"]["blocks"])
+
+
+def _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype):
+    """One token (x: (B, 1, d)) through all decoder layers with KV caches."""
+    d = x.shape[-1]
+    heads, hd = cfg.heads, d // cfg.heads
+    scale = 1.0 / np.sqrt(hd)
+
+    def layer(carry, inp):
+        h = carry
+        pb, xk_l, xv_l, sk_l, sv_l = inp
+        hn = L.layer_norm(pb["self_ln"], h, cfg.eps)
+        q = _proj_heads(pb["self_attn"]["q_proj"], hn, heads, dtype)
+        k_new = _proj_heads(pb["self_attn"]["k_proj"], hn, heads, dtype)
+        v_new = _proj_heads(pb["self_attn"]["v_proj"], hn, heads, dtype)
+        sk_l = jax.lax.dynamic_update_slice(sk_l, k_new.astype(jnp.float32), (0, 0, pos, 0))
+        sv_l = jax.lax.dynamic_update_slice(sv_l, v_new.astype(jnp.float32), (0, 0, pos, 0))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(dtype), sk_l.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        key_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
+        logits = jnp.where(key_mask, logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum(
+            "bhqk,bhkd->bhqd", w.astype(dtype), sv_l.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
+        h = h + L.linear(pb["self_attn"]["out_proj"], attn, dtype)
+        # cross-attention against precomputed enc K/V
+        q = _proj_heads(pb["cross_attn"]["q_proj"], L.layer_norm(pb["cross_ln"], h, cfg.eps), heads, dtype)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q.astype(dtype), xk_l.astype(dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        w = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum(
+            "bhqk,bhkd->bhqd", w.astype(dtype), xv_l.astype(dtype),
+            preferred_element_type=jnp.float32,
+        )
+        attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
+        h = h + L.linear(pb["cross_attn"]["out_proj"], attn, dtype)
+        h = h + L.mlp(pb["mlp"], L.layer_norm(pb["final_ln"], h, cfg.eps), dtype=dtype)
+        return h, (sk_l, sv_l)
+
+    x, (self_k, self_v) = jax.lax.scan(
+        layer, x, (params["decoder"]["blocks"], xk, xv, self_k, self_v)
+    )
+    return x, self_k, self_v
+
+
+def _embed_at(p, tokens, pos, b, d):
+    tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
+    return (
+        p["token_embedding"][tok].astype(jnp.float32)
+        + jax.lax.dynamic_slice(p["pos_embed"], (pos, 0), (1, d))[None].astype(jnp.float32)
+    )
+
+
+def _next_logits(params, cfg, tokens, pos, self_k, self_v, xk, xv, max_len, dtype):
+    """Process token at `pos` and return vocab logits for position pos+1."""
+    p = params["decoder"]
+    b = tokens.shape[0]
+    d = p["token_embedding"].shape[1]
+    x = _embed_at(p, tokens, pos, b, d)
+    x, self_k, self_v = _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype)
+    x = L.layer_norm(p["ln"], x, cfg.eps)
+    logits = jnp.dot(
+        x[:, 0].astype(dtype), p["token_embedding"].T.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, self_k, self_v
+
+
 @partial(jax.jit, static_argnames=("cfg", "max_len", "dtype"))
 def greedy_decode(
     params: Dict,
@@ -246,14 +330,7 @@ def greedy_decode(
     nl = cfg.decoder_layers
     plen = prompt.shape[1]
 
-    # Pre-compute cross-attention K/V once per layer (the big win of caching).
-    def cross_kv(pb):
-        k = _proj_heads(pb["cross_attn"]["k_proj"], enc_out, heads, dtype)
-        v = _proj_heads(pb["cross_attn"]["v_proj"], enc_out, heads, dtype)
-        return k, v
-
-    # vmap over the stacked layer axis → (L, B, H, S, hd)
-    xk, xv = jax.vmap(cross_kv, in_axes=0)(params["decoder"]["blocks"])
+    xk, xv = _cross_kv(params, enc_out, heads, dtype)
 
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
@@ -262,66 +339,13 @@ def greedy_decode(
     finished = jnp.zeros((b,), bool)
     lengths = jnp.full((b,), max_len, jnp.int32)
 
-    def step_layers(x, pos, self_k, self_v):
-        """One token through all decoder layers; x: (B, 1, d)."""
-
-        def layer(carry, inp):
-            h = carry
-            pb, xk_l, xv_l, sk_l, sv_l = inp
-            # self-attention with cache
-            q = _proj_heads(pb["self_attn"]["q_proj"], L.layer_norm(pb["self_ln"], h, cfg.eps), heads, dtype)
-            hn = L.layer_norm(pb["self_ln"], h, cfg.eps)
-            k_new = _proj_heads(pb["self_attn"]["k_proj"], hn, heads, dtype)
-            v_new = _proj_heads(pb["self_attn"]["v_proj"], hn, heads, dtype)
-            sk_l = jax.lax.dynamic_update_slice(sk_l, k_new.astype(jnp.float32), (0, 0, pos, 0))
-            sv_l = jax.lax.dynamic_update_slice(sv_l, v_new.astype(jnp.float32), (0, 0, pos, 0))
-            scale = 1.0 / np.sqrt(hd)
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", q.astype(dtype), sk_l.astype(dtype),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            key_mask = (jnp.arange(max_len) <= pos)[None, None, None, :]
-            logits = jnp.where(key_mask, logits, -jnp.inf)
-            w = jax.nn.softmax(logits, axis=-1)
-            attn = jnp.einsum(
-                "bhqk,bhkd->bhqd", w.astype(dtype), sv_l.astype(dtype),
-                preferred_element_type=jnp.float32,
-            )
-            attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
-            h = h + L.linear(pb["self_attn"]["out_proj"], attn, dtype)
-            # cross-attention against precomputed enc K/V
-            q = _proj_heads(pb["cross_attn"]["q_proj"], L.layer_norm(pb["cross_ln"], h, cfg.eps), heads, dtype)
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", q.astype(dtype), xk_l.astype(dtype),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            w = jax.nn.softmax(logits, axis=-1)
-            attn = jnp.einsum(
-                "bhqk,bhkd->bhqd", w.astype(dtype), xv_l.astype(dtype),
-                preferred_element_type=jnp.float32,
-            )
-            attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
-            h = h + L.linear(pb["cross_attn"]["out_proj"], attn, dtype)
-            h = h + L.mlp(pb["mlp"], L.layer_norm(pb["final_ln"], h, cfg.eps), dtype=dtype)
-            return h, (sk_l, sv_l)
-
-        x, (self_k, self_v) = jax.lax.scan(
-            layer, x, (params["decoder"]["blocks"], xk, xv, self_k, self_v)
-        )
-        return x, self_k, self_v
-
-    def embed_at(tokens, pos):
-        tok = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
-        return (
-            p["token_embedding"][tok].astype(jnp.float32)
-            + jax.lax.dynamic_slice(p["pos_embed"], (pos, 0), (1, d))[None].astype(jnp.float32)
-        )
-
     # Prefill the prompt token-by-token (prompt is short: ≤4 ids).
     def prefill(i, carry):
         self_k, self_v = carry
-        x = embed_at(tokens, i)
-        _, self_k, self_v = step_layers(x, i, self_k, self_v)
+        x = _embed_at(p, tokens, i, b, d)
+        _, self_k, self_v = _step_layers(
+            params, cfg, x, i, self_k, self_v, xk, xv, max_len, dtype
+        )
         return self_k, self_v
 
     self_k, self_v = jax.lax.fori_loop(0, plen - 1, prefill, (self_k, self_v))
@@ -332,13 +356,8 @@ def greedy_decode(
 
     def body(state):
         pos, tokens, self_k, self_v, finished, lengths = state
-        x = embed_at(tokens, pos - 1)
-        x, self_k, self_v = step_layers(x, pos - 1, self_k, self_v)
-        x = L.layer_norm(p["ln"], x, cfg.eps)
-        logits = jnp.dot(
-            x[:, 0].astype(dtype),
-            p["token_embedding"].T.astype(dtype),
-            preferred_element_type=jnp.float32,
+        logits, self_k, self_v = _next_logits(
+            params, cfg, tokens, pos - 1, self_k, self_v, xk, xv, max_len, dtype
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(finished, cfg.eot_token, nxt)
@@ -351,3 +370,93 @@ def greedy_decode(
     state = (jnp.asarray(plen, jnp.int32), tokens, self_k, self_v, finished, lengths)
     _, tokens, _, _, finished, lengths = jax.lax.while_loop(cond, body, state)
     return tokens, lengths
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_len", "beam", "dtype"))
+def beam_decode(
+    params: Dict,
+    enc_out: jax.Array,
+    prompt: jax.Array,
+    cfg: WhisperConfig,
+    max_len: int = 224,
+    beam: int = 5,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Beam-search decode (batch 1) under jit — parity with the reference's
+    faster-whisper beam_size=5 (foundation_models.py:181-215).
+
+    enc_out (1, S, d), prompt (1, P). The beam rides the batch axis of the
+    cached decode step: caches are (L, beam, H, max_len, hd) and beam
+    reordering is a gather on axis 1. Finished beams only propose EOT at zero
+    added score. Returns (tokens (beam, max_len), lengths (beam,), scores
+    (beam,)) sorted by length-normalized log-prob, best first.
+    """
+    p = params["decoder"]
+    _, s, d = enc_out.shape
+    heads, hd = cfg.heads, d // cfg.heads
+    nl = cfg.decoder_layers
+    plen = prompt.shape[1]
+    neg = jnp.float32(-1e30)
+
+    enc_b = jnp.repeat(enc_out, beam, axis=0)  # (beam, S, d)
+    xk, xv = _cross_kv(params, enc_b, heads, dtype)
+
+    tokens = jnp.zeros((beam, max_len), jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, jnp.repeat(prompt.astype(jnp.int32), beam, axis=0), (0, 0)
+    )
+    self_k = jnp.zeros((nl, beam, heads, max_len, hd), jnp.float32)
+    self_v = jnp.zeros_like(self_k)
+    # beam 0 starts live; others at -inf so the first expansion fans out
+    scores = jnp.full((beam,), neg).at[0].set(0.0)
+    finished = jnp.zeros((beam,), bool)
+    lengths = jnp.full((beam,), max_len, jnp.int32)
+
+    def prefill(i, carry):
+        self_k, self_v = carry
+        x = _embed_at(p, tokens, i, beam, d)
+        _, self_k, self_v = _step_layers(
+            params, cfg, x, i, self_k, self_v, xk, xv, max_len, dtype
+        )
+        return self_k, self_v
+
+    self_k, self_v = jax.lax.fori_loop(0, plen - 1, prefill, (self_k, self_v))
+
+    vocab = p["token_embedding"].shape[0]
+
+    def cond(state):
+        pos, *_, finished, _ = state
+        return jnp.logical_and(pos < max_len, ~jnp.all(finished))
+
+    def body(state):
+        pos, tokens, self_k, self_v, scores, finished, lengths = state
+        logits, self_k, self_v = _next_logits(
+            params, cfg, tokens, pos - 1, self_k, self_v, xk, xv, max_len, dtype
+        )
+        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (beam, V)
+        # finished beams: only EOT at zero cost (keeps them comparable)
+        frozen = jnp.full((beam, vocab), neg).at[:, cfg.eot_token].set(0.0)
+        logprobs = jnp.where(finished[:, None], frozen, logprobs)
+        cand = scores[:, None] + logprobs  # (beam, V)
+        top_s, flat = jax.lax.top_k(cand.reshape(-1), beam)
+        src = (flat // vocab).astype(jnp.int32)
+        tok = (flat % vocab).astype(jnp.int32)
+
+        tokens = tokens[src]
+        self_k = jnp.take(self_k, src, axis=1)
+        self_v = jnp.take(self_v, src, axis=1)
+        lengths = lengths[src]
+        was_done = finished[src]
+        tok = jnp.where(was_done, cfg.eot_token, tok)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, pos))
+        now_done = tok == cfg.eot_token
+        lengths = jnp.where(now_done & ~was_done, pos, lengths)
+        return pos + 1, tokens, self_k, self_v, top_s, was_done | now_done, lengths
+
+    state = (jnp.asarray(plen, jnp.int32), tokens, self_k, self_v, scores, finished, lengths)
+    _, tokens, _, _, scores, finished, lengths = jax.lax.while_loop(cond, body, state)
+    # rank by length-normalized log-prob (faster-whisper convention)
+    gen_len = jnp.maximum(lengths - plen, 1).astype(jnp.float32)
+    norm = scores / gen_len
+    order = jnp.argsort(-norm)
+    return tokens[order], lengths[order], norm[order]

@@ -45,12 +45,14 @@ class WhisperTranscriber:
         tokenizer=None,
         dtype=jnp.bfloat16,
         with_timestamps: bool = True,
+        beam_size: int = 5,  # reference default (foundation_models.py:181-215)
     ):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.dtype = dtype
         self.with_timestamps = with_timestamps
+        self.beam_size = beam_size
         self.mel = WhisperMel(n_mels=cfg.n_mels)
         self._chunk_samples = int(CHUNK_SECONDS * SAMPLE_RATE)
 
@@ -119,9 +121,17 @@ class WhisperTranscriber:
             mel = mel[:, :n_frames_target]
             enc = encoder_forward(self.params, mel[None], self.cfg, self.dtype)
             max_len = min(prompt.shape[1] + max_new_tokens, self.cfg.max_target_positions)
-            tokens, lengths = greedy_decode(
-                self.params, enc, prompt, self.cfg, max_len=max_len, dtype=self.dtype
-            )
+            if self.beam_size > 1:
+                from hippomm_tpu.models.whisper.model import beam_decode
+
+                tokens, lengths, _ = beam_decode(
+                    self.params, enc, prompt, self.cfg,
+                    max_len=max_len, beam=self.beam_size, dtype=self.dtype,
+                )
+            else:
+                tokens, lengths = greedy_decode(
+                    self.params, enc, prompt, self.cfg, max_len=max_len, dtype=self.dtype
+                )
             ids = list(np.asarray(tokens[0][prompt.shape[1] : int(lengths[0])]))
             offset = start / SAMPLE_RATE
             chunk_segments = self._parse_segments(ids, offset)

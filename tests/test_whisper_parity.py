@@ -132,3 +132,48 @@ def test_transcriber_segments(hf_pair):
     assert len(segs) >= 1
     assert all(s.end > s.start for s in segs)
     assert segs[0].start == 0.0
+
+
+def test_beam_decode_contains_greedy_quality(hf_pair):
+    """beam=1 == greedy; beam=4 best path scores >= greedy path."""
+    from hippomm_tpu.models.whisper.model import beam_decode
+
+    cfg, _, params = hf_pair
+    rng = np.random.default_rng(5)
+    mel = rng.normal(size=(1, cfg.n_mels, 2 * cfg.max_source_positions)).astype(np.float32)
+    enc = encoder_forward(params, jnp.asarray(mel), cfg, dtype=jnp.float32)
+    prompt = np.asarray([[cfg.bos_token, cfg.lang_en_token]], dtype=np.int32)
+    max_len = 10
+
+    g_tokens, g_len = greedy_decode(
+        params, enc, jnp.asarray(prompt), cfg, max_len=max_len, dtype=jnp.float32
+    )
+    b1_tokens, b1_len, _ = beam_decode(
+        params, enc, jnp.asarray(prompt), cfg, max_len=max_len, beam=1, dtype=jnp.float32
+    )
+    np.testing.assert_array_equal(np.asarray(g_tokens)[0], np.asarray(b1_tokens)[0])
+
+    def seq_logprob(tok_row, length):
+        """Teacher-forced log-prob of a decoded row (oracle scoring)."""
+        total = 0.0
+        cur = list(prompt[0])
+        for pos in range(len(prompt[0]), int(length) + 1):
+            logits = np.asarray(
+                decoder_forward(params, jnp.asarray([cur], jnp.int32), enc, cfg, dtype=jnp.float32)
+            )[0, -1]
+            logp = logits - np.log(np.exp(logits - logits.max()).sum()) - logits.max()
+            nxt = int(tok_row[pos]) if pos < len(tok_row) else cfg.eot_token
+            total += float(logp[nxt])
+            cur.append(nxt)
+            if nxt == cfg.eot_token:
+                break
+        return total
+
+    b4_tokens, b4_len, b4_scores = beam_decode(
+        params, enc, jnp.asarray(prompt), cfg, max_len=max_len, beam=4, dtype=jnp.float32
+    )
+    g_row, b_row = np.asarray(g_tokens)[0], np.asarray(b4_tokens)[0]
+    lp_g = seq_logprob(g_row, int(np.asarray(g_len)[0]))
+    lp_b = seq_logprob(b_row, int(np.asarray(b4_len)[0]))
+    assert lp_b >= lp_g - 1e-4
+    assert np.all(np.diff(np.asarray(b4_scores)) <= 1e-6)  # sorted best-first
