@@ -332,18 +332,21 @@ def _rgb_to_yuv420_np(rgb: np.ndarray):
     whole videos across the host↔device link just to encode a file. The READ
     path stays on device (ops/color.yuv420_to_rgb) where it feeds compute.
     """
-    f = rgb.astype(np.float32)
-    r, g, b = f[..., 0], f[..., 1], f[..., 2]
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    u = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    v = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # 16-bit fixed-point (single-core-friendly: ~4x faster than fp32 numpy)
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    y = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+    u = (-11058 * r.astype(np.int32) - 21710 * g.astype(np.int32) + 32768 * b.astype(np.int32) + (128 << 16) + 32768) >> 16
+    v = (32768 * r.astype(np.int32) - 27440 * g.astype(np.int32) - 5328 * b.astype(np.int32) + (128 << 16) + 32768) >> 16
 
     def down2(x):
         n, h, w = x.shape
-        return x.reshape(n, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        x = x.reshape(n, h // 2, 2, w // 2, 2).astype(np.uint32)
+        return (x.sum(axis=(2, 4)) + 2) >> 2
 
-    to_u8 = lambda x: np.clip(np.round(x), 0, 255).astype(np.uint8)
-    return to_u8(y), to_u8(down2(u)), to_u8(down2(v))
+    to_u8 = lambda x: np.clip(x, 0, 255).astype(np.uint8)
+    return to_u8(y), to_u8(down2(np.clip(u, 0, 255))), to_u8(down2(np.clip(v, 0, 255)))
 
 
 def write_y4m(path: str, frames_rgb: np.ndarray, fps: float = 30.0) -> None:
