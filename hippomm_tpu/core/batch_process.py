@@ -13,9 +13,11 @@ process_memory_sync (:666), main (:749) — re-planned for TPU:
     the reference's broken path (nonexistent consolidate_video_memories,
     missing video_id — batch_process.py:732, :739-742)
 
-Containers: .y4m and MJPEG .avi natively; audio comes from a sibling
-`<stem>.wav` (our containers are video-only — the reference demuxed mp4 audio
-with ffmpeg, batch_process.py:266-290).
+Containers: .mp4/.mov/.mkv/.webm/.avi via the libav shim (the reference's full
+input set, batch_process.py:441) plus .y4m and MJPEG-AVI fast paths. Audio is
+demuxed from the container in-process (the reference shelled out to ffmpeg,
+batch_process.py:266-290); a sibling `<stem>.wav` is the fallback for
+video-only containers.
 """
 
 from __future__ import annotations
@@ -37,7 +39,8 @@ from hippomm_tpu.utils.timers import Throughput
 
 logger = logging.getLogger(__name__)
 
-VIDEO_EXTENSIONS = (".y4m", ".avi")
+# reference set (batch_process.py:441) + our native fast-path containers
+VIDEO_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".y4m", ".webm", ".m4v")
 DECODE_BATCH = 64
 
 
@@ -64,6 +67,56 @@ def save_frame(frame_rgb: np.ndarray, path: str, quality: int = 90) -> None:
     write_jpeg(path, frame_rgb, quality)
 
 
+def select_keyframes_greedy(
+    grays: np.ndarray,
+    times: Sequence[float],
+    score_fn,
+    max_diff_threshold: float = 0.3,
+    min_interval_s: float = 1.0,
+) -> List[int]:
+    """Reference-exact greedy key-frame selection over candidate grayscale
+    frames (reference: batch_process.py:170-230):
+
+      * candidate 0 is always selected (the first frame)
+      * each later candidate is gated by >= min_interval_s since the last SAVE
+      * diff = 1 - SSIM(candidate, LAST-SAVED frame); a running cumulative sum
+        of diffs (reset on save) also triggers at the same threshold
+      * gated-out candidates do NOT accumulate
+
+    `score_fn(ref_gray, grays_block) -> (B,) ssim` is one batched device
+    program over a block of candidates; it is re-invoked per block plus once
+    per save (a save changes the reference frame), so the device call count is
+    n/block + number-of-saves — not one per candidate — and every call has the
+    same compiled shape.
+
+    Pure selection logic, shared by the extractor and its oracle test.
+    """
+    n = len(grays)
+    if n == 0:
+        return []
+    selected = [0]
+    last_save_time = float(times[0])
+    cumulative = 0.0
+    block = 256
+    for b0 in range(0, n, block):
+        b1 = min(n, b0 + block)
+        ref = selected[-1]
+        sims = np.asarray(score_fn(grays[ref], grays[b0:b1]))
+        for j in range(max(b0, 1), b1):
+            if float(times[j]) - last_save_time < min_interval_s:
+                continue
+            if selected[-1] != ref:  # a save inside this block: re-reference
+                ref = selected[-1]
+                sims = np.asarray(score_fn(grays[ref], grays[b0:b1]))
+            diff = 1.0 - float(sims[j - b0])
+            cumulative += diff
+            if diff > max_diff_threshold or cumulative > max_diff_threshold:
+                selected.append(j)
+                last_save_time = float(times[j])
+                cumulative = 0.0
+    return selected
+
+
 def extract_frames_from_video(
     video_path: str,
     output_dir: str,
@@ -71,23 +124,29 @@ def extract_frames_from_video(
     max_diff_threshold: float = 0.3,
     min_interval_s: float = 1.0,
     keep_rgb: bool = True,
+    score_hw: Tuple[int, int] = (90, 160),
+    timers=None,
 ) -> Dict:
     """Dynamic key-frame extraction (reference: batch_process.py:116-255).
 
-    Reference semantics preserved: save the first frame; consider candidates at
-    ≥1 s spacing; save when the SSIM difference to the last-saved frame — or the
-    accumulated difference since it — exceeds max_diff_threshold. Idempotent:
-    resumes from metadata.yaml when all frames exist (:137-149).
+    Selection semantics match the reference exactly (see
+    select_keyframes_greedy); candidates are time-based at min_interval_s
+    spacing — the reference's `frame_count % 30` is its 30 fps-specific
+    approximation of the same 1 Hz cadence (its own comment,
+    batch_process.py:123). Two deliberate throughput deviations:
 
-    TPU plan: candidates are decoded in batches and scored by one fused
-    resize→gray→SSIM device program per batch.
+      * scoring runs on (90, 160) luma produced by the decoder itself
+        (C++ SWS_AREA scale / y4m Y-plane), so the host never touches full
+        RGB except for the few frames actually saved
+      * key-frame JPEGs are encoded on a background pool, off the hot loop
+
+    Idempotent: resumes from metadata.yaml when all frames exist (:137-149).
     """
-    import jax.numpy as jnp
-
     from hippomm_tpu.media.io import open_video
-    from hippomm_tpu.ops.resize import resize_frames
-    from hippomm_tpu.ops.ssim import rgb_to_gray, ssim_pairs
+    from hippomm_tpu.ops.ssim import ssim_pairs
+    from hippomm_tpu.utils.timers import StageTimer
 
+    timers = timers if timers is not None else StageTimer()
     video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
     frames_dir = os.path.join(output_dir, "frames", video_id)
     meta_path = os.path.join(frames_dir, "metadata.yaml")
@@ -110,57 +169,60 @@ def extract_frames_from_video(
         except Exception:
             logger.exception("bad metadata for %s; re-extracting", video_id)
 
+    sh, sw = score_hw
     reader = open_video(video_path)
     info = reader.info
     stride = max(1, int(round(info.fps * min_interval_s)))
     candidate_idx = list(range(0, info.num_frames, stride))
 
-    saved_paths: List[str] = []
-    saved_times: List[float] = []
-    saved_rgb: List[np.ndarray] = []
-    last_saved_small = None
-    cumulative = 0.0
-
+    # --- decode candidate luma at scoring resolution (C++/Y-plane) ----------
     from hippomm_tpu.media.pipeline import prefetched_batches
 
     def decode_batch(bi: int):
-        batch_idx = candidate_idx[bi * DECODE_BATCH : (bi + 1) * DECODE_BATCH]
-        rgb = reader.read_rgb(batch_idx)
-        if len(batch_idx) < DECODE_BATCH:
-            # keep one compiled shape for the scoring program (final batch)
-            rgb = np.concatenate(
-                [rgb, np.repeat(rgb[-1:], DECODE_BATCH - len(batch_idx), axis=0)]
-            )
-        return batch_idx, rgb
+        batch = candidate_idx[bi * DECODE_BATCH : (bi + 1) * DECODE_BATCH]
+        return reader.read_gray_small(batch, sh, sw)
 
     num_batches = (len(candidate_idx) + DECODE_BATCH - 1) // DECODE_BATCH
-    # decode-ahead: host decodes batch i+1 while the device scores batch i
-    for batch_idx, rgb in prefetched_batches(decode_batch, num_batches, lookahead=2):
-        small = np.asarray(resize_frames(jnp.asarray(rgb), 90, 160))
-        gray = np.asarray(rgb_to_gray(jnp.asarray(small)))
-        # one device program scores every candidate against its predecessor
-        prev = np.concatenate(
-            [last_saved_small[None] if last_saved_small is not None else gray[:1], gray[:-1]]
+    with timers.stage("extract_decode"):
+        grays = np.concatenate(
+            list(prefetched_batches(decode_batch, num_batches, lookahead=2))
+        ) if candidate_idx else np.zeros((0, sh, sw), np.uint8)
+
+    # --- greedy selection, batched SSIM on device ---------------------------
+    def score_fn(ref_gray: np.ndarray, block_grays: np.ndarray) -> np.ndarray:
+        pad = (-len(block_grays)) % 256  # one compiled shape for every call
+        g = (
+            np.concatenate([block_grays, np.repeat(block_grays[-1:], pad, axis=0)])
+            if pad
+            else block_grays
         )
-        diffs = 1.0 - np.asarray(ssim_pairs(jnp.asarray(prev), jnp.asarray(gray)))
-        for j, gidx in enumerate(batch_idx):
-            t = gidx / info.fps
-            is_first = last_saved_small is None
-            cumulative += float(diffs[j])
-            if is_first or float(diffs[j]) > max_diff_threshold or cumulative > max_diff_threshold:
-                sec_dir = os.path.join(frames_dir, f"t_{int(t)}")
-                path = os.path.join(sec_dir, f"frame_{len(saved_paths)}.jpg")
-                save_frame(rgb[j], path)
-                saved_paths.append(path)
-                saved_times.append(t)
-                if keep_rgb:
-                    saved_rgb.append(rgb[j])
-                last_saved_small = gray[j]
-                cumulative = 0.0
-            else:
-                # subsequent diffs accumulate relative to the last saved frame
-                pass
+        ref = np.broadcast_to(ref_gray, g.shape)
+        return np.asarray(ssim_pairs(ref, g))[: len(block_grays)]
+
+    times = [i / info.fps for i in candidate_idx]
+    with timers.stage("extract_score"):
+        sel = select_keyframes_greedy(
+            grays, times, score_fn, max_diff_threshold, min_interval_s
+        )
+    saved_idx = [candidate_idx[j] for j in sel]
+    saved_times = [times[j] for j in sel]
+
+    # --- fetch RGB for the selected frames only; JPEG-encode off hot loop ---
+    with timers.stage("extract_rgb_fetch"):
+        saved_rgb = reader.read_rgb(saved_idx) if saved_idx else None
     reader.close()
+
+    saved_paths: List[str] = []
+    with timers.stage("extract_jpeg_save"):
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            futs = []
+            for k, t in enumerate(saved_times):
+                sec_dir = os.path.join(frames_dir, f"t_{int(t)}")
+                path = os.path.join(sec_dir, f"frame_{k}.jpg")
+                saved_paths.append(path)
+                futs.append(pool.submit(save_frame, saved_rgb[k], path))
+            for f in futs:
+                f.result()
 
     meta = {
         "video_id": video_id,
@@ -177,7 +239,7 @@ def extract_frames_from_video(
     out = dict(meta)
     out["resumed"] = False
     if keep_rgb:
-        out["frames_rgb"] = np.stack(saved_rgb) if saved_rgb else None
+        out["frames_rgb"] = saved_rgb if saved_rgb is not None and len(saved_rgb) else None
     return out
 
 
@@ -194,10 +256,12 @@ def extract_audio_from_video(
     skip_silent_fraction: float = 0.9,
 ) -> Dict:
     """Audio track → 16 kHz mono + silence analysis (reference:
-    batch_process.py:257-378 — ffmpeg demux + silencedetect; here the sibling
-    WAV is loaded via numpy and silence runs as a device RMS reduction).
+    batch_process.py:257-378 — ffmpeg subprocess demux + silencedetect; here
+    the container audio is demuxed IN-PROCESS by the libav shim and silence
+    runs as a device RMS reduction). A sibling `<stem>.wav` is the fallback
+    for video-only containers (.y4m/MJPEG-AVI fixtures).
     Writes audio/<video_id>/audio.npy + metadata.yaml; idempotent."""
-    from hippomm_tpu.media.io import load_audio_mono16k
+    from hippomm_tpu.media.io import demux_audio, load_audio_mono16k
     from hippomm_tpu.ops.silence import detect_silence_regions, silence_fraction
 
     video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
@@ -212,11 +276,18 @@ def extract_audio_from_video(
         meta["audio"] = np.load(npy_path)
         return meta
 
-    wav_path = os.path.splitext(video_path)[0] + ".wav"
-    if not os.path.exists(wav_path):
-        return {"video_id": video_id, "has_audio": False, "audio": None, "resumed": False}
-
-    pcm = load_audio_mono16k(wav_path)
+    pcm = None
+    ext = os.path.splitext(video_path)[1].lower()
+    if ext not in (".y4m",):  # containers that can carry audio
+        try:
+            pcm = demux_audio(video_path)
+        except Exception:
+            logger.exception("container audio demux failed for %s", video_id)
+    if pcm is None:
+        wav_path = os.path.splitext(video_path)[0] + ".wav"
+        if not os.path.exists(wav_path):
+            return {"video_id": video_id, "has_audio": False, "audio": None, "resumed": False}
+        pcm = load_audio_mono16k(wav_path)
     frac = silence_fraction(pcm, 16000, silence_db)
     regions = detect_silence_regions(pcm, 16000, silence_db)
     skipped = frac > skip_silent_fraction
@@ -244,13 +315,20 @@ def extract_audio_from_video(
 # ---------------------------------------------------------------------------
 
 
-def process_single_video(video_path: str, memory_store_dir: str, video_id: Optional[str] = None) -> Dict:
+def process_single_video(
+    video_path: str,
+    memory_store_dir: str,
+    video_id: Optional[str] = None,
+    timers=None,
+) -> Dict:
     """Frame + audio extraction, concurrently (reference: batch_process.py:380-435
     used a ProcessPoolExecutor(2); threads suffice — the heavy work is in C++/XLA
     which releases the GIL)."""
     video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
-        f_frames = ex.submit(extract_frames_from_video, video_path, memory_store_dir, video_id)
+        f_frames = ex.submit(
+            extract_frames_from_video, video_path, memory_store_dir, video_id, timers=timers
+        )
         f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
         frames = f_frames.result()
         audio = f_audio.result()
@@ -308,7 +386,9 @@ def process_video_folder(
             continue
         t0 = time.perf_counter()
         try:
-            extracted = process_single_video(path, memory_store_dir, video_id)
+            extracted = process_single_video(
+                path, memory_store_dir, video_id, timers=getattr(mem, "timers", None)
+            )
             mem.add_video(video_id, path)
             frames = extracted["frames"]
             audio = extracted["audio"]

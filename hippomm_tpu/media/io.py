@@ -33,17 +33,27 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native"
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libhmm_media.so")
 _LIB = None
 _LIB_TRIED = False
+_LIB_LOCK = __import__("threading").Lock()
 
 
 def _load_native():
     global _LIB, _LIB_TRIED
     if _LIB is not None or _LIB_TRIED:
         return _LIB
-    _LIB_TRIED = True
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_TRIED:
+            return _LIB
+        return _load_native_locked()
+
+
+def _load_native_locked():
+    global _LIB, _LIB_TRIED
     try:
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(
-            os.path.join(_NATIVE_DIR, "media_shim.cpp")
-        ):
+        src_mtime = max(
+            os.path.getmtime(os.path.join(_NATIVE_DIR, fn))
+            for fn in ("media_shim.cpp", "media_libav.cpp", "Makefile")
+        )
+        if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
             subprocess.run(
                 ["make", "-s", "libhmm_media.so"], cwd=_NATIVE_DIR, check=True, capture_output=True
             )
@@ -83,10 +93,60 @@ def _load_native():
         ]
         lib.hmm_avi_writer_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.hmm_avi_writer_close.argtypes = [ctypes.c_void_p]
+        # libav backend (real-world containers)
+        lib.hmm_av_open.restype = ctypes.c_void_p
+        lib.hmm_av_open.argtypes = [ctypes.c_char_p]
+        lib.hmm_av_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.hmm_av_read_rgb_indices.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.hmm_av_read_gray_indices.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.hmm_av_close.argtypes = [ctypes.c_void_p]
+        lib.hmm_av_audio_decode.restype = ctypes.c_void_p
+        lib.hmm_av_audio_decode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_double,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.hmm_av_audio_take.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.hmm_av_audio_free.argtypes = [ctypes.c_void_p]
+        lib.hmm_av_writer_open.restype = ctypes.c_void_p
+        lib.hmm_av_writer_open.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_char_p,
+        ]
+        lib.hmm_av_writer_video.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.hmm_av_writer_audio.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.hmm_av_writer_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception as e:  # pragma: no cover - toolchain always present in CI
         logger.warning("native media shim unavailable (%s); using PIL fallback", e)
         _LIB = None
+    # set AFTER _LIB so the lock-free fast path never observes TRIED without LIB
+    _LIB_TRIED = True
     return _LIB
 
 
@@ -254,6 +314,29 @@ class VideoInfo:
     fps: float
     num_frames: int
     duration: float
+    has_audio: bool = False
+
+
+def _luma_u8(rgb: np.ndarray) -> np.ndarray:
+    """(..., 3) uint8 RGB -> uint8 luma (BT.601, 16-bit fixed point)."""
+    r = rgb[..., 0].astype(np.uint32)
+    g = rgb[..., 1].astype(np.uint32)
+    b = rgb[..., 2].astype(np.uint32)
+    return ((19595 * r + 38470 * g + 7471 * b + 32768) >> 16).astype(np.uint8)
+
+
+def _box_downscale(x: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """(N, H, W) uint8 -> (N, gh, gw) uint8 box average (nearest if non-integral)."""
+    n, h, w = x.shape
+    if h == gh and w == gw:
+        return x
+    if h % gh == 0 and w % gw == 0:
+        fh, fw = h // gh, w // gw
+        s = x.reshape(n, gh, fh, gw, fw).astype(np.uint32).sum(axis=(2, 4))
+        return ((s + fh * fw // 2) // (fh * fw)).astype(np.uint8)
+    yi = np.minimum((np.arange(gh) * h) // gh, h - 1)
+    xi = np.minimum((np.arange(gw) * w) // gw, w - 1)
+    return x[:, yi][:, :, xi]
 
 
 class Y4MReader:
@@ -320,6 +403,21 @@ class Y4MReader:
 
         y, u, v = self.read_yuv(indices)
         return np.asarray(yuv420_to_rgb(y, u, v))
+
+    def read_gray_small(self, indices: Sequence[int], gh: int, gw: int) -> np.ndarray:
+        """Scoring-resolution luma: reads ONLY the Y plane (the luma IS the
+        gray channel in y4m), skipping chroma IO entirely."""
+        n = len(indices)
+        y = np.empty((n, self.height, self.width), dtype=np.uint8)
+        with open(self.path, "rb") as f:
+            for i, idx in enumerate(indices):
+                if not 0 <= idx < self.num_frames:
+                    raise IndexError(idx)
+                f.seek(self._data_start + idx * self._frame_bytes + len(b"FRAME\n"))
+                y[i] = np.frombuffer(f.read(self._ysize), np.uint8).reshape(
+                    self.height, self.width
+                )
+        return _box_downscale(y, gh, gw)
 
     def close(self):
         pass
@@ -406,6 +504,9 @@ class AviReader:
             raise RuntimeError(f"AVI decode failed rc={rc}")
         return out
 
+    def read_gray_small(self, indices: Sequence[int], gh: int, gw: int) -> np.ndarray:
+        return _box_downscale(_luma_u8(self.read_rgb(indices)), gh, gw)
+
     def close(self):
         if self._h:
             self._lib.hmm_avi_close(self._h)
@@ -439,19 +540,213 @@ def write_avi(path: str, frames_rgb: np.ndarray, fps: float = 30.0, quality: int
 
 
 # ---------------------------------------------------------------------------
-# Unified video interface (the decode shim facade)
+# Libav (mp4/mov/mkv/webm — real-world containers) via the native shim
 # ---------------------------------------------------------------------------
 
 
+class LibavReader:
+    """Demux + decode any libav-supported container (H.264/HEVC/VP9/MPEG-4 …).
+
+    Replaces cv2.VideoCapture (reference: batch_process.py:151-230), decord
+    (foundation_models.py:251-260), and CAP_PROP_POS_MSEC seek loops
+    (hippocampal_memory.py:2210-2251). Index reads must be ascending per call;
+    arbitrary order is handled by sort + inverse permutation here."""
+
+    def __init__(self, path: str):
+        lib = _load_native()
+        if lib is None:
+            raise RuntimeError("native media shim required for libav decode")
+        self._lib = lib
+        self._h = lib.hmm_av_open(path.encode())
+        if not self._h:
+            raise ValueError(f"cannot open video: {path}")
+        w = ctypes.c_int()
+        hh = ctypes.c_int()
+        fps = ctypes.c_double()
+        dur = ctypes.c_double()
+        nf = ctypes.c_int64()
+        ha = ctypes.c_int()
+        lib.hmm_av_info(
+            self._h,
+            ctypes.byref(w),
+            ctypes.byref(hh),
+            ctypes.byref(fps),
+            ctypes.byref(dur),
+            ctypes.byref(nf),
+            ctypes.byref(ha),
+        )
+        self.width, self.height, self.fps = w.value, hh.value, fps.value
+        self.num_frames = max(1, nf.value)
+        self.duration = dur.value if dur.value > 0 else self.num_frames / max(self.fps, 1e-9)
+        self.has_audio = bool(ha.value)
+
+    @property
+    def info(self) -> VideoInfo:
+        return VideoInfo(
+            self.width, self.height, self.fps, self.num_frames, self.duration, self.has_audio
+        )
+
+    def _sorted_unique(self, indices):
+        idx = np.clip(np.asarray(indices, dtype=np.int64), 0, self.num_frames - 1)
+        uniq, inverse = np.unique(idx, return_inverse=True)
+        return uniq, inverse
+
+    def read_rgb(self, indices: Sequence[int]) -> np.ndarray:
+        uniq, inverse = self._sorted_unique(indices)
+        out = np.empty((len(uniq), self.height, self.width, 3), dtype=np.uint8)
+        rc = self._lib.hmm_av_read_rgb_indices(
+            self._h,
+            uniq.ctypes.data_as(ctypes.c_void_p),
+            len(uniq),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"libav decode failed rc={rc}")
+        return out[inverse]
+
+    def read_gray_small(self, indices: Sequence[int], gh: int, gw: int) -> np.ndarray:
+        """Decode + scale to scoring resolution entirely in C++ (SWS_AREA)."""
+        uniq, inverse = self._sorted_unique(indices)
+        out = np.empty((len(uniq), gh, gw), dtype=np.uint8)
+        rc = self._lib.hmm_av_read_gray_indices(
+            self._h,
+            uniq.ctypes.data_as(ctypes.c_void_p),
+            len(uniq),
+            gw,
+            gh,
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"libav gray decode failed rc={rc}")
+        return out[inverse]
+
+    def close(self):
+        if self._h:
+            self._lib.hmm_av_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class LibavWriter:
+    """Streaming encoder: RGB frames + mono PCM -> mp4/mov/mkv/avi
+    (H.264 via libx264 when available, else MPEG-4; AAC audio)."""
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        fps: float,
+        sample_rate: int = 0,
+        codec: str = "",
+    ):
+        lib = _load_native()
+        if lib is None:
+            raise RuntimeError("native media shim required for libav encode")
+        self._lib = lib
+        self._h = lib.hmm_av_writer_open(
+            path.encode(), width, height, float(fps), int(sample_rate), codec.encode()
+        )
+        if not self._h:
+            raise RuntimeError(f"cannot open encoder for {path}")
+
+    def write_video(self, frames_rgb: np.ndarray) -> None:
+        frames_rgb = np.ascontiguousarray(frames_rgb, dtype=np.uint8)
+        if frames_rgb.ndim == 3:
+            frames_rgb = frames_rgb[None]
+        for fr in frames_rgb:
+            rc = self._lib.hmm_av_writer_video(self._h, fr.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:
+                raise RuntimeError(f"video encode failed rc={rc}")
+
+    def write_audio(self, pcm: np.ndarray) -> None:
+        pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+        rc = self._lib.hmm_av_writer_audio(
+            self._h, pcm.ctypes.data_as(ctypes.c_void_p), len(pcm)
+        )
+        if rc != 0:
+            raise RuntimeError(f"audio buffer failed rc={rc}")
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.hmm_av_writer_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise RuntimeError(f"encoder finalize failed rc={rc}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_video_av(
+    path: str,
+    frames_rgb: np.ndarray,
+    fps: float = 30.0,
+    audio: Optional[np.ndarray] = None,
+    sample_rate: int = 16000,
+    codec: str = "",
+) -> None:
+    """One-shot encode of (N, H, W, 3) uint8 RGB (+ optional mono float PCM)."""
+    n, h, w, _ = frames_rgb.shape
+    wr = LibavWriter(path, w, h, fps, sample_rate if audio is not None else 0, codec)
+    try:
+        if audio is not None:
+            wr.write_audio(audio)
+        wr.write_video(frames_rgb)
+    finally:
+        wr.close()
+
+
+def demux_audio(path: str, t0: float = 0.0, t1: float = -1.0) -> Optional[np.ndarray]:
+    """Container audio track -> 16 kHz mono float32 over [t0, t1) (t1<0 = end).
+    Replaces the reference's ffmpeg subprocess demux (batch_process.py:266-290)
+    and time-windowed trims (hippocampal_memory.py:3064-3078). Returns None if
+    the container has no (decodable) audio."""
+    lib = _load_native()
+    if lib is None:
+        raise RuntimeError("native media shim required for audio demux")
+    n = ctypes.c_int64()
+    h = lib.hmm_av_audio_decode(path.encode(), float(t0), float(t1), ctypes.byref(n))
+    if not h:
+        return None
+    if n.value <= 0:
+        lib.hmm_av_audio_free(h)
+        return None
+    out = np.empty(n.value, dtype=np.float32)
+    lib.hmm_av_audio_take(h, out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Unified video interface (the decode shim facade)
+# ---------------------------------------------------------------------------
+
+LIBAV_EXTENSIONS = (".mp4", ".mov", ".mkv", ".webm", ".m4v")
+
+
 def open_video(path: str):
-    """Returns a reader with .info and .read_rgb(indices)."""
+    """Returns a reader with .info, .read_rgb(indices), .read_gray_small(...)."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".y4m":
         return Y4MReader(path)
     if ext == ".avi":
-        return AviReader(path)
+        try:
+            return AviReader(path)  # fast path for our own MJPEG-AVI
+        except ValueError:
+            return LibavReader(path)  # any other AVI codec
+    if ext in LIBAV_EXTENSIONS:
+        return LibavReader(path)
     raise ValueError(
-        f"unsupported video container: {ext} (supported: .y4m, .avi[MJPEG])"
+        f"unsupported video container: {ext} "
+        f"(supported: .y4m, .avi, {', '.join(LIBAV_EXTENSIONS)})"
     )
 
 
