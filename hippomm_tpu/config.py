@@ -38,6 +38,8 @@ class ModelsConfig:
     # hippomm_tpu extensions: tiny configs for hermetic runs without checkpoints
     imagebind_variant: str = "huge"  # "huge" | "tiny" (tests)
     whisper_variant: str = "distil-large-v3"  # or "tiny" (tests)
+    whisper_random_init: bool = False  # full-scale random weights (benchmarks)
+    whisper_beam_size: int = 5  # reference default (foundation_models.py:190)
     compute_dtype: str = "bfloat16"
 
 

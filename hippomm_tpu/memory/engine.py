@@ -70,6 +70,8 @@ class HippocampalMemory:
         self.whisper: Whisper = models.get("whisper") or Whisper(
             model_name=whisper_model or m.whisper_model,
             variant=m.whisper_variant,
+            random_init=m.whisper_random_init,
+            beam_size=m.whisper_beam_size,
         )
         self.qwen: QwenVL = models.get("qwen") or QwenVL(
             model_name=qwen_path or m.qwen_path, config=self.config
@@ -105,12 +107,15 @@ class HippocampalMemory:
         sample_rate: int = 16000,
         video_duration: Optional[float] = None,
         auto_consolidate: bool = True,
+        base_time: float = 0.0,
     ) -> List[ShortTermMemory]:
         """Segment + perceptually encode a video's frames/audio into STMs
         (reference: hippocampal_memory.py:1116-1275).
 
         Accepts in-memory RGB frames (TPU path — no disk re-read) and/or frame
         paths (store-compat). Auto-resumes from a checkpoint if present.
+        `base_time` offsets all produced timestamps — the reference's chunk
+        offset for re-chunked long videos (hippocampal_memory.py:1134).
         """
         # checkpoint fast-path (reference :1136-1150)
         if self.store.has_checkpoint(video_id):
@@ -149,6 +154,13 @@ class HippocampalMemory:
                 duration=video_duration,
             )
         logger.info("%s: %d segments", video_id, len(segments))
+
+        if base_time:
+            for seg in segments:
+                seg.start_time += base_time
+                seg.end_time += base_time
+                seg.frame_times = [t + base_time for t in seg.frame_times]
+            frame_times = [t + base_time for t in frame_times]
 
         stms = self._encode_segments(video_id, segments, frames_rgb, frame_times, sample_rate)
         self.short_term_buffer.setdefault(video_id, []).extend(stms)
@@ -227,14 +239,21 @@ class HippocampalMemory:
             for si, e in zip(mel_owner, embs):
                 audio_embs[si] = e[None]
 
-        # ---- transcription per segment (600 s chunking handled inside) ----
+        # ---- transcription: ALL segments in bucketized chunk batches ----
+        # (the reference loops serially per segment, :1238-1246)
         transcripts: Dict[int, str] = {}
-        for si, seg in enumerate(segments):
-            if seg.audio_data is None or len(seg.audio_data) < sample_rate // 10:
-                continue
+        asr_owner = [
+            si
+            for si, seg in enumerate(segments)
+            if seg.audio_data is not None and len(seg.audio_data) >= sample_rate // 10
+        ]
+        if asr_owner:
             with self.timers.stage("transcribe"):
-                segs = self.whisper.transcribe(seg.audio_data, sample_rate)
-            transcripts[si] = " ".join(s.text for s in segs if s.text).strip()
+                seg_results = self.whisper.transcribe_batch(
+                    [segments[si].audio_data for si in asr_owner], sample_rate
+                )
+            for si, segs in zip(asr_owner, seg_results):
+                transcripts[si] = " ".join(s.text for s in segs if s.text).strip()
 
         # ---- assemble STMs ----
         stms: List[ShortTermMemory] = []

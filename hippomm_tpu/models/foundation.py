@@ -167,6 +167,8 @@ class Whisper:
         variant: Optional[str] = None,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        random_init: bool = False,
+        beam_size: int = 5,
     ):
         self.model_name = model_name
         variant = variant or model_name
@@ -189,11 +191,17 @@ class Whisper:
             self.cfg = wh_model.get_config(variant)
             params = load_whisper(ckpt, self.cfg)
             tokenizer = _try_whisper_tokenizer(model_path)
-            self._impl = WhisperTranscriber(jax.device_put(params), self.cfg, tokenizer, dtype)
-        elif variant == "tiny":
-            self.cfg = wh_model.get_config("tiny")
+            self._impl = WhisperTranscriber(
+                jax.device_put(params), self.cfg, tokenizer, dtype, beam_size=beam_size
+            )
+        elif variant == "tiny" or random_init:
+            # random weights: real compute path at full model scale (tiny for
+            # hermetic tests, any variant for throughput benchmarking)
+            self.cfg = wh_model.get_config(variant)
             params = wh_model.init_whisper(jax.random.PRNGKey(seed), self.cfg)
-            self._impl = WhisperTranscriber(jax.device_put(params), self.cfg, None, dtype)
+            self._impl = WhisperTranscriber(
+                jax.device_put(params), self.cfg, None, dtype, beam_size=beam_size
+            )
         else:
             logger.warning("no Whisper checkpoint — using deterministic stub transcriber")
             self.cfg = None
@@ -206,6 +214,17 @@ class Whisper:
             audio = load_audio_mono16k(audio)
             sample_rate = 16000
         return self._impl.transcribe(np.asarray(audio, dtype=np.float32), sample_rate)
+
+    def transcribe_batch(
+        self, audios: Sequence[np.ndarray], sample_rate: int = 16000
+    ) -> List[List[Segment]]:
+        """Transcribe many clips in bucketized chunk batches — ONE encoder
+        forward + ONE batched decode per bucket (the engine's per-segment ASR
+        path; reference loops serially, hippocampal_memory.py:1238-1246)."""
+        pcms = [np.asarray(a, dtype=np.float32) for a in audios]
+        if hasattr(self._impl, "transcribe_many"):
+            return self._impl.transcribe_many(pcms, sample_rate)
+        return [self._impl.transcribe(p, sample_rate) for p in pcms]
 
     def __call__(self, *a, **k):
         raise NotImplementedError(

@@ -373,7 +373,7 @@ def greedy_decode(
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_len", "beam", "dtype"))
-def beam_decode(
+def beam_decode_batch(
     params: Dict,
     enc_out: jax.Array,
     prompt: jax.Array,
@@ -382,39 +382,47 @@ def beam_decode(
     beam: int = 5,
     dtype=jnp.bfloat16,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Beam-search decode (batch 1) under jit — parity with the reference's
-    faster-whisper beam_size=5 (foundation_models.py:181-215).
+    """BATCHED beam-search decode under jit — B independent audio chunks, each
+    with its own `beam` hypotheses, in ONE device program (the reference's
+    faster-whisper runs chunks serially on the CTranslate2 C++ runtime,
+    foundation_models.py:181-215).
 
-    enc_out (1, S, d), prompt (1, P). The beam rides the batch axis of the
-    cached decode step: caches are (L, beam, H, max_len, hd) and beam
-    reordering is a gather on axis 1. Finished beams only propose EOT at zero
-    added score. Returns (tokens (beam, max_len), lengths (beam,), scores
-    (beam,)) sorted by length-normalized log-prob, best first.
+    enc_out (B, S, d), prompt (B, P). All B·beam hypothesis rows ride the
+    batch axis of the cached decode step: caches are (L, B·beam, H, max_len,
+    hd); per-chunk beam re-ranking is a row-local top-k over (beam·V)
+    candidates and cache reordering is one gather with chunk-offset indices.
+    Finished hypotheses only propose EOT at zero added score. The while_loop
+    exits once EVERY chunk's every hypothesis has finished.
+
+    Returns (tokens (B, beam, max_len), lengths (B, beam), scores (B, beam))
+    sorted per chunk by length-normalized log-prob, best first.
     """
     p = params["decoder"]
-    _, s, d = enc_out.shape
+    bsz, s, d = enc_out.shape
     heads, hd = cfg.heads, d // cfg.heads
     nl = cfg.decoder_layers
     plen = prompt.shape[1]
+    rows = bsz * beam
     neg = jnp.float32(-1e30)
 
-    enc_b = jnp.repeat(enc_out, beam, axis=0)  # (beam, S, d)
+    enc_b = jnp.repeat(enc_out, beam, axis=0)  # (rows, S, d)
     xk, xv = _cross_kv(params, enc_b, heads, dtype)
 
-    tokens = jnp.zeros((beam, max_len), jnp.int32)
+    tokens = jnp.zeros((rows, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
         tokens, jnp.repeat(prompt.astype(jnp.int32), beam, axis=0), (0, 0)
     )
-    self_k = jnp.zeros((nl, beam, heads, max_len, hd), jnp.float32)
+    self_k = jnp.zeros((nl, rows, heads, max_len, hd), jnp.float32)
     self_v = jnp.zeros_like(self_k)
-    # beam 0 starts live; others at -inf so the first expansion fans out
-    scores = jnp.full((beam,), neg).at[0].set(0.0)
-    finished = jnp.zeros((beam,), bool)
-    lengths = jnp.full((beam,), max_len, jnp.int32)
+    # per chunk: hypothesis 0 starts live; others at -inf so the first
+    # expansion fans out
+    scores = jnp.full((bsz, beam), neg).at[:, 0].set(0.0)
+    finished = jnp.zeros((rows,), bool)
+    lengths = jnp.full((rows,), max_len, jnp.int32)
 
     def prefill(i, carry):
         self_k, self_v = carry
-        x = _embed_at(p, tokens, i, beam, d)
+        x = _embed_at(p, tokens, i, rows, d)
         _, self_k, self_v = _step_layers(
             params, cfg, x, i, self_k, self_v, xk, xv, max_len, dtype
         )
@@ -423,6 +431,7 @@ def beam_decode(
     self_k, self_v = jax.lax.fori_loop(0, plen - 1, prefill, (self_k, self_v))
 
     vocab = p["token_embedding"].shape[0]
+    row_base = (jnp.arange(bsz, dtype=jnp.int32) * beam)[:, None]  # (B, 1)
 
     def cond(state):
         pos, *_, finished, _ = state
@@ -433,14 +442,15 @@ def beam_decode(
         logits, self_k, self_v = _next_logits(
             params, cfg, tokens, pos - 1, self_k, self_v, xk, xv, max_len, dtype
         )
-        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (beam, V)
-        # finished beams: only EOT at zero cost (keeps them comparable)
-        frozen = jnp.full((beam, vocab), neg).at[:, cfg.eot_token].set(0.0)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)  # (rows, V)
+        # finished hypotheses: only EOT at zero cost (keeps them comparable)
+        frozen = jnp.full((rows, vocab), neg).at[:, cfg.eot_token].set(0.0)
         logprobs = jnp.where(finished[:, None], frozen, logprobs)
-        cand = scores[:, None] + logprobs  # (beam, V)
-        top_s, flat = jax.lax.top_k(cand.reshape(-1), beam)
-        src = (flat // vocab).astype(jnp.int32)
-        tok = (flat % vocab).astype(jnp.int32)
+        cand = scores.reshape(rows, 1) + logprobs  # (rows, V)
+        # row-local (per chunk) top-k over this chunk's beam·V candidates
+        top_s, flat = jax.lax.top_k(cand.reshape(bsz, beam * vocab), beam)
+        src = (row_base + (flat // vocab).astype(jnp.int32)).reshape(-1)  # (rows,)
+        tok = (flat % vocab).astype(jnp.int32).reshape(-1)
 
         tokens = tokens[src]
         self_k = jnp.take(self_k, src, axis=1)
@@ -455,8 +465,32 @@ def beam_decode(
 
     state = (jnp.asarray(plen, jnp.int32), tokens, self_k, self_v, scores, finished, lengths)
     _, tokens, _, _, scores, finished, lengths = jax.lax.while_loop(cond, body, state)
-    # rank by length-normalized log-prob (faster-whisper convention)
+    # rank each chunk's beams by length-normalized log-prob (faster-whisper)
+    tokens = tokens.reshape(bsz, beam, max_len)
+    lengths = lengths.reshape(bsz, beam)
     gen_len = jnp.maximum(lengths - plen, 1).astype(jnp.float32)
     norm = scores / gen_len
-    order = jnp.argsort(-norm)
-    return tokens[order], lengths[order], norm[order]
+    order = jnp.argsort(-norm, axis=1)
+    tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+    lengths = jnp.take_along_axis(lengths, order, axis=1)
+    norm = jnp.take_along_axis(norm, order, axis=1)
+    return tokens, lengths, norm
+
+
+def beam_decode(
+    params: Dict,
+    enc_out: jax.Array,
+    prompt: jax.Array,
+    cfg: WhisperConfig,
+    max_len: int = 224,
+    beam: int = 5,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Single-chunk convenience wrapper over beam_decode_batch.
+
+    enc_out (1, S, d) → (tokens (beam, max_len), lengths (beam,),
+    scores (beam,)), best hypothesis first."""
+    tokens, lengths, norm = beam_decode_batch(
+        params, enc_out, prompt, cfg, max_len=max_len, beam=beam, dtype=dtype
+    )
+    return tokens[0], lengths[0], norm[0]

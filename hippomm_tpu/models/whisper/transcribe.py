@@ -13,12 +13,14 @@ import dataclasses
 import logging
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from hippomm_tpu.ops.mel import WhisperMel
 from hippomm_tpu.models.whisper.model import (
     WhisperConfig,
+    beam_decode_batch,
     encoder_forward,
     greedy_decode,
 )
@@ -28,6 +30,7 @@ logger = logging.getLogger(__name__)
 CHUNK_SECONDS = 30.0
 SAMPLE_RATE = 16000
 TIME_PRECISION = 0.02  # seconds per timestamp token
+_CHUNK_BUCKETS = (1, 2, 4, 8, 16)  # compiled batch shapes for chunk batches
 
 
 @dataclasses.dataclass
@@ -106,38 +109,76 @@ class WhisperTranscriber:
         self, pcm: np.ndarray, sample_rate: int = SAMPLE_RATE, max_new_tokens: int = 224
     ) -> List[Segment]:
         """16 kHz mono float32 -> list of timestamped segments."""
-        pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+        return self.transcribe_many([pcm], sample_rate, max_new_tokens)[0]
+
+    def transcribe_many(
+        self,
+        pcms: List[np.ndarray],
+        sample_rate: int = SAMPLE_RATE,
+        max_new_tokens: int = 224,
+        max_chunk_batch: int = 16,
+    ) -> List[List[Segment]]:
+        """Batched long-form transcription: ALL 30 s windows of ALL inputs run
+        as bucketized chunk batches — one batched mel, one encoder forward, one
+        batched (beam or greedy) decode per bucket, instead of the reference's
+        serial per-window CTranslate2 calls (foundation_models.py:181-215).
+
+        The engine feeds every segment of a video through one call
+        (memory/engine.py), so per-video ASR is a handful of device programs
+        regardless of segment count.
+        """
         if sample_rate != SAMPLE_RATE:
             raise ValueError("resample to 16 kHz first (media.load_audio_mono16k)")
-        prompt = jnp.asarray(self._prompt())
-        segments: List[Segment] = []
-        n_frames_target = 2 * self.cfg.max_source_positions  # 3000 for 30 s
-        for start in range(0, max(1, len(pcm)), self._chunk_samples):
-            chunk = pcm[start : start + self._chunk_samples]
-            actual_dur = len(chunk) / SAMPLE_RATE
-            if len(chunk) < self._chunk_samples:
-                chunk = np.pad(chunk, (0, self._chunk_samples - len(chunk)))
-            mel = self.mel(jnp.asarray(chunk))  # (n_mels, 3000)
-            mel = mel[:, :n_frames_target]
-            enc = encoder_forward(self.params, mel[None], self.cfg, self.dtype)
-            max_len = min(prompt.shape[1] + max_new_tokens, self.cfg.max_target_positions)
-            if self.beam_size > 1:
-                from hippomm_tpu.models.whisper.model import beam_decode
+        # ---- split every input into 30 s windows -----------------------------
+        chunks: List[np.ndarray] = []
+        owners: List[int] = []  # input index per chunk
+        offsets: List[float] = []  # chunk start time within its input
+        durs: List[float] = []  # actual (unpadded) seconds in the chunk
+        for oi, pcm in enumerate(pcms):
+            pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+            for start in range(0, max(1, len(pcm)), self._chunk_samples):
+                chunk = pcm[start : start + self._chunk_samples]
+                durs.append(len(chunk) / SAMPLE_RATE)
+                if len(chunk) < self._chunk_samples:
+                    chunk = np.pad(chunk, (0, self._chunk_samples - len(chunk)))
+                chunks.append(chunk)
+                owners.append(oi)
+                offsets.append(start / SAMPLE_RATE)
 
-                tokens, lengths, _ = beam_decode(
+        prompt1 = self._prompt()
+        plen = prompt1.shape[1]
+        max_len = min(plen + max_new_tokens, self.cfg.max_target_positions)
+        n_frames_target = 2 * self.cfg.max_source_positions  # 3000 for 30 s
+        results: List[List[Segment]] = [[] for _ in pcms]
+
+        for lo in range(0, len(chunks), max_chunk_batch):
+            batch = chunks[lo : lo + max_chunk_batch]
+            n = len(batch)
+            b = next((x for x in _CHUNK_BUCKETS if n <= x), max_chunk_batch)
+            if b > n:  # pad to the bucket so compiled shapes are bounded
+                batch = batch + [batch[-1]] * (b - n)
+            stacked = jnp.asarray(np.stack(batch))
+            mels = jax.vmap(self.mel)(stacked)[:, :, :n_frames_target]
+            enc = encoder_forward(self.params, mels, self.cfg, self.dtype)
+            prompt = jnp.asarray(np.repeat(prompt1, b, axis=0))
+            if self.beam_size > 1:
+                tokens, lengths, _ = beam_decode_batch(
                     self.params, enc, prompt, self.cfg,
                     max_len=max_len, beam=self.beam_size, dtype=self.dtype,
                 )
+                tokens, lengths = tokens[:, 0], lengths[:, 0]  # best hypothesis
             else:
                 tokens, lengths = greedy_decode(
                     self.params, enc, prompt, self.cfg, max_len=max_len, dtype=self.dtype
                 )
-            ids = list(np.asarray(tokens[0][prompt.shape[1] : int(lengths[0])]))
-            offset = start / SAMPLE_RATE
-            chunk_segments = self._parse_segments(ids, offset)
-            # clamp to real audio duration
-            for s in chunk_segments:
-                s.end = min(s.end, offset + actual_dur)
-                if s.end > s.start:
-                    segments.append(s)
-        return segments
+            tokens = np.asarray(tokens)
+            lengths = np.asarray(lengths)
+            for j in range(n):
+                ci = lo + j
+                ids = list(tokens[j][plen : int(lengths[j])])
+                chunk_segments = self._parse_segments(ids, offsets[ci])
+                for s in chunk_segments:  # clamp to real audio duration
+                    s.end = min(s.end, offsets[ci] + durs[ci])
+                    if s.end > s.start:
+                        results[owners[ci]].append(s)
+        return results

@@ -142,3 +142,27 @@ def test_save_load_short_term_buffer(ingested):
     a = fresh.short_term_buffer["vid1"][0].features["vision"]
     b = mem.short_term_buffer["vid1"][0].features["vision"]
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_process_sequence_base_time_offsets(engine_factory):
+    """base_time shifts all produced timestamps — the reference's chunk offset
+    for re-chunked long videos (hippocampal_memory.py:1134)."""
+    mem = engine_factory("basetime")
+    spec = SynthSpec(duration=24.0, fps=2.0, width=160, height=120, seed=5)
+    res = generate(spec)
+    mem.add_video("chunk2", "chunk2.y4m")
+    stms = mem.process_sequence(
+        "chunk2",
+        frame_paths=[f"frames/chunk2/f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+        base_time=600.0,
+        auto_consolidate=False,
+    )
+    assert stms
+    for stm in stms:
+        assert stm.source_time >= 600.0
+        assert stm.segment_info["start_time"] >= 600.0
+        assert stm.segment_info["end_time"] <= 600.0 + 24.0 + 1.0
+        assert all(t >= 600.0 for t in stm.segment_info["frame_times"])

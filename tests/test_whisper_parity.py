@@ -177,3 +177,50 @@ def test_beam_decode_contains_greedy_quality(hf_pair):
     lp_b = seq_logprob(b_row, int(np.asarray(b4_len)[0]))
     assert lp_b >= lp_g - 1e-4
     assert np.all(np.diff(np.asarray(b4_scores)) <= 1e-6)  # sorted best-first
+
+
+def test_beam_decode_batch_rows_independent(hf_pair):
+    """Batched beam over B chunks == per-chunk beam_decode, row by row."""
+    from hippomm_tpu.models.whisper.model import beam_decode, beam_decode_batch
+
+    cfg, _, params = hf_pair
+    rng = np.random.default_rng(6)
+    mel = rng.normal(size=(3, cfg.n_mels, 2 * cfg.max_source_positions)).astype(np.float32)
+    enc = encoder_forward(params, jnp.asarray(mel), cfg, dtype=jnp.float32)
+    prompt = np.tile([[cfg.bos_token, cfg.lang_en_token]], (3, 1)).astype(np.int32)
+    max_len = 10
+
+    bt, bl, bs = beam_decode_batch(
+        params, enc, jnp.asarray(prompt), cfg, max_len=max_len, beam=3, dtype=jnp.float32
+    )
+    assert bt.shape == (3, 3, max_len) and bl.shape == (3, 3)
+    for i in range(3):
+        st, sl, ss = beam_decode(
+            params, enc[i : i + 1], jnp.asarray(prompt[:1]), cfg,
+            max_len=max_len, beam=3, dtype=jnp.float32,
+        )
+        np.testing.assert_array_equal(np.asarray(bt[i, 0]), np.asarray(st[0]))
+        assert int(bl[i, 0]) == int(sl[0])
+        np.testing.assert_allclose(np.asarray(bs[i, 0]), np.asarray(ss[0]), atol=1e-5)
+
+
+def test_transcribe_many_matches_serial(hf_pair):
+    """Batched multi-clip transcription == per-clip transcribe."""
+    from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
+
+    cfg, _, params = hf_pair
+    tr = WhisperTranscriber(params, cfg, tokenizer=None, dtype=jnp.float32, beam_size=1)
+    tr._chunk_samples = 2 * 16000  # tiny config covers 2 s per window
+    rng = np.random.default_rng(7)
+    clips = [
+        (0.1 * rng.normal(size=3 * 16000)).astype(np.float32),  # 2 chunks
+        (0.1 * rng.normal(size=16000)).astype(np.float32),  # 1 chunk
+        (0.1 * rng.normal(size=5 * 16000)).astype(np.float32),  # 3 chunks
+    ]
+    batched = tr.transcribe_many(clips, max_new_tokens=6)
+    for clip, got in zip(clips, batched):
+        want = tr.transcribe_many([clip], max_new_tokens=6)[0]
+        assert [(s.start, s.end, s.text) for s in got] == [
+            (s.start, s.end, s.text) for s in want
+        ]
+    assert all(len(r) >= 1 for r in batched)
