@@ -330,7 +330,20 @@ class QARecallSystem:
             caps = self._caption_frames(jpegs)
             captions += [f"[{t:.1f}s] {c}" for t, c in zip(times, caps)]
         if len(captions) > 10:
-            captions = [self._summarize_captions(captions)]
+            summarized = self._summarize_captions(captions, question)
+            if summarized:
+                captions = [summarized]
+            elif len(captions) > 200:
+                # summarization failed on a huge caption set: split-summarize
+                # halves and stitch (reference :2279-2285)
+                mid = len(captions) // 2
+                first = self._summarize_captions(captions[:mid], question) or "\n".join(
+                    captions[:mid]
+                )
+                second = self._summarize_captions(captions[mid:], question) or "\n".join(
+                    captions[mid:]
+                )
+                captions = [f"First part:\n{first}", f"Second part:\n{second}"]
         answer, conf = self._final_answer(question, captions=captions)
         return QARecallResult(
             answer=answer,
@@ -345,14 +358,21 @@ class QARecallSystem:
         client = getattr(self.memory, "frame_client", None) or self.reasoning
         return client.caption_images(jpegs, "Describe this image in one concise sentence.")
 
-    def _summarize_captions(self, captions: List[str]) -> str:
-        """(reference :3430-3449)"""
+    def _summarize_captions(self, captions: List[str], question: str = "") -> str:
+        """(reference :3430-3449 — question-conditioned; empty string on
+        failure so the caller can fall back / split-summarize)"""
         kept, _ = evenly_distribute_items(captions, self.token_budget // 4, "- {}\n")
-        prompt = "Summarize these frame captions into a short paragraph:\n" + "\n".join(kept)
+        prompt = (
+            "Summarize these frame captions into a short paragraph"
+            + (f", keeping details relevant to: {question}" if question else "")
+            + ":\n"
+            + "\n".join(kept)
+        )
         try:
             return self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=256)
         except Exception:
-            return " ".join(kept[:5])
+            logger.exception("caption summarization failed")
+            return ""
 
     def _final_answer(
         self,
@@ -384,24 +404,39 @@ class QARecallSystem:
 
     # ----------------------------------------------------------- audio pathway
 
-    def _gather_transcripts(self) -> List[Tuple[float, float, str]]:
+    def _gather_transcripts(self) -> List[Tuple[float, float, str, str]]:
+        """(start, end, text, video_id) snippets across all events."""
         out = []
         for e in self.events:
             if e.audio_transcription:
                 n = len(e.audio_transcription)
                 times = list(e.audio_times[:n]) + [e.start_time] * max(0, n - len(e.audio_times))
                 for t, txt in zip(times, e.audio_transcription):
-                    out.append((float(t), float(t) + 5.0, txt))
+                    out.append((float(t), float(t) + 5.0, txt, e.video_id))
             elif e.holistic_audio_transcription:
-                out.append((e.start_time, e.end_time, e.holistic_audio_transcription))
+                out.append((e.start_time, e.end_time, e.holistic_audio_transcription, e.video_id))
         return sorted(out)
 
-    def _speech_timeframes(self, question: str) -> List[Tuple[float, float]]:
-        """LLM JSON time-frames over transcripts (reference :2330-2428)."""
+    def _attribute_window(
+        self, start: float, end: float, transcripts: Sequence[Tuple[float, float, str, str]]
+    ) -> str:
+        """video_id of the transcript snippet best overlapping [start, end] —
+        per-window attribution instead of blaming events[0] (multi-video
+        stores would otherwise re-transcribe the wrong video's audio)."""
+        best, best_ov = "", -1.0
+        for s, e, _, vid in transcripts:
+            ov = min(end, e) - max(start, s)
+            if ov > best_ov:
+                best, best_ov = vid, ov
+        return best or (self.events[0].video_id if self.events else "")
+
+    def _speech_timeframes(self, question: str) -> List[Tuple[float, float, str]]:
+        """LLM JSON time-frames over transcripts, each attributed to the video
+        whose transcript it overlaps (reference :2330-2428)."""
         transcripts = self._gather_transcripts()
         if not transcripts:
             return []
-        listing = [f"[{s:.1f}-{e:.1f}s] {t}" for s, e, t in transcripts]
+        listing = [f"[{s:.1f}-{e:.1f}s] {t}" for s, e, t, _ in transcripts]
         kept, _ = evenly_distribute_items(listing, self.token_budget // 3, "{}\n")
         prompt = (
             "Given these timestamped transcript snippets, return a JSON list "
@@ -418,11 +453,14 @@ class QARecallSystem:
                 s = float(fr.get("start_time", 0.0)) - 2.0  # ±2 s buffer
                 e = float(fr.get("end_time", 0.0)) + 2.0
                 if e > s:
-                    out.append((max(0.0, s), e))
+                    s = max(0.0, s)
+                    out.append((s, e, self._attribute_window(s, e, transcripts)))
             return out
         except Exception:
             logger.warning("speech timeframe parse failed; using transcript times")
-            return [(max(0.0, s - 2.0), e + 2.0) for s, e, _ in transcripts[:5]]
+            return [
+                (max(0.0, s - 2.0), e + 2.0, vid) for s, e, _, vid in transcripts[:5]
+            ]
 
     def _find_relevant_audio_segments(self, question: str) -> List[SearchHit]:
         """Sound path: text→audio-feature top-k with transcript fallback below
@@ -436,11 +474,15 @@ class QARecallSystem:
             return hits
         frames = self._speech_timeframes(question)
         if frames:
-            return [
-                SearchHit("", vid or "", (s + e) / 2, 0.0, -1, (s, e))
-                for (s, e), vid in zip(frames, [self.events[0].video_id] * len(frames))
-            ]
+            return [SearchHit("", vid, (s + e) / 2, 0.0, -1, (s, e)) for s, e, vid in frames]
         return hits
+
+    def _transcribe_clips(self, clips: Sequence[np.ndarray]) -> List[List]:
+        """Batched re-transcription when the ASR backend supports it."""
+        wb = getattr(self.memory.whisper, "transcribe_batch", None)
+        if wb is not None:
+            return wb(clips)
+        return [self.memory.whisper.transcribe(c) for c in clips]
 
     def _audio_for_windows(
         self, video_id: str, windows: Sequence[Tuple[float, float]], sample_rate: int = 16000
@@ -473,34 +515,40 @@ class QARecallSystem:
             re.search(r"\b(say|said|speak|talk|mention|word|tell|told)\b", question.lower())
         )
         if is_speech:
-            windows = self._speech_timeframes(question)
-            hits = [SearchHit("", "", (s + e) / 2, 0.0, -1, (s, e)) for s, e in windows]
+            frames = self._speech_timeframes(question)
+            hits = [SearchHit("", vid, (s + e) / 2, 0.0, -1, (s, e)) for s, e, vid in frames]
         else:
             hits = self._find_relevant_audio_segments(question)
-            windows = [h.window for h in hits]
-        if not windows:
+        if not hits:
             return QARecallResult(answer="", confidence=0.0, primary_modality="speech" if is_speech else "sound")
-        windows = merge_windows(windows, gap=2.0)
-        video_ids = {h.video_id for h in hits if h.video_id} or {
-            e.video_id for e in self.events
-        }
+        # merge windows PER VIDEO and only re-transcribe that video's audio
+        windows_by_video: Dict[str, List[Tuple[float, float]]] = {}
+        for h in hits:
+            vid = h.video_id or (self.events[0].video_id if self.events else "")
+            windows_by_video.setdefault(vid, []).append(h.window)
+        windows: List[Tuple[float, float]] = []
+        seg_records: List[Dict] = []
         transcripts: List[str] = []
-        for vid in video_ids:
-            for clip in self._audio_for_windows(vid, windows):
-                if len(clip) < 1600:
-                    continue
-                segs = self.memory.whisper.transcribe(clip)
+        clips: List[np.ndarray] = []
+        for vid, ws in windows_by_video.items():
+            merged = merge_windows(ws, gap=2.0)
+            windows += merged
+            seg_records += [{"window": w, "video_id": vid} for w in merged]
+            clips += [c for c in self._audio_for_windows(vid, merged) if len(c) >= 1600]
+        if clips:
+            for segs in self._transcribe_clips(clips):
                 transcripts += [s.text for s in segs if s.text]
         if not transcripts:  # fall back to stored transcripts inside windows
-            for s, e, txt in self._gather_transcripts():
-                if any(ws <= s <= we or ws <= e <= we for ws, we in windows):
+            for s, e, txt, vid in self._gather_transcripts():
+                vws = windows_by_video.get(vid, [])
+                if any(ws <= s <= we or ws <= e <= we for ws, we in vws):
                     transcripts.append(txt)
         answer, conf = self._final_answer(question, transcripts=transcripts)
         return QARecallResult(
             answer=answer,
             confidence=conf,
             reasoning="detailed audio recall",
-            retrieved_segments=[{"window": w} for w in windows],
+            retrieved_segments=seg_records,
             primary_modality="speech" if is_speech else "sound",
             segments_analyzed=len(windows),
         )
@@ -527,10 +575,15 @@ class QARecallSystem:
         primary = self._determine_primary_modality(question)
         if primary in ("speech", "sound"):
             audio_res = self._process_audio_query(question)
-            windows = [tuple(s["window"]) for s in audio_res.retrieved_segments if "window" in s]
+            # cross-lookup frames in the SAME video each window came from
+            win_by_vid: Dict[str, List[Tuple[float, float]]] = {}
+            for s in audio_res.retrieved_segments:
+                if "window" in s:
+                    vid = s.get("video_id") or (self.events[0].video_id if self.events else "")
+                    win_by_vid.setdefault(vid, []).append(tuple(s["window"]))
             captions: List[str] = []
-            for e in {ev.video_id for ev in self.events}:
-                jpegs, times = self._frames_for_windows(e, windows)
+            for vid, ws in win_by_vid.items():
+                jpegs, times = self._frames_for_windows(vid, ws)
                 caps = self._caption_frames(jpegs)
                 captions += [f"[{t:.1f}s] {c}" for t, c in zip(times, caps)]
             answer, conf = self._final_answer(
@@ -547,16 +600,22 @@ class QARecallSystem:
                 segments_analyzed=audio_res.segments_analyzed,
             )
         video_res = self._process_video_query(question)
-        windows = merge_windows(
-            [tuple(s["window"]) for s in video_res.retrieved_segments if "window" in s], gap=2.0
-        )
+        # cross-lookup audio in the SAME video each visual hit came from
+        win_by_vid: Dict[str, List[Tuple[float, float]]] = {}
+        for s in video_res.retrieved_segments:
+            if "window" in s:
+                vid = s.get("video_id") or (self.events[0].video_id if self.events else "")
+                win_by_vid.setdefault(vid, []).append(tuple(s["window"]))
+        clips: List[np.ndarray] = []
+        for vid, ws in win_by_vid.items():
+            clips += [
+                c
+                for c in self._audio_for_windows(vid, merge_windows(ws, gap=2.0))
+                if len(c) >= 1600
+            ]
         transcripts: List[str] = []
-        for vid in {e.video_id for e in self.events}:
-            for clip in self._audio_for_windows(vid, windows):
-                if len(clip) < 1600:
-                    continue
-                segs = self.memory.whisper.transcribe(clip)
-                transcripts += [s.text for s in segs if s.text]
+        for segs in self._transcribe_clips(clips) if clips else []:
+            transcripts += [s.text for s in segs if s.text]
         answer, conf = self._final_answer(
             question,
             transcripts=transcripts,
@@ -623,14 +682,20 @@ class QARecallSystem:
             detailed.confidence = max(detailed.confidence, direct_conf)
             detailed.used_reflection = True
             return detailed
-        # arbitration with sampled context
+        # arbitration with sampled context: captions AND transcriptions
+        # (reference samples both, hippocampal_memory.py:1790-1860)
         captions = [c for e in self.events for c in e.frame_captions]
         kept, _ = evenly_distribute_items(captions, self.token_budget // 4, "- {}\n")
+        trans = [
+            f"[{s:.1f}-{e:.1f}s] {t}" for s, e, t, _ in self._gather_transcripts()
+        ]
+        kept_trans, _ = evenly_distribute_items(trans, self.token_budget // 4, "- {}\n")
         prompt = (
             "Two answers disagree. Using the context, pick the better one. "
             "Reply exactly 'A' or 'B' then a colon and the final answer text.\n"
             f"Question: {question}\nAnswer A: {direct}\nAnswer B: {detailed.answer}\n"
             "Context captions:\n" + "\n".join(kept)
+            + ("\nContext transcriptions:\n" + "\n".join(kept_trans) if kept_trans else "")
         )
         try:
             reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=128)

@@ -85,39 +85,46 @@ class FeatureSearchIndex:
         window_s: float = 1.0,
     ) -> List[SearchHit]:
         """One fused top-k over the packed store, then reference-compatible
-        per-event cap + global cut."""
+        per-event cap + global cut.
+
+        The over-fetch widens geometrically until global_top_k survivors exist
+        (or the whole store has been ranked), so stores where many best rows
+        share one event still return exactly the reference's
+        per-event-top-5-then-global-5 result (hippocampal_memory.py:3127-3279).
+        """
         n = len(self)
         if n == 0:
             return []
-        # over-fetch so the per-event cap still leaves global_top_k candidates
-        k = min(n, max(global_top_k * 4, top_k_per_event * 8))
         from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
 
-        vals, idx = top_k_cosine_auto(
-            np.asarray(query, np.float32).reshape(-1), self._device_feats(), k
-        )
-        vals, idx = np.asarray(vals), np.asarray(idx)
-        per_event: Dict[str, int] = {}
-        hits: List[SearchHit] = []
-        for v, i in zip(vals, idx):
-            eid = self.owners[i]
-            if per_event.get(eid, 0) >= top_k_per_event:
-                continue
-            per_event[eid] = per_event.get(eid, 0) + 1
-            t = float(self.times[i])
-            hits.append(
-                SearchHit(
-                    event_id=eid,
-                    video_id=self.videos[i],
-                    time=t,
-                    similarity=float(v),
-                    index_in_event=int(self.in_event_idx[i]),
-                    window=(max(0.0, t - window_s), t + window_s),
+        q = np.asarray(query, np.float32).reshape(-1)
+        k = min(n, max(global_top_k * 4, top_k_per_event * 8))
+        while True:
+            vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
+            vals, idx = np.asarray(vals), np.asarray(idx)
+            per_event: Dict[str, int] = {}
+            hits: List[SearchHit] = []
+            for v, i in zip(vals, idx):
+                eid = self.owners[i]
+                if per_event.get(eid, 0) >= top_k_per_event:
+                    continue
+                per_event[eid] = per_event.get(eid, 0) + 1
+                t = float(self.times[i])
+                hits.append(
+                    SearchHit(
+                        event_id=eid,
+                        video_id=self.videos[i],
+                        time=t,
+                        similarity=float(v),
+                        index_in_event=int(self.in_event_idx[i]),
+                        window=(max(0.0, t - window_s), t + window_s),
+                    )
                 )
-            )
-            if len(hits) >= global_top_k:
-                break
-        return hits
+                if len(hits) >= global_top_k:
+                    break
+            if len(hits) >= global_top_k or k >= n:
+                return hits
+            k = min(n, k * 4)
 
 
 def merge_windows(

@@ -144,3 +144,102 @@ def test_qarecall_result_fields(qa_env):
         "segments_analyzed", "used_reflection",
     ):
         assert key in d
+
+
+def test_search_overfetch_widens_until_global_k():
+    """A store where one event dominates the similarity ranking must still
+    return global_top_k survivors from other events (VERDICT r1 Weak #6)."""
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=1024).astype(np.float32)
+    q /= np.linalg.norm(q)
+    # event "hog": 100 rows almost identical to the query (out-ranks everything)
+    hog = q[None] + 0.001 * rng.normal(size=(100, 1024)).astype(np.float32)
+    # 5 other events, each 3 rows mildly similar
+    events = [
+        ThetaEvent(
+            video_id="hog", features={"vision": hog},
+            feature_times={"vision": list(np.arange(100.0))}, end_time=100.0,
+        )
+    ]
+    for i in range(5):
+        f = 0.3 * q[None] + rng.normal(size=(3, 1024)).astype(np.float32)
+        events.append(
+            ThetaEvent(
+                video_id=f"v{i}", features={"vision": f},
+                feature_times={"vision": [0.0, 1.0, 2.0]}, start_time=0.0, end_time=3.0,
+            )
+        )
+    idx = FeatureSearchIndex.build(events, "vision")
+    hits = idx.search(q, top_k_per_event=5, global_top_k=10)
+    assert len(hits) == 10  # 5 from the hog + 5 from elsewhere
+    assert len({h.event_id for h in hits}) >= 2
+    assert sum(1 for h in hits if h.video_id == "hog") == 5
+
+
+def test_speech_window_attribution_multivideo(tmp_path):
+    """LLM-derived speech windows must attribute to the video whose transcript
+    they overlap — not blanket events[0] (VERDICT r1 Weak #7)."""
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+    ev_a = ThetaEvent(
+        video_id="vidA", start_time=0.0, end_time=30.0,
+        audio_transcription=["hello from A"], audio_times=[5.0],
+    )
+    ev_b = ThetaEvent(
+        video_id="vidB", start_time=0.0, end_time=30.0,
+        audio_transcription=["greetings from B"], audio_times=[20.0],
+    )
+    mem.long_term_store = [ev_a, ev_b]
+    qa = QARecallSystem(mem, cfg)
+
+    class FixedWindows:
+        def chat(self, messages, max_tokens=128, **kw):
+            text = messages[-1]["content"]
+            if "JSON list" in text:
+                return '[{"start_time": 19.0, "end_time": 22.0}]'
+            return "ANSWER: ok\nCONFIDENCE: 0.9"
+
+        def caption_images(self, jpegs, prompt):
+            return ["cap"] * len(jpegs)
+
+    qa.reasoning = FixedWindows()
+    frames = qa._speech_timeframes("What was said near the end?")
+    assert len(frames) == 1
+    s, e, vid = frames[0]
+    assert vid == "vidB"  # window 17-24 s overlaps vidB's transcript at 20 s
+
+
+def test_reflection_arbitration_includes_transcripts(qa_env):
+    """The disagree-arbitration prompt must carry transcription context
+    (reference hippocampal_memory.py:1790-1860)."""
+    mem, _ = qa_env
+    qa = QARecallSystem(mem, mem.config)
+    prompts = []
+
+    class Recorder:
+        def chat(self, messages, max_tokens=128, **kw):
+            text = messages[-1]["content"]
+            prompts.append(text)
+            if "Reply YES or NO" in text:
+                return "NO"
+            return "B: the detailed answer"
+
+        def caption_images(self, jpegs, prompt):
+            return ["cap"] * len(jpegs)
+
+    qa.reasoning = Recorder()
+    from hippomm_tpu.memory.schema import QARecallResult
+
+    detailed = QARecallResult(answer="detailed", confidence=0.5)
+    out = qa._reflect_on_answer("q?", "direct", 0.8, detailed)
+    assert out.used_reflection
+    arb = [p for p in prompts if "pick the better one" in p]
+    assert arb and "Context transcriptions:" in arb[0]
