@@ -2,13 +2,18 @@
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Headline metric (BASELINE.md driver metric): ingest throughput in video-hours
-per hour per chip over a synthetic 10-minute vlog (driver config #3 shape),
-through the REAL compute path: C++/numpy decode → device SSIM segmentation →
-ImageBind ViT-H vision + audio towers (bf16, random weights — throughput is
-weight-agnostic) → on-device key-frame dedup → stub VLM replay. Secondary
-numbers (detailed-recall p50 over a 1k-event store, per-stage timings) ride
-in the "extra" field. vs_baseline = value / 50 (the ≥50× real-time north
-star; the reference publishes no numbers, BASELINE.json "published": {}).
+per hour per chip over a synthetic 10-minute vlog (driver config #3 shape) in a
+REAL container (H.264 mp4 with embedded AAC audio), through the REAL compute
+path: C++ libav decode → device SSIM keyframe scoring → ImageBind ViT-H vision
++ audio towers (bf16, random weights — throughput is weight-agnostic) →
+distil-large-v3 Whisper ASR (random weights, batched greedy decode over all
+30 s chunks) → on-device key-frame dedup → stub VLM replay.
+
+Secondary numbers in "extra": a 30 fps decode-realism ingest multiple (real
+frame-rate decode load, VERDICT r1 Weak #9), detailed-recall p50 over a
+1k-event store, vision-tower MFU vs the chip's bf16 peak, and per-stage
+timings. vs_baseline = value / 50 (the ≥50× real-time north star; the
+reference publishes no numbers, BASELINE.json "published": {}).
 """
 
 from __future__ import annotations
@@ -22,11 +27,61 @@ import time
 
 import numpy as np
 
+# v5e (v5 lite) bf16 peak per chip; other platforms fall back to measured-only
+_BF16_PEAK = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}
+
+
+def _vit_flops(batch: int, tokens: int, layers: int, d: int, patch: int, out_d: int) -> float:
+    """Analytic dense-transformer FLOPs (XLA cost_analysis undercounts lax.scan
+    bodies by a factor of `layers`, so it cannot be used here).
+      per token-layer: qkv+out projections 4d² MACs + MLP 8d² MACs = 24d² FLOPs
+      attention matmuls: 4·T·d FLOPs per token-layer
+      patchify conv + output head added separately."""
+    per_tok_layer = 24.0 * d * d + 4.0 * tokens * d
+    patchify = 2.0 * (tokens - 1) * d * (3 * patch * patch)
+    head = 2.0 * d * out_d
+    return batch * (tokens * layers * per_tok_layer + patchify + head)
+
+
+def _vision_mfu(mem, platform_peak: float) -> dict:
+    """Isolated ViT-H encode: measured analytic FLOPs/s vs chip bf16 peak."""
+    import jax
+    import jax.numpy as jnp
+
+    from hippomm_tpu.models.imagebind import model as ib_model
+
+    cfg = mem.imagebind.cfg
+    params = mem.imagebind.params
+    x = jnp.zeros((32, 3, cfg.image_size, cfg.image_size), jnp.float32)
+    fn = jax.jit(lambda p, v: ib_model.vision_forward(p, v, cfg, mem.imagebind.dtype))
+    fn(params, x).block_until_ready()  # compile + warm
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(params, x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    flops = _vit_flops(
+        32, cfg.vision_tokens, cfg.vision.depth, cfg.vision.width,
+        cfg.patch_size, cfg.embed_dim,
+    )
+    result = {
+        "batch": 32,
+        "encode_ms": round(dt * 1000, 2),
+        "tflops_per_s": round(flops / dt / 1e12, 1),
+    }
+    if platform_peak:
+        result["mfu_vision"] = round(flops / dt / platform_peak, 4)
+    return result
+
 
 def main() -> None:
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import logging
@@ -40,41 +95,70 @@ def main() -> None:
     from hippomm_tpu.memory.schema import ThetaEvent
     from hippomm_tpu.retrieval.search import FeatureSearchIndex
 
-    platform = jax.devices()[0].platform
+    dev = jax.devices()[0]
+    platform = dev.platform
+    device_kind = getattr(dev, "device_kind", platform).lower()
+    peak = next((v for k, v in _BF16_PEAK.items() if k in device_kind), 0.0)
+
     work = tempfile.mkdtemp(prefix="hippomm_bench_")
     videos = os.path.join(work, "videos")
     warm = os.path.join(work, "warm")
+    fast = os.path.join(work, "fast")
     os.makedirs(videos)
     os.makedirs(warm)
+    os.makedirs(fast)
 
-    # ---- workloads -------------------------------------------------------
+    # ---- workloads (REAL containers: H.264 mp4, embedded AAC audio) --------
     # warmup clip: 30 s (compiles every program shape once; persistent-cached)
-    wspec = SynthSpec(duration=30.0, fps=2.0, width=640, height=360,
-                      scene_changes=(14.0,), silence_regions=((13.0, 15.0),), seed=1)
-    write_synthetic_video(os.path.join(warm, "warm.y4m"), wspec,
-                          audio_path=os.path.join(warm, "warm.wav"))
+    write_synthetic_video(
+        os.path.join(warm, "warm.mp4"),
+        SynthSpec(duration=30.0, fps=2.0, width=640, height=360,
+                  scene_changes=(14.0,), silence_regions=((13.0, 15.0),), seed=1),
+    )
     # measured clip: 10-minute vlog, scene change every ~25 s
     cuts = tuple(float(t) for t in range(25, 600, 25))
     sil = tuple((float(t), float(t) + 1.5) for t in range(40, 600, 60))
-    mspec = SynthSpec(duration=600.0, fps=2.0, width=640, height=360,
-                      scene_changes=cuts, silence_regions=sil, seed=2)
-    write_synthetic_video(os.path.join(videos, "vlog.y4m"), mspec,
-                          audio_path=os.path.join(videos, "vlog.wav"))
+    write_synthetic_video(
+        os.path.join(videos, "vlog.mp4"),
+        SynthSpec(duration=600.0, fps=2.0, width=640, height=360,
+                  scene_changes=cuts, silence_regions=sil, seed=2),
+    )
+    # decode-realism clip: 2 min at REAL 30 fps (15x the decode load per
+    # media-second of the vlog above; VERDICT r1 Weak #9)
+    write_synthetic_video(
+        os.path.join(fast, "fast30.mp4"),
+        SynthSpec(duration=120.0, fps=30.0, width=640, height=360,
+                  scene_changes=(30.0, 60.0, 90.0),
+                  silence_regions=((55.0, 57.0),), seed=3),
+    )
 
     cfg = Config()
     cfg.api.mode = "stub"
     cfg.models.imagebind_variant = "huge"
     cfg.models.imagebind_path = ""  # random weights: throughput-only
-    cfg.models.whisper_variant = "stub"
+    # REAL-size ASR in the measured path (VERDICT r1: no more stub):
+    # distil-large-v3 encoder/decoder, random weights, batched greedy decode.
+    cfg.models.whisper_variant = "distil-large-v3"
+    cfg.models.whisper_random_init = True
+    cfg.models.whisper_beam_size = 1
     cfg.storage.base_dir = os.path.join(work, "store")
 
     mem = HippocampalMemory(config=cfg)
 
-    # ---- warmup (compile) -------------------------------------------------
+    # ---- warmup (compile) ---------------------------------------------------
     process_video_folder(warm, cfg.storage.base_dir, config=cfg, memory_system=mem,
                          checkpoint_every=0)
+    # warm the audio-length pow2 buckets the measured clips will hit (the RMS
+    # windowing programs compile per (bucket, window, hop))
+    from hippomm_tpu.ops.silence import detect_silence_regions
+    from hippomm_tpu.memory.segmentation import audio_window_levels
 
-    # ---- measured ingest ---------------------------------------------------
+    for dur in (600.0, 120.0):
+        z = np.zeros(int(dur * 16000), np.float32)
+        detect_silence_regions(z)
+        audio_window_levels(z)
+
+    # ---- measured ingest: 10-min vlog ---------------------------------------
     t0 = time.perf_counter()
     stats = process_video_folder(videos, cfg.storage.base_dir, config=cfg,
                                  memory_system=mem, checkpoint_every=0)
@@ -82,7 +166,14 @@ def main() -> None:
     media_s = stats["media_seconds"] or 1e-9
     realtime = media_s / wall
 
-    # ---- detailed-recall p50 over a 1k-event store -------------------------
+    # ---- decode-realism ingest: 2 min @ 30 fps -------------------------------
+    t0 = time.perf_counter()
+    stats30 = process_video_folder(fast, cfg.storage.base_dir, config=cfg,
+                                   memory_system=mem, checkpoint_every=0)
+    wall30 = time.perf_counter() - t0
+    realtime30 = (stats30["media_seconds"] or 1e-9) / wall30
+
+    # ---- detailed-recall p50 over a 1k-event store ---------------------------
     rng = np.random.default_rng(0)
     events = [
         ThetaEvent(
@@ -103,19 +194,28 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1000)
 
+    # ---- isolated vision-tower MFU -------------------------------------------
+    mfu = _vision_mfu(mem, peak)
+
     shutil.rmtree(work, ignore_errors=True)
 
     print(json.dumps({
-        "metric": "ingest_throughput_10min_vlog",
+        "metric": "ingest_throughput_10min_vlog_mp4",
         "value": round(realtime, 3),
         "unit": "video-hours/hour/chip (x realtime)",
         "vs_baseline": round(realtime / 50.0, 4),
         "extra": {
             "platform": platform,
+            "device_kind": device_kind,
+            "workload": "600s 640x360 H.264 mp4 + AAC, full pipeline incl. "
+                        "distil-large-v3 ASR (random weights, batched greedy)",
             "ingest_wall_s": round(wall, 2),
             "media_s": media_s,
+            "ingest_30fps_realtime_x": round(realtime30, 3),
+            "ingest_30fps_wall_s": round(wall30, 2),
             "detailed_recall_p50_ms": round(p50_ms, 2),
             "recall_p50_target_ms": 200.0,
+            "vision_tower": mfu,
             "stage_timers": mem.timers.summary(),
         },
     }))

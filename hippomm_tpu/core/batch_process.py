@@ -143,7 +143,6 @@ def extract_frames_from_video(
     Idempotent: resumes from metadata.yaml when all frames exist (:137-149).
     """
     from hippomm_tpu.media.io import open_video
-    from hippomm_tpu.ops.ssim import ssim_pairs
     from hippomm_tpu.utils.timers import StageTimer
 
     timers = timers if timers is not None else StageTimer()
@@ -188,22 +187,13 @@ def extract_frames_from_video(
             list(prefetched_batches(decode_batch, num_batches, lookahead=2))
         ) if candidate_idx else np.zeros((0, sh, sw), np.uint8)
 
-    # --- greedy selection, batched SSIM on device ---------------------------
-    def score_fn(ref_gray: np.ndarray, block_grays: np.ndarray) -> np.ndarray:
-        pad = (-len(block_grays)) % 256  # one compiled shape for every call
-        g = (
-            np.concatenate([block_grays, np.repeat(block_grays[-1:], pad, axis=0)])
-            if pad
-            else block_grays
-        )
-        ref = np.broadcast_to(ref_gray, g.shape)
-        return np.asarray(ssim_pairs(ref, g))[: len(block_grays)]
+    # --- greedy selection: the ENTIRE walk runs on device as a lax.scan, one
+    # dispatch per 256-candidate block (ops/keyframe.py) ----------------------
+    from hippomm_tpu.ops.keyframe import select_keyframes_device
 
     times = [i / info.fps for i in candidate_idx]
     with timers.stage("extract_score"):
-        sel = select_keyframes_greedy(
-            grays, times, score_fn, max_diff_threshold, min_interval_s
-        )
+        sel = select_keyframes_device(grays, times, max_diff_threshold, min_interval_s)
     saved_idx = [candidate_idx[j] for j in sel]
     saved_times = [times[j] for j in sel]
 

@@ -557,6 +557,7 @@ class LibavReader:
         if lib is None:
             raise RuntimeError("native media shim required for libav decode")
         self._lib = lib
+        self.path = path
         self._h = lib.hmm_av_open(path.encode())
         if not self._h:
             raise ValueError(f"cannot open video: {path}")
@@ -591,9 +592,34 @@ class LibavReader:
         uniq, inverse = np.unique(idx, return_inverse=True)
         return uniq, inverse
 
-    def read_rgb(self, indices: Sequence[int]) -> np.ndarray:
+    def read_rgb(self, indices: Sequence[int], _parallel: bool = True) -> np.ndarray:
         uniq, inverse = self._sorted_unique(indices)
         out = np.empty((len(uniq), self.height, self.width, 3), dtype=np.uint8)
+        # Sparse sets spread over a long stream (keyframe fetch) pay one
+        # keyframe-seek + decode-forward per index; split across reader
+        # instances on threads (libav calls release the GIL under ctypes).
+        spread = (
+            _parallel and len(uniq) >= 8 and (uniq[-1] - uniq[0]) > 16 * max(1, len(uniq))
+        )
+        if spread:
+            nw = min(4, len(uniq) // 4)
+            bounds = np.linspace(0, len(uniq), nw + 1).astype(int)
+
+            def work(w):
+                lo, hi = bounds[w], bounds[w + 1]
+                if hi <= lo:
+                    return
+                r = LibavReader(self.path)
+                try:
+                    out[lo:hi] = r.read_rgb(uniq[lo:hi], _parallel=False)
+                finally:
+                    r.close()
+
+            import concurrent.futures
+
+            with concurrent.futures.ThreadPoolExecutor(max_workers=nw) as ex:
+                list(ex.map(work, range(nw)))
+            return out[inverse]
         rc = self._lib.hmm_av_read_rgb_indices(
             self._h,
             uniq.ctypes.data_as(ctypes.c_void_p),

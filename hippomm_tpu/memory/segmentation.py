@@ -20,7 +20,6 @@ import numpy as np
 
 from hippomm_tpu.memory.schema import SequenceSegment
 from hippomm_tpu.ops.resize import resize_frames
-from hippomm_tpu.ops.silence import window_rms_db
 from hippomm_tpu.ops.ssim import adjacent_ssim, rgb_to_gray
 
 SSIM_DOWNSCALE_H = 90  # reference computes SSIM on small grayscale frames
@@ -57,16 +56,11 @@ def audio_window_levels(
     hop = int(AUDIO_HOP_S * sample_rate)
     if len(audio) < win:
         return None
-    import jax.numpy as jnp
+    # power-of-two length bucketing: one compile per bucket, result trimmed to
+    # the true window count (ops/silence.window_rms_db_bucketed)
+    from hippomm_tpu.ops.silence import window_rms_db_bucketed
 
-    # pad to 10 s quanta (zeros → floor-dB windows; boundary search masks by
-    # time so padding can never be selected) — one compile per bucket
-    n_windows = 1 + (len(audio) - win) // hop
-    quantum = 10 * sample_rate
-    target = ((len(audio) + quantum - 1) // quantum) * quantum
-    padded = np.pad(audio, (0, target - len(audio)))
-    db = np.asarray(window_rms_db(jnp.asarray(padded), win, hop))
-    return db[:n_windows]
+    return window_rms_db_bucketed(audio, win, hop)
 
 
 def find_boundaries(

@@ -37,14 +37,12 @@ from hippomm_tpu.models.whisper.transcribe import Segment, WhisperTranscriber
 
 logger = logging.getLogger(__name__)
 
-_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
-
-
+# ONE compiled batch shape per tower per 32 rows: TPU-idiomatic fixed shapes.
+# Padding a 3-frame call to 32 wastes trivial compute (ViT-H batch-32 forward
+# is ~160 ms) but avoids 5+ extra multi-second XLA compiles — which dominate
+# on remote/tunneled devices and pollute measured throughput windows.
 def _bucket(n: int) -> int:
-    for b in _BUCKETS:
-        if n <= b:
-            return b
-    return ((n + 63) // 64) * 64
+    return max(32, ((n + 31) // 32) * 32)
 
 
 class ImageBind:

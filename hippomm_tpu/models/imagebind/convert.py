@@ -69,6 +69,10 @@ def _collect_blocks(sd: Dict, trunk: str, depth: int) -> Dict:
         "norm_1": {"weight": grab(base + ".norm_1.weight"), "bias": grab(base + ".norm_1.bias")},
         "norm_2": {"weight": grab(base + ".norm_2.weight"), "bias": grab(base + ".norm_2.bias")},
     }
+    # the public audio trunk has add_bias_kv=True → bias_k/bias_v per block
+    if base.format(i=0) + ".attn.bias_k" in sd:
+        out["attn"]["bias_k"] = grab(base + ".attn.bias_k")
+        out["attn"]["bias_v"] = grab(base + ".attn.bias_v")
     return out
 
 

@@ -143,7 +143,8 @@ def init_imagebind(key: jax.Array, cfg: ImageBindConfig) -> Dict:
         "pos_embed": 0.02 * jax.random.normal(ka2, (1, cfg.audio_tokens, aw), jnp.float32),
         "blocks": L.stack_block_params(
             [
-                L.init_block(k, aw, cfg.audio.mlp_ratio)
+                # the public audio trunk uses add_bias_kv=True (imagebind_model)
+                L.init_block(k, aw, cfg.audio.mlp_ratio, bias_kv=True)
                 for k in jax.random.split(ka3, cfg.audio.depth)
             ]
         ),

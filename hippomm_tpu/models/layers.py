@@ -76,6 +76,18 @@ def attention(
         k = linear(p["k_proj"], x_kv, dtype)
         v = linear(p["v_proj"], x_kv, dtype)
 
+    if "bias_k" in p:
+        # torch MultiheadAttention add_bias_kv=True (ImageBind audio trunk):
+        # one learned K/V position appended post-projection to every row
+        bsz = k.shape[0]
+        bk = jnp.broadcast_to(p["bias_k"].reshape(1, 1, d), (bsz, 1, d)).astype(jnp.float32)
+        bv = jnp.broadcast_to(p["bias_v"].reshape(1, 1, d), (bsz, 1, d)).astype(jnp.float32)
+        k = jnp.concatenate([k, bk], axis=1)
+        v = jnp.concatenate([v, bv], axis=1)
+        if mask is not None:  # appended position is always attendable
+            pad = [(0, 0)] * (mask.ndim - 1) + [(0, 1)]
+            mask = jnp.pad(mask, pad)
+
     def split(t):  # (B, T, D) -> (B, H, T, hd)
         b_, t_, _ = t.shape
         return t.reshape(b_, t_, num_heads, hd).transpose(0, 2, 1, 3)
@@ -167,7 +179,9 @@ def init_layer_norm(d: int) -> Params:
     return {"weight": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
 
 
-def init_attention(key, d: int, packed: bool = True, bias: bool = True) -> Params:
+def init_attention(
+    key, d: int, packed: bool = True, bias: bool = True, bias_kv: bool = False
+) -> Params:
     k1, k2 = jax.random.split(key)
     if packed:
         scale = 1.0 / np.sqrt(d)
@@ -179,6 +193,10 @@ def init_attention(key, d: int, packed: bool = True, bias: bool = True) -> Param
         }
         if bias:
             p["in_proj"]["bias"] = jnp.zeros((3 * d,), jnp.float32)
+        if bias_kv:  # torch xavier_normal_ init; zeros keeps hermetic determinism
+            k3, k4 = jax.random.split(jax.random.fold_in(key, 7))
+            p["bias_k"] = 0.02 * jax.random.normal(k3, (1, 1, d), jnp.float32)
+            p["bias_v"] = 0.02 * jax.random.normal(k4, (1, 1, d), jnp.float32)
         return p
     k1a, k1b, k1c = jax.random.split(k1, 3)
     return {
@@ -189,11 +207,13 @@ def init_attention(key, d: int, packed: bool = True, bias: bool = True) -> Param
     }
 
 
-def init_block(key, d: int, mlp_ratio: float = 4.0, packed: bool = True) -> Params:
+def init_block(
+    key, d: int, mlp_ratio: float = 4.0, packed: bool = True, bias_kv: bool = False
+) -> Params:
     k1, k2, k3 = jax.random.split(key, 3)
     hidden = int(d * mlp_ratio)
     return {
-        "attn": init_attention(k1, d, packed=packed),
+        "attn": init_attention(k1, d, packed=packed, bias_kv=bias_kv),
         "mlp": {"fc1": init_linear(k2, d, hidden), "fc2": init_linear(k3, hidden, d)},
         "norm_1": init_layer_norm(d),
         "norm_2": init_layer_norm(d),

@@ -30,7 +30,6 @@ logger = logging.getLogger(__name__)
 CHUNK_SECONDS = 30.0
 SAMPLE_RATE = 16000
 TIME_PRECISION = 0.02  # seconds per timestamp token
-_CHUNK_BUCKETS = (1, 2, 4, 8, 16)  # compiled batch shapes for chunk batches
 
 
 @dataclasses.dataclass
@@ -154,8 +153,8 @@ class WhisperTranscriber:
         for lo in range(0, len(chunks), max_chunk_batch):
             batch = chunks[lo : lo + max_chunk_batch]
             n = len(batch)
-            b = next((x for x in _CHUNK_BUCKETS if n <= x), max_chunk_batch)
-            if b > n:  # pad to the bucket so compiled shapes are bounded
+            b = max_chunk_batch  # ONE compiled shape (encoder + decode loop)
+            if b > n:
                 batch = batch + [batch[-1]] * (b - n)
             stacked = jnp.asarray(np.stack(batch))
             mels = jax.vmap(self.mel)(stacked)[:, :, :n_frames_target]

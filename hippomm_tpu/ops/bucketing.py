@@ -10,15 +10,17 @@ from typing import Tuple
 
 import numpy as np
 
-BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512)
+QUANTUM = 32
 
 
-def bucket_size(n: int, quantum: int = 512) -> int:
-    """Smallest bucket ≥ n: powers of two up to 512, then multiples of quantum."""
-    for b in BUCKETS:
-        if n <= b:
-            return b
-    return ((n + quantum - 1) // quantum) * quantum
+def bucket_size(n: int, quantum: int = QUANTUM) -> int:
+    """Smallest multiple of `quantum` ≥ n (min one quantum).
+
+    ONE compiled shape per 32 rows: padding a 4-row call to 32 wastes trivial
+    compute, while a ladder of small buckets costs one multi-second XLA compile
+    per rung — compiles dominate on remote/tunneled devices and pollute
+    measured throughput windows."""
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
 def pad_leading(arr: np.ndarray, n: int | None = None, mode: str = "edge") -> Tuple[np.ndarray, int]:

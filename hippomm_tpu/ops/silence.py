@@ -18,6 +18,22 @@ import numpy as np
 _DB_FLOOR = -100.0
 
 
+def window_rms_db_bucketed(pcm: np.ndarray, window: int, hop: int) -> np.ndarray:
+    """window_rms_db with the waveform length padded to a power of two, so the
+    program compiles once per (bucket, window, hop) instead of once per audio
+    duration. Zero padding yields floor-dB windows; the result is trimmed to
+    the true window count so callers never see them."""
+    pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+    n = len(pcm)
+    if n < window:
+        return np.zeros((0,), np.float32)
+    num = 1 + (n - window) // hop
+    target = 1 << max(0, int(np.ceil(np.log2(max(n, window)))))
+    if target > n:
+        pcm = np.pad(pcm, (0, target - n))
+    return np.asarray(window_rms_db(pcm, window, hop))[:num]
+
+
 @partial(jax.jit, static_argnames=("window", "hop"))
 def window_rms_db(pcm: jax.Array, window: int, hop: int) -> jax.Array:
     """RMS level in dBFS per window. pcm: (N,) float in [-1, 1].
@@ -58,7 +74,7 @@ def detect_silence_regions(
             return [(0.0, pcm.size / sample_rate)]
         return []
     hop = window
-    db = np.asarray(window_rms_db(pcm, window, hop))
+    db = window_rms_db_bucketed(pcm, window, hop)
     silent = db < threshold_db
     regions: List[Tuple[float, float]] = []
     start = None

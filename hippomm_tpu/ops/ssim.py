@@ -23,16 +23,21 @@ WIN = 7
 
 
 def _window_mean(x: jax.Array) -> jax.Array:
-    """(B, H, W) -> (B, H-6, W-6) mean over 7x7 VALID windows."""
-    s = jax.lax.reduce_window(
-        x,
-        0.0,
-        jax.lax.add,
-        window_dimensions=(1, WIN, WIN),
-        window_strides=(1, 1, 1),
-        padding="VALID",
+    """(B, H, W) -> (B, H-6, W-6) mean over 7x7 VALID windows.
+
+    Expressed as two separable 1-D convolutions (rows then cols) — compiles and
+    runs far faster on TPU than a 2-D reduce_window (which lowered to a
+    27-second compile at ingest shapes)."""
+    ones_h = jnp.ones((1, 1, WIN, 1), jnp.float32)
+    ones_w = jnp.ones((1, 1, 1, WIN), jnp.float32)
+    y = x[:, None]  # (B, 1, H, W)
+    y = jax.lax.conv_general_dilated(
+        y, ones_h, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
     )
-    return s / (WIN * WIN)
+    y = jax.lax.conv_general_dilated(
+        y, ones_w, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+    )
+    return y[:, 0] / (WIN * WIN)
 
 
 @partial(jax.jit, static_argnames=("data_range",))

@@ -282,3 +282,46 @@ def test_extract_frames_mp4_selection_matches_oracle(tmp_path):
     want_times = [times[j] for j in _oracle_select(grays, times)]
     assert meta["frame_times"] == pytest.approx(want_times)
     assert all(os.path.exists(q) for q in meta["frame_paths"])
+
+
+def test_device_scan_selection_matches_host_oracle():
+    """The on-device lax.scan greedy walk (ops/keyframe.py) == the host greedy
+    == the straight-Python oracle, across block boundaries (n > block)."""
+    from hippomm_tpu.core.batch_process import select_keyframes_greedy
+    from hippomm_tpu.ops.keyframe import select_keyframes_device
+    from hippomm_tpu.ops.ssim import batched_ssim
+
+    rng = np.random.default_rng(3)
+    n, h, w = 70, 90, 160
+    base = rng.integers(60, 200, size=(h, w)).astype(np.float32)
+    drift = rng.normal(0, 1, size=(h, w))
+    grays = np.empty((n, h, w), np.uint8)
+    for i in range(n):
+        grays[i] = np.clip(base + drift * i * 1.5 + 8 * np.sin(i / 4.0), 0, 255).astype(np.uint8)
+    times = list(np.arange(n, dtype=float))
+
+    def score_fn(ref, block):
+        return batched_ssim(np.broadcast_to(ref, block.shape), block)
+
+    host = select_keyframes_greedy(grays, times, score_fn, 0.3, 1.0)
+    device = select_keyframes_device(grays, times, 0.3, 1.0, block=32)  # force blocks
+    oracle = _oracle_select(grays, times, 0.3, 1.0)
+    assert host == oracle
+    assert device == oracle
+    assert len(oracle) > 2
+
+
+def test_parallel_sparse_rgb_fetch(tmp_path):
+    """Sparse spread index sets decode in parallel slices — results must equal
+    the sequential path exactly."""
+    spec = SynthSpec(duration=30.0, fps=10.0, width=160, height=120,
+                     scene_changes=(10.0, 20.0), seed=9)
+    p = str(tmp_path / "sparse.mp4")
+    write_synthetic_video(p, spec)
+    r = LibavReader(p)
+    idx = list(range(0, r.num_frames, 25))  # sparse: every 2.5 s
+    assert len(idx) >= 8
+    par = r.read_rgb(idx)
+    seq = LibavReader(p).read_rgb(idx, _parallel=False)
+    assert np.array_equal(par, seq)
+    r.close()

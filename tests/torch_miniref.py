@@ -23,9 +23,9 @@ class Mlp(nn.Module):
 
 
 class Block(nn.Module):
-    def __init__(self, d, heads, mlp_ratio=4.0, eps=1e-6):
+    def __init__(self, d, heads, mlp_ratio=4.0, eps=1e-6, add_bias_kv=False):
         super().__init__()
-        self.attn = nn.MultiheadAttention(d, heads, batch_first=True)
+        self.attn = nn.MultiheadAttention(d, heads, batch_first=True, add_bias_kv=add_bias_kv)
         self.norm_1 = nn.LayerNorm(d, eps=eps)
         self.norm_2 = nn.LayerNorm(d, eps=eps)
         self.mlp = Mlp(d, int(d * mlp_ratio))
@@ -38,11 +38,13 @@ class Block(nn.Module):
 
 
 class Trunk(nn.Module):
-    def __init__(self, d, depth, heads, pre_ln=False, eps=1e-6):
+    def __init__(self, d, depth, heads, pre_ln=False, eps=1e-6, add_bias_kv=False):
         super().__init__()
         if pre_ln:
             self.pre_transformer_layer = nn.Sequential(nn.LayerNorm(d, eps=eps))
-        self.blocks = nn.ModuleList([Block(d, heads, eps=eps) for _ in range(depth)])
+        self.blocks = nn.ModuleList(
+            [Block(d, heads, eps=eps, add_bias_kv=add_bias_kv) for _ in range(depth)]
+        )
 
     def forward(self, x, attn_mask=None):
         if hasattr(self, "pre_transformer_layer"):
@@ -154,7 +156,8 @@ class MiniImageBind(nn.Module):
         self.modality_trunks = nn.ModuleDict(
             {
                 "vision": Trunk(v.width, v.depth, v.heads, pre_ln=True),
-                "audio": Trunk(a.width, a.depth, a.heads),
+                # the public audio trunk passes add_bias_kv=True (imagebind_model.py)
+                "audio": Trunk(a.width, a.depth, a.heads, add_bias_kv=True),
                 "text": Trunk(t.width, t.depth, t.heads),
             }
         )
