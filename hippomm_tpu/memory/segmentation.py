@@ -28,21 +28,32 @@ AUDIO_WIN_S = 0.5
 AUDIO_HOP_S = 0.1
 
 
+def _fused_adjacent_ssim_impl(frames, h: int, w: int):
+    return adjacent_ssim(rgb_to_gray(resize_frames(frames, h, w)))
+
+
+_FUSED_ADJ = None
+
+
 def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
     """(T, H, W, 3) uint8 -> (T-1,) SSIM between consecutive frames, computed
-    on device at a fixed downscale (one fused program: resize→gray→SSIM).
-    The frame axis is bucket-padded so the program compiles once per bucket,
-    not once per video."""
+    on device at a fixed downscale as ONE fused jitted program
+    (resize→gray→SSIM: a single dispatch, not three). The frame axis is
+    bucket-padded so the program compiles once per bucket, not per video."""
+    import jax
     import jax.numpy as jnp
 
     from hippomm_tpu.ops.bucketing import pad_leading
 
+    global _FUSED_ADJ
+    if _FUSED_ADJ is None:
+        _FUSED_ADJ = jax.jit(_fused_adjacent_ssim_impl, static_argnames=("h", "w"))
+
     if frames_rgb.shape[0] < 2:
         return np.zeros((0,), np.float32)
     padded, orig = pad_leading(np.asarray(frames_rgb))
-    small = resize_frames(jnp.asarray(padded), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W)
-    gray = rgb_to_gray(small)
-    return np.asarray(adjacent_ssim(gray))[: orig - 1]
+    sims = _FUSED_ADJ(jnp.asarray(padded), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W)
+    return np.asarray(sims)[: orig - 1]
 
 
 def audio_window_levels(

@@ -35,6 +35,6 @@ def test_pallas_topk_unpadded_boundary(rng):
 def test_pallas_topk_single_tile(rng):
     f = rng.normal(size=(64, 128)).astype(np.float32)
     q = f[17]  # self-match
-    vals, idx = pallas_top_k_cosine(jnp.asarray(q), jnp.asarray(f), k=3, tile_n=64, interpret=True)
+    vals, idx = pallas_top_k_cosine(jnp.asarray(q), jnp.asarray(f), k=3, tile_n=128, interpret=True)
     assert int(np.asarray(idx)[0]) == 17
     assert float(np.asarray(vals)[0]) > 0.999
