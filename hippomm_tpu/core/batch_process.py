@@ -333,6 +333,7 @@ def process_video_folder(
     sort_by: str = "name",
     checkpoint_every: int = 5,
     limit: Optional[int] = None,
+    skip_existing: bool = True,
 ) -> Dict:
     """Batch ingest driver (reference: batch_process.py:437-663)."""
     from hippomm_tpu.memory.engine import HippocampalMemory
@@ -370,7 +371,7 @@ def process_video_folder(
     for i, path in enumerate(videos):
         video_id = os.path.splitext(os.path.basename(path))[0]
         # skip-existing via video_index + existing events (reference :489-531)
-        if mem.store.has_video(video_id) and mem.store.events_for_video(video_id):
+        if skip_existing and mem.store.has_video(video_id) and mem.store.events_for_video(video_id):
             logger.info("skipping %s (already ingested)", video_id)
             stats["skipped"] += 1
             continue
@@ -480,19 +481,63 @@ def process_memory_sync(
 
 
 def main(argv: Optional[Sequence[str]] = None) -> Dict:
-    """(reference: batch_process.py:749-826)"""
+    """(reference: batch_process.py:749-826 — same flag surface: --path takes a
+    single video file OR a folder; --skip-existing / --checkpoint-interval /
+    --sort-by accepted verbatim)"""
     parser = argparse.ArgumentParser(description="hippomm-tpu batch video ingest")
-    parser.add_argument("--path", required=True, help="folder of videos (.y4m/.avi + sibling .wav)")
+    parser.add_argument(
+        "--path", required=True,
+        help="video file or folder of videos (.mp4/.mov/.mkv/.avi/.y4m/.webm)",
+    )
     parser.add_argument("--memory_store", "--memory-store", default="memory_store")
     parser.add_argument("--config", default=None)
-    parser.add_argument("--sort", choices=("name", "time", "size"), default="name")
-    parser.add_argument("--checkpoint-every", type=int, default=5)
+    parser.add_argument(
+        "--sort", "--sort-by", dest="sort", choices=("name", "time", "size"), default="name"
+    )
+    parser.add_argument(
+        "--checkpoint-every", "--checkpoint-interval", dest="checkpoint_every",
+        type=int, default=5,
+    )
     parser.add_argument("--limit", type=int, default=None)
+    # reference flag (batch_process.py:758). Deviation: skipping already-
+    # ingested videos is our DEFAULT (idempotent re-runs); --no-skip-existing
+    # forces reprocessing.
+    parser.add_argument("--skip-existing", dest="skip_existing", action="store_true", default=True)
+    parser.add_argument("--no-skip-existing", dest="skip_existing", action="store_false")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s")
     config = load_config(args.config)
     config.storage.base_dir = args.memory_store
+
+    if os.path.isfile(args.path):
+        # single-video mode (reference :784-804)
+        from hippomm_tpu.memory.engine import HippocampalMemory
+
+        mem = HippocampalMemory(config=config)
+        video_id = os.path.splitext(os.path.basename(args.path))[0]
+        t0 = time.perf_counter()
+        extracted = process_single_video(args.path, args.memory_store, video_id, timers=mem.timers)
+        mem.add_video(video_id, args.path)
+        frames, audio = extracted["frames"], extracted["audio"]
+        mem.process_sequence(
+            video_id,
+            frame_paths=frames.get("frame_paths", []),
+            frame_times=frames.get("frame_times", []),
+            frames_rgb=frames.get("frames_rgb"),
+            audio_data=audio.get("audio"),
+            video_duration=frames.get("duration"),
+            auto_consolidate=True,
+        )
+        wall = time.perf_counter() - t0
+        return {
+            "total": 1, "processed": 1, "skipped": 0, "failed": 0, "errors": {},
+            "video_id": video_id,
+            "wall_seconds": wall,
+            "media_seconds": float(frames.get("duration") or 0.0),
+            "engine": mem.get_stats(),
+        }
+
     return process_video_folder(
         args.path,
         args.memory_store,
@@ -500,6 +545,7 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
         sort_by=args.sort,
         checkpoint_every=args.checkpoint_every,
         limit=args.limit,
+        skip_existing=args.skip_existing,
     )
 
 

@@ -274,8 +274,13 @@ class QwenVL:
         images: Optional[Sequence[bytes]] = None,
         video_frames: Optional[np.ndarray] = None,
         max_tokens: int = 512,
+        max_new_tokens: Optional[int] = None,
     ) -> str:
-        """Text (+ optional jpeg images / raw frames) -> completion."""
+        """Text (+ optional jpeg images / raw frames) -> completion.
+        Accepts the reference's generate(messages, max_new_tokens=...) calling
+        convention (foundation_models.py:275-279) as well."""
+        if max_new_tokens is not None:
+            max_tokens = max_new_tokens
         if isinstance(prompt, list):
             return self.client.chat(prompt, max_tokens=max_tokens)
         content: List[Dict] = [{"type": "text", "text": prompt}]

@@ -47,6 +47,11 @@ def distil_large_v3_config() -> WhisperConfig:
     return WhisperConfig()
 
 
+def large_v3_config() -> WhisperConfig:
+    """openai/whisper-large-v3: same encoder, full 32-layer decoder."""
+    return WhisperConfig(decoder_layers=32)
+
+
 def tiny_config() -> WhisperConfig:
     """Hermetic tiny variant (matches a tiny-random transformers WhisperModel)."""
     return WhisperConfig(
@@ -68,8 +73,10 @@ def tiny_config() -> WhisperConfig:
 
 
 def get_config(variant: str) -> WhisperConfig:
-    if variant in ("distil-large-v3", "large-v3"):
+    if variant == "distil-large-v3":
         return distil_large_v3_config()
+    if variant == "large-v3":
+        return large_v3_config()
     if variant == "tiny":
         return tiny_config()
     raise ValueError(f"unknown whisper variant: {variant}")

@@ -144,11 +144,14 @@ def top_k_cosine_auto(query, feats, k: int):
     """Route big-store TPU queries through the Pallas kernel (default ON; set
     HIPPOMM_PALLAS_TOPK=0 to force the XLA path).
 
-    Hardware-measured on TPU v5e (2e5×1024 fp32, k=20, distinct queries): the
-    lane-major merge kernel beats the materialize-then-top_k XLA program ~3×
-    (the original (1, tile+k)-shaped merge was ~1.5× SLOWER — sublane
-    utilization decides this kernel). Exactness vs the dense oracle is tested
-    in interpret mode and on hardware."""
+    Hardware status (TPU v5e, 2e5×1024 fp32, k=20): compiles in <1 s, exact vs
+    the dense oracle on hardware and in interpret mode. Timing through this
+    environment's tunneled device is too noisy for a definitive ratio (runs
+    ranged from kernel 3× faster to 1.4× slower vs the XLA program; both are
+    single-digit ms at store scale, far under the 200 ms recall budget); the
+    lane-major merge layout was a consistent ~2× win over the original
+    (1, tile+k) layout. The kernel's one-pass HBM traffic is the right
+    asymptotic shape, so it is the TPU default."""
     import os
 
     from hippomm_tpu.ops.similarity import top_k_cosine

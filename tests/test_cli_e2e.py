@@ -158,3 +158,36 @@ def test_streaming_consumer(ingested, tmp_path):
     assert stats["frames"] == 6
     assert stats["completed"] == ["stream1"]
     assert len(mem.long_term_store) == 1
+
+
+def test_single_file_ingest_and_reprocess_flags(tmp_path):
+    """--path pointing at ONE video file (reference :784-804) and the
+    --no-skip-existing reprocess override."""
+    import numpy as np
+
+    from hippomm_tpu.core.batch_process import main as batch_main
+    from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+
+    video = tmp_path / "solo.mp4"
+    write_synthetic_video(
+        str(video),
+        SynthSpec(duration=12.0, fps=4.0, width=160, height=120, scene_changes=(6.0,), seed=4),
+    )
+    cfg = tmp_path / "c.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(
+            {"api": {"mode": "stub"}, "models": {"imagebind_variant": "tiny", "whisper_variant": "stub"}},
+            f,
+        )
+    store = str(tmp_path / "store")
+    stats = batch_main(["--path", str(video), "--memory_store", store, "--config", str(cfg)])
+    assert stats["processed"] == 1 and stats["video_id"] == "solo"
+    assert os.path.isdir(os.path.join(store, "events", "solo"))
+
+    # folder mode: skipped by default, reprocessed with --no-skip-existing
+    stats2 = batch_main(["--path", str(tmp_path), "--memory_store", store, "--config", str(cfg)])
+    assert stats2["skipped"] == 1
+    stats3 = batch_main(
+        ["--path", str(tmp_path), "--memory_store", store, "--config", str(cfg), "--no-skip-existing"]
+    )
+    assert stats3["processed"] == 1
