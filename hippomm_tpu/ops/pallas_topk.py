@@ -16,9 +16,9 @@ on a (tile_n/128 + 1, 128) candidate matrix — full 128-lane rows with the
 running top-k carried as one extra row — rather than a (1, tile_n + k) vector
 (which wastes 7/8 sublanes and measured ~2× slower on v5e).
 
-Measured on TPU v5e (1 chip, 2e5×1024 fp32, k=20, vs the XLA path): see
-bench extra `topk_pallas` — the kernel is exact vs the dense oracle; use
-`HIPPOMM_PALLAS_TOPK=1` to route retrieval through it.
+Measured on TPU v5e (1 chip, 2e5×1024 fp32, k=20, vs the XLA path): exact vs
+the dense oracle; ~1.4× slower than XLA for single-query (mat-vec) recall —
+see top_k_cosine_auto's docstring for the full verdict and the opt-in switch.
 """
 
 from __future__ import annotations
@@ -36,11 +36,20 @@ _BIG_IDX = 2**30
 _LANES = 128
 
 
-def _topk_kernel(q_ref, f_ref, vals_ref, idx_ref, sv_ref, si_ref, *, k, tile_n, n_valid):
+def _topk_kernel(
+    q_ref, f_ref, vals_ref, idx_ref, sv_ref, si_ref, kth_ref, *, k, tile_n, n_valid
+):
     """One grid step: merge this tile's sims into the running top-k scratch.
 
     Scratches sv/si are (1, 128) rows (k <= 128); candidates live in a
     (tile_n/128 + 1, 128) matrix whose last row is the running top-k.
+
+    Threshold early-skip: the sequential k-maxima merge only runs when this
+    tile's best similarity beats the running k-th value (kth_ref, SMEM). After
+    the first few tiles the running top-k is hard to beat, so the expected
+    per-tile cost collapses to dot + one reduce-max — the kernel approaches
+    pure HBM streaming. Worst case (ascending-sorted stores) degrades to a
+    merge per tile; correctness is unaffected.
     """
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
@@ -50,6 +59,7 @@ def _topk_kernel(q_ref, f_ref, vals_ref, idx_ref, sv_ref, si_ref, *, k, tile_n, 
     def _init():
         sv_ref[:] = jnp.full_like(sv_ref, _NEG)
         si_ref[:] = jnp.zeros_like(si_ref)
+        kth_ref[0, 0] = _NEG
 
     f = f_ref[:]  # (tile_n, D) fp32
     q = q_ref[:]  # (1, D) pre-normalized query
@@ -63,28 +73,35 @@ def _topk_kernel(q_ref, f_ref, vals_ref, idx_ref, sv_ref, si_ref, *, k, tile_n, 
         + jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
     )
     sims = jnp.where(row_ids < n_valid, sims, _NEG)
+    tile_best = jnp.max(sims)
 
-    # (rows + 1, 128) candidates: tile sims + the running top-k row
-    all_v = jnp.concatenate([sims, sv_ref[0:1, :]], axis=0)
-    all_i = jnp.concatenate([row_ids, si_ref[0:1, :]], axis=0)
-    lin = (
-        jax.lax.broadcasted_iota(jnp.int32, (rows + 1, _LANES), 0) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (rows + 1, _LANES), 1)
-    )
-    kcols = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
-    new_v = jnp.full((1, _LANES), _NEG, jnp.float32)
-    new_i = jnp.zeros((1, _LANES), jnp.int32)
-    for j in range(k):
-        m = jnp.max(all_v)  # scalar
-        pos = jnp.min(jnp.where(all_v == m, lin, _BIG_IDX))  # scalar linear idx
-        take = lin == pos
-        ci = jnp.sum(jnp.where(take, all_i, 0))  # scalar original index
-        sel = kcols == j
-        new_v = jnp.where(sel, m, new_v)
-        new_i = jnp.where(sel, ci, new_i)
-        all_v = jnp.where(take, _NEG, all_v)
-    sv_ref[0:1, :] = new_v
-    si_ref[0:1, :] = new_i
+    @pl.when(tile_best > kth_ref[0, 0])
+    def _merge():
+        # (rows + 1, 128) candidates: tile sims + the running top-k row
+        all_v = jnp.concatenate([sims, sv_ref[0:1, :]], axis=0)
+        all_i = jnp.concatenate([row_ids, si_ref[0:1, :]], axis=0)
+        lin = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows + 1, _LANES), 0) * _LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (rows + 1, _LANES), 1)
+        )
+        kcols = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        new_v = jnp.full((1, _LANES), _NEG, jnp.float32)
+        new_i = jnp.zeros((1, _LANES), jnp.int32)
+        kth = jnp.float32(_NEG)
+        for j in range(k):
+            m = jnp.max(all_v)  # scalar
+            pos = jnp.min(jnp.where(all_v == m, lin, _BIG_IDX))  # scalar linear idx
+            take = lin == pos
+            ci = jnp.sum(jnp.where(take, all_i, 0))  # scalar original index
+            sel = kcols == j
+            new_v = jnp.where(sel, m, new_v)
+            new_i = jnp.where(sel, ci, new_i)
+            all_v = jnp.where(take, _NEG, all_v)
+            if j == k - 1:
+                kth = m
+        sv_ref[0:1, :] = new_v
+        si_ref[0:1, :] = new_i
+        kth_ref[0, 0] = kth
 
     @pl.when(step == nsteps - 1)
     def _finish():
@@ -134,6 +151,7 @@ def pallas_top_k_cosine(
         scratch_shapes=[
             pltpu.VMEM((1, _LANES), jnp.float32),
             pltpu.VMEM((1, _LANES), jnp.int32),
+            pltpu.SMEM((1, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, feats.astype(jnp.float32))
@@ -144,20 +162,23 @@ def top_k_cosine_auto(query, feats, k: int):
     """Route big-store TPU queries through the Pallas kernel (default ON; set
     HIPPOMM_PALLAS_TOPK=0 to force the XLA path).
 
-    Hardware status (TPU v5e, 2e5×1024 fp32, k=20): compiles in <1 s, exact vs
-    the dense oracle on hardware and in interpret mode. Timing through this
-    environment's tunneled device is too noisy for a definitive ratio (runs
-    ranged from kernel 3× faster to 1.4× slower vs the XLA program; both are
-    single-digit ms at store scale, far under the 200 ms recall budget); the
-    lane-major merge layout was a consistent ~2× win over the original
-    (1, tile+k) layout. The kernel's one-pass HBM traffic is the right
-    asymptotic shape, so it is the TPU default."""
+    Hardware verdict (TPU v5e, 2e5×1024 fp32, k=20, repeated runs): the kernel
+    compiles in <1 s and is EXACT vs the dense oracle on hardware, but
+    measures ~1.4× slower than the XLA program (5.7 ms vs 4.0 ms batch
+    protocol) even with the lane-major merge (~2× faster than the original
+    (1, tile+k) layout) and threshold early-skip — a query is a mat-VEC, so
+    the MXU advantage the kernel banks on never materializes and both paths
+    are HBM-bound, where XLA's pipelining wins. The XLA path is therefore the
+    DEFAULT; set HIPPOMM_PALLAS_TOPK=1 to route through the kernel (it becomes
+    the right shape once queries batch — mat-MAT tiles — which is the planned
+    multi-query recall path). Both timings are recorded every bench run
+    (`topk_200k`)."""
     import os
 
     from hippomm_tpu.ops.similarity import top_k_cosine
 
     if (
-        os.environ.get("HIPPOMM_PALLAS_TOPK", "1") != "0"
+        os.environ.get("HIPPOMM_PALLAS_TOPK") == "1"
         and jax.devices()[0].platform == "tpu"
         and feats.shape[0] >= 2048
         and k <= _LANES
