@@ -127,7 +127,9 @@ int seek_to_index(AvReader* r, int64_t idx) {
 // nearest one at/after it; at EOF the last decoded frame is reused).
 // `have` says whether r->frame currently holds a valid frame at r->last_idx.
 int position_at(AvReader* r, int64_t idx, bool* have) {
-  const int64_t SEEK_GAP = std::max<int64_t>((int64_t)(4.0 * r->fps), 64);
+  // Seek when the forward gap exceeds ~4 s of FRAMES (fps-relative, small
+  // floor: a 64-frame floor at 2 fps meant 32 s gaps decoded linearly).
+  const int64_t SEEK_GAP = std::max<int64_t>((int64_t)(4.0 * r->fps), 8);
   if (*have && r->last_idx >= idx) {
     // At/just past the wanted index (fps-rounding jitter): reuse the held
     // frame. Far past it (an earlier index than a previous call): seek back.

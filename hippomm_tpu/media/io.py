@@ -599,7 +599,10 @@ class LibavReader:
         # keyframe-seek + decode-forward per index; split across reader
         # instances on threads (libav calls release the GIL under ctypes).
         spread = (
-            _parallel and len(uniq) >= 8 and (uniq[-1] - uniq[0]) > 16 * max(1, len(uniq))
+            _parallel
+            and (os.cpu_count() or 1) > 1  # reader-per-thread only pays off multicore
+            and len(uniq) >= 8
+            and (uniq[-1] - uniq[0]) > 16 * max(1, len(uniq))
         )
         if spread:
             nw = min(4, len(uniq) // 4)

@@ -86,6 +86,7 @@ class HippocampalMemory:
         self.consolidated: Dict[str, Dict] = {}
         self._frame_buffer: Dict[str, List] = {}  # video_id -> [(path, time)]
         self._full_audio: Dict[str, np.ndarray] = {}
+        self._full_transcript: Dict[str, List] = {}  # video_id -> [Segment]
 
         self.store = MemoryStore(self.config.storage.base_dir)
         self.timers = StageTimer()
@@ -162,7 +163,9 @@ class HippocampalMemory:
                 seg.frame_times = [t + base_time for t in seg.frame_times]
             frame_times = [t + base_time for t in frame_times]
 
-        stms = self._encode_segments(video_id, segments, frames_rgb, frame_times, sample_rate)
+        stms = self._encode_segments(
+            video_id, segments, frames_rgb, frame_times, sample_rate, base_time=base_time
+        )
         self.short_term_buffer.setdefault(video_id, []).extend(stms)
 
         with self.timers.stage("checkpoint"):
@@ -180,6 +183,7 @@ class HippocampalMemory:
         frames_rgb: Optional[np.ndarray],
         frame_times: Sequence[float],
         sample_rate: int,
+        base_time: float = 0.0,
     ) -> List[ShortTermMemory]:
         """Perceptual encoding, batched across segments."""
         ft = np.asarray(list(frame_times), dtype=np.float64)
@@ -239,21 +243,39 @@ class HippocampalMemory:
             for si, e in zip(mel_owner, embs):
                 audio_embs[si] = e[None]
 
-        # ---- transcription: ALL segments in bucketized chunk batches ----
-        # (the reference loops serially per segment, :1238-1246)
+        # ---- transcription: ONE batched full-track ASR pass ----
+        # The reference transcribes every segment slice AND the full track
+        # again for the holistic transcription (:1238-1246, :1367-1415) —
+        # double ASR compute. Here the full track runs once (all 30 s windows
+        # in bucketized chunk batches); per-segment texts are the full-track
+        # timestamped segments assigned by midpoint, and replay reuses the
+        # same pass for the holistic transcription.
         transcripts: Dict[int, str] = {}
-        asr_owner = [
-            si
-            for si, seg in enumerate(segments)
-            if seg.audio_data is not None and len(seg.audio_data) >= sample_rate // 10
-        ]
-        if asr_owner:
+        full = self._full_audio.get(video_id)
+        if full is not None and len(full) >= sample_rate // 10:
             with self.timers.stage("transcribe"):
-                seg_results = self.whisper.transcribe_batch(
-                    [segments[si].audio_data for si in asr_owner], sample_rate
-                )
-            for si, segs in zip(asr_owner, seg_results):
-                transcripts[si] = " ".join(s.text for s in segs if s.text).strip()
+                asr_segs = self.whisper.transcribe(full, sample_rate)
+            self._full_transcript[video_id] = asr_segs
+            for si, seg in enumerate(segments):
+                lo, hi = seg.start_time - base_time, seg.end_time - base_time
+                texts = [
+                    s.text for s in asr_segs if s.text and lo <= (s.start + s.end) / 2 < hi
+                ]
+                if texts:
+                    transcripts[si] = " ".join(texts).strip()
+        else:  # no cached track (add_memory path): per-segment batched ASR
+            asr_owner = [
+                si
+                for si, seg in enumerate(segments)
+                if seg.audio_data is not None and len(seg.audio_data) >= sample_rate // 10
+            ]
+            if asr_owner:
+                with self.timers.stage("transcribe"):
+                    seg_results = self.whisper.transcribe_batch(
+                        [segments[si].audio_data for si in asr_owner], sample_rate
+                    )
+                for si, segs in zip(asr_owner, seg_results):
+                    transcripts[si] = " ".join(s.text for s in segs if s.text).strip()
 
         # ---- assemble STMs ----
         stms: List[ShortTermMemory] = []
@@ -421,11 +443,15 @@ class HippocampalMemory:
             end_time=merged["end_time"],
             modalities=merged["modalities"],
         )
-        # holistic transcription over the full audio track (reference :1367-1415)
-        full_audio = self._full_audio.get(video_id)
-        if full_audio is not None and len(full_audio) > 1600:
-            with self.timers.stage("holistic_transcribe"):
-                segs = self.whisper.transcribe(full_audio)
+        # holistic transcription over the full audio track (reference :1367-1415);
+        # reuses the single full-track ASR pass from perceptual encoding
+        segs = self._full_transcript.get(video_id)
+        if segs is None:
+            full_audio = self._full_audio.get(video_id)
+            if full_audio is not None and len(full_audio) > 1600:
+                with self.timers.stage("holistic_transcribe"):
+                    segs = self.whisper.transcribe(full_audio)
+        if segs:
             event.holistic_audio_transcription = " ".join(s.text for s in segs if s.text).strip()
 
         self.store.save_theta_event(event)
