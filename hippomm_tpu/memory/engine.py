@@ -62,10 +62,29 @@ class HippocampalMemory:
         self.audio_silence_threshold = p.audio_silence_threshold
         self.keyframe_dedup_threshold = p.keyframe_dedup_threshold
 
+        # device mesh: data-parallel encode across all local chips by default
+        # (config.system.mesh_data/mesh_model override; 1 chip → no mesh)
+        self.mesh = None
+        try:
+            import jax
+
+            from hippomm_tpu.parallel.mesh import make_mesh
+
+            sys_cfg = self.config.system
+            n_dev = len(jax.devices())
+            data = sys_cfg.mesh_data or (n_dev // max(1, sys_cfg.mesh_model))
+            total = data * max(1, sys_cfg.mesh_model)
+            if total > 1 and total <= n_dev:
+                self.mesh = make_mesh(total, model_parallel=max(1, sys_cfg.mesh_model))
+        except Exception:
+            logger.exception("mesh setup failed; running single-device")
+
         # foundation models (injectable for tests)
         models = models or {}
         self.imagebind: ImageBind = models.get("imagebind") or ImageBind(
-            model_path=imagebind_path or m.imagebind_path, variant=m.imagebind_variant
+            model_path=imagebind_path or m.imagebind_path,
+            variant=m.imagebind_variant,
+            mesh=self.mesh,
         )
         self.whisper: Whisper = models.get("whisper") or Whisper(
             model_name=whisper_model or m.whisper_model,
@@ -234,7 +253,7 @@ class HippocampalMemory:
                 embs = np.asarray(
                     ib_model.audio_forward(
                         self.imagebind.params,
-                        jnp.asarray(mels),
+                        self.imagebind._shard_batch(jnp.asarray(mels)),
                         self.imagebind.cfg,
                         self.imagebind.dtype,
                     ),

@@ -46,7 +46,13 @@ def _bucket(n: int) -> int:
 
 
 class ImageBind:
-    """Joint-embedding model wrapper (reference surface: extract_features)."""
+    """Joint-embedding model wrapper (reference surface: extract_features).
+
+    Pass `mesh` to run encodes DATA-PARALLEL across the mesh's "data" axis:
+    params replicate, input batches shard on the leading axis, and XLA splits
+    each tower forward across chips (ingest is embarrassingly parallel over
+    frames/clips — SURVEY.md §2.4). Bucketed batch sizes are multiples of 32,
+    so any data-axis size ≤32 that divides 32 works."""
 
     def __init__(
         self,
@@ -54,9 +60,11 @@ class ImageBind:
         variant: str = "huge",
         dtype=jnp.bfloat16,
         seed: int = 0,
+        mesh=None,
     ):
         self.cfg = ib_model.get_config(variant)
         self.dtype = dtype
+        self.mesh = mesh
         ckpt = None
         if model_path:
             for cand in (model_path, os.path.join(model_path, "imagebind_huge.pth")):
@@ -76,10 +84,27 @@ class ImageBind:
                     model_path,
                 )
             self.params = ib_model.init_imagebind(jax.random.PRNGKey(seed), self.cfg)
-        self.params = jax.device_put(self.params)
+        if mesh is not None:
+            from hippomm_tpu.parallel.mesh import replicated
+
+            self.params = jax.device_put(self.params, replicated(mesh))
+        else:
+            self.params = jax.device_put(self.params)
         self.tokenizer = load_tokenizer(
             model_path, vocab_size=self.cfg.vocab_size, context_length=self.cfg.context_length
         )
+
+    def _shard_batch(self, arr: jnp.ndarray) -> jnp.ndarray:
+        """Place a bucket-padded batch sharded over the mesh "data" axis; the
+        jitted tower forward then runs data-parallel with zero code changes
+        (XLA propagates the sharding; params are replicated)."""
+        if self.mesh is None:
+            return arr
+        from hippomm_tpu.parallel.mesh import data_sharding
+
+        if arr.shape[0] % self.mesh.shape["data"]:
+            return arr  # indivisible remainder: run replicated
+        return jax.device_put(arr, data_sharding(self.mesh, arr.ndim))
 
     # -- encoders ----------------------------------------------------------
 
@@ -96,7 +121,7 @@ class ImageBind:
         b = _bucket(n)
         if b != n:
             frames = np.concatenate([frames, np.repeat(frames[-1:], b - n, axis=0)])
-        x = preprocess_vision(frames, self.cfg.image_size)
+        x = self._shard_batch(preprocess_vision(frames, self.cfg.image_size))
         out = ib_model.vision_forward(self.params, x, self.cfg, self.dtype)
         return np.asarray(out[:n], dtype=np.float32)
 
@@ -115,8 +140,8 @@ class ImageBind:
         """list[str] -> (N, 1024) fp32."""
         if not texts:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
-        tokens = self.tokenizer(list(texts))
-        out = ib_model.text_forward(self.params, jnp.asarray(tokens), self.cfg, self.dtype)
+        tokens = self._shard_batch(jnp.asarray(self.tokenizer(list(texts))))
+        out = ib_model.text_forward(self.params, tokens, self.cfg, self.dtype)
         return np.asarray(out, dtype=np.float32)
 
     # -- reference-compatible surface (foundation_models.py:135-151) --------

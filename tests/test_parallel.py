@@ -124,3 +124,56 @@ def test_train_step_runs_and_descends(rng):
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_sharded_encode_matches_single_device(mesh8):
+    """Data-parallel ImageBind encode over the mesh == single-device encode."""
+    import numpy as np
+
+    from hippomm_tpu.models.foundation import ImageBind
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(16, 56, 56, 3)).astype(np.uint8)
+    texts = ["a red square", "a blue circle", "tone", "speech", "cat", "dog", "sea", "sky"]
+
+    single = ImageBind(variant="tiny", seed=3)
+    sharded = ImageBind(variant="tiny", seed=3, mesh=mesh8)
+    # sharded compilation re-tiles per shard: bf16-matmul-level fp noise only
+    np.testing.assert_allclose(
+        sharded.encode_vision(frames), single.encode_vision(frames), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        sharded.encode_text(texts), single.encode_text(texts), atol=5e-4
+    )
+
+
+def test_engine_auto_mesh_on_multidevice(tmp_path):
+    """The engine builds a data-parallel mesh over all local devices by
+    default and the pipeline still produces correct events."""
+    import numpy as np
+
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.media.synth import SynthSpec, generate
+    from hippomm_tpu.memory.engine import HippocampalMemory
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+    assert mem.mesh is not None and mem.mesh.shape["data"] == 8
+
+    res = generate(SynthSpec(duration=24.0, fps=2.0, width=160, height=120, seed=6))
+    mem.add_video("meshvid", "")
+    stms = mem.process_sequence(
+        "meshvid",
+        frame_paths=[f"f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+    )
+    assert stms and all(
+        np.isfinite(s.features["vision"]).all() for s in stms if "vision" in s.features
+    )
+    assert len(mem.long_term_store) == 1
