@@ -173,6 +173,19 @@ def main() -> None:
     wall30 = time.perf_counter() - t0
     realtime30 = (stats30["media_seconds"] or 1e-9) / wall30
 
+    # ---- e2e detailed recall over the INGESTED store (huge text tower + fused
+    # top-k + frame re-decode + stub caption/answer) ---------------------------
+    from hippomm_tpu.retrieval.qa import QARecallSystem
+
+    qa_cfg = cfg
+    qa_cfg.processing.fast_path_confidence = 2.0  # force the detailed pathway
+    qa = QARecallSystem(mem, qa_cfg)
+    qa.answer_question("What is shown in the video?")  # warm (compiles text tower)
+    t0 = time.perf_counter()
+    r = qa.answer_question("What color is the moving square at the end?")
+    recall_e2e_ms = (time.perf_counter() - t0) * 1000
+    assert r.answer, "detailed recall produced no answer"
+
     # ---- detailed-recall p50 over a 1k-event store ---------------------------
     rng = np.random.default_rng(0)
     events = [
@@ -236,6 +249,7 @@ def main() -> None:
             "ingest_30fps_realtime_x": round(realtime30, 3),
             "ingest_30fps_wall_s": round(wall30, 2),
             "detailed_recall_p50_ms": round(p50_ms, 2),
+            "recall_e2e_ms": round(recall_e2e_ms, 2),
             "recall_p50_target_ms": 200.0,
             "vision_tower": mfu,
             "topk_200k": topk_ms,

@@ -6,4 +6,5 @@ from hippomm_tpu.memory.schema import (  # noqa: F401
     ShortTermMemory,
     ThetaEvent,
 )
+from hippomm_tpu.memory.engine import process_frame_with_api  # noqa: F401
 from hippomm_tpu.retrieval.qa import QARecallSystem  # noqa: F401

@@ -39,6 +39,33 @@ logger = logging.getLogger(__name__)
 CAPTION_PROMPT = "Describe this image in one concise sentence."
 
 
+def process_frame_with_api(frame, index, model_name=None, config=None):
+    """Caption one frame file via the configured endpoint; returns
+    (index, "Frame {index+1}: <caption>") with the reference's error
+    placeholders (reference: hippocampal_memory.py:152-211 — a module-level
+    function precisely so mp.Pool can pickle it; here it is thread-safe and
+    round-robins endpoints through the client layer instead)."""
+    import os
+
+    try:
+        if not os.path.exists(frame):
+            return index, f"[Error: Image file not found: {frame}]"
+        with open(frame, "rb") as f:
+            jpeg = f.read()
+        if isinstance(config, Config):
+            cfg = config
+        else:
+            from hippomm_tpu.config import _update_dataclass
+
+            cfg = _update_dataclass(Config(), dict(config or {}))
+        client = make_client(cfg.api.frame_processing, cfg.api.mode, purpose="frame-captioning")
+        caption = client.caption_images([jpeg], CAPTION_PROMPT)[0]
+        return index, f"Frame {index + 1}: {caption}"
+    except Exception:
+        logger.exception("Error processing image %s", frame)
+        return index, f"[Error processing image {frame}]"
+
+
 class HippocampalMemory:
     def __init__(
         self,
