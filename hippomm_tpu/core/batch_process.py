@@ -310,18 +310,23 @@ def process_single_video(
     memory_store_dir: str,
     video_id: Optional[str] = None,
     timers=None,
+    memory_system=None,
 ) -> Dict:
     """Frame + audio extraction, concurrently (reference: batch_process.py:380-435
     used a ProcessPoolExecutor(2); threads suffice — the heavy work is in C++/XLA
-    which releases the GIL)."""
+    which releases the GIL). When a memory_system is supplied, the full-track
+    ASR launches as soon as audio is demuxed, overlapping the (host-bound)
+    frame decode with the (device-bound) Whisper pass."""
     video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
         f_frames = ex.submit(
             extract_frames_from_video, video_path, memory_store_dir, video_id, timers=timers
         )
         f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
-        frames = f_frames.result()
         audio = f_audio.result()
+        if memory_system is not None and audio.get("audio") is not None:
+            memory_system.prefetch_asr(video_id, audio["audio"])
+        frames = f_frames.result()
     return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
 
 
@@ -378,7 +383,8 @@ def process_video_folder(
         t0 = time.perf_counter()
         try:
             extracted = process_single_video(
-                path, memory_store_dir, video_id, timers=getattr(mem, "timers", None)
+                path, memory_store_dir, video_id,
+                timers=getattr(mem, "timers", None), memory_system=mem,
             )
             mem.add_video(video_id, path)
             frames = extracted["frames"]
@@ -517,7 +523,9 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
         mem = HippocampalMemory(config=config)
         video_id = os.path.splitext(os.path.basename(args.path))[0]
         t0 = time.perf_counter()
-        extracted = process_single_video(args.path, args.memory_store, video_id, timers=mem.timers)
+        extracted = process_single_video(
+            args.path, args.memory_store, video_id, timers=mem.timers, memory_system=mem
+        )
         mem.add_video(video_id, args.path)
         frames, audio = extracted["frames"], extracted["audio"]
         mem.process_sequence(

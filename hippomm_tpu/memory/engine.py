@@ -133,6 +133,7 @@ class HippocampalMemory:
         self._frame_buffer: Dict[str, List] = {}  # video_id -> [(path, time)]
         self._full_audio: Dict[str, np.ndarray] = {}
         self._full_transcript: Dict[str, List] = {}  # video_id -> [Segment]
+        self._asr_futures: Dict[str, object] = {}  # video_id -> Future[[Segment]]
 
         self.store = MemoryStore(self.config.storage.base_dir)
         self.timers = StageTimer()
@@ -299,8 +300,13 @@ class HippocampalMemory:
         transcripts: Dict[int, str] = {}
         full = self._full_audio.get(video_id)
         if full is not None and len(full) >= sample_rate // 10:
+            fut = self._asr_futures.pop(video_id, None)
             with self.timers.stage("transcribe"):
-                asr_segs = self.whisper.transcribe(full, sample_rate)
+                # prefetched ASR (launched while the host decoded frames) or
+                # run the batched full-track pass now
+                asr_segs = fut.result() if fut is not None else self.whisper.transcribe(
+                    full, sample_rate
+                )
             self._full_transcript[video_id] = asr_segs
             for si, seg in enumerate(segments):
                 lo, hi = seg.start_time - base_time, seg.end_time - base_time
@@ -353,6 +359,23 @@ class HippocampalMemory:
                 )
             )
         return stms
+
+    def prefetch_asr(self, video_id: str, audio: np.ndarray, sample_rate: int = 16000):
+        """Launch the full-track batched ASR on a background thread so the TPU
+        transcribes WHILE the host decodes frames (they don't contend: ASR is
+        device-bound, decode is host-bound). process_sequence picks the future
+        up; harmless if never consumed."""
+        import concurrent.futures
+
+        audio = np.asarray(audio, dtype=np.float32)
+        if len(audio) < sample_rate // 10:
+            return None
+        self._full_audio[video_id] = audio
+        ex = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        fut = ex.submit(self.whisper.transcribe, audio, sample_rate)
+        ex.shutdown(wait=False)
+        self._asr_futures[video_id] = fut
+        return fut
 
     def add_memory(
         self,

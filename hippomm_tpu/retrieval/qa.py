@@ -117,6 +117,92 @@ class QARecallSystem:
             result = self._reflect_on_answer(question, direct_answer, direct_conf, result)
         return result
 
+    def answer_questions(self, questions: List[str]) -> List[QARecallResult]:
+        """Batched QA — beyond the reference's one-question surface, built for
+        benchmark-style serving (e.g. HippoVlog QA sets):
+
+          * LLM-bound stages (classification, direct answers, query
+            compression, per-question pathways) run on a thread pool — the
+            clients are HTTP/stub, so they overlap freely
+          * device-bound stages BATCH: all VIDEO-type questions' compressed
+            queries ride ONE text-tower forward and ONE fused (Q, D) @ (D, N)
+            top-k over the store (FeatureSearchIndex.search_batch — a mat-MAT
+            that feeds the MXU, where per-question recall is a mat-vec)
+
+        Per-question results match answer_question()."""
+        import concurrent.futures
+
+        if not questions:
+            return []
+        if not self.events:
+            return [
+                QARecallResult(answer="No memories available.", confidence=0.0, question_type="NONE")
+                for _ in questions
+            ]
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=min(8, len(questions)))
+        try:
+            qtypes = list(pool.map(self._classify_question_type, questions))
+            directs = list(pool.map(self._try_direct_answer, questions, qtypes))
+
+            # settle fast-path winners
+            results: List[Optional[QARecallResult]] = [None] * len(questions)
+            pending: List[int] = []
+            for i, (qtype, (ans, conf)) in enumerate(zip(qtypes, directs)):
+                if qtype == "SUMMARY" or (ans and conf > self.confidence_gate):
+                    results[i] = QARecallResult(
+                        answer=ans,
+                        confidence=conf,
+                        reasoning="direct answer over event summaries",
+                        question_type=qtype,
+                        used_direct_answer=True,
+                    )
+                else:
+                    pending.append(i)
+
+            # batch the VIDEO-type embedding search
+            vid_idx = [i for i in pending if qtypes[i] == "VIDEO"]
+            hits_by_q: Dict[int, List[SearchHit]] = {}
+            index = self._index("vision")
+            if vid_idx and len(index):
+                compressed = list(
+                    pool.map(self._format_search_query, [questions[i] for i in vid_idx])
+                )
+                embs = self.memory.imagebind.encode_text(compressed)
+                batch_hits = index.search_batch(
+                    embs, top_k_per_event=self.top_k, global_top_k=self.top_k, window_s=1.0
+                )
+                gated = list(
+                    pool.map(
+                        self._gate_video_hits,
+                        [questions[i] for i in vid_idx],
+                        batch_hits,
+                    )
+                )
+                hits_by_q = dict(zip(vid_idx, gated))
+
+            def finish(i: int) -> QARecallResult:
+                q, qtype = questions[i], qtypes[i]
+                if qtype == "VIDEO":
+                    r = self._process_video_query(q, hits=hits_by_q.get(i))
+                elif qtype == "AUDIO":
+                    r = self._process_audio_query(q)
+                else:
+                    r = self._process_multimodal_query(q)
+                r.question_type = qtype
+                if not r.retrieved_segments and not r.used_corner_case:
+                    r = self._handle_multimodal_corner_cases(q)
+                    r.question_type = qtype
+                ans, conf = directs[i]
+                if ans and r.answer and ans != r.answer:
+                    r = self._reflect_on_answer(q, ans, conf, r)
+                return r
+
+            for i, r in zip(pending, pool.map(finish, pending)):
+                results[i] = r
+            return results  # type: ignore[return-value]
+        finally:
+            pool.shutdown(wait=False)
+
     # -------------------------------------------------------------- classifier
 
     def _classify_question_type(self, question: str) -> str:
@@ -215,6 +301,9 @@ class QARecallSystem:
         query = self._format_search_query(question)
         emb = self.memory.imagebind.encode_text([query])[0]
         hits = index.search(emb, top_k_per_event=self.top_k, global_top_k=self.top_k, window_s=1.0)
+        return self._gate_video_hits(question, hits)
+
+    def _gate_video_hits(self, question: str, hits: List[SearchHit]) -> List[SearchHit]:
         if hits and max(h.similarity for h in hits) >= self.low_sim_gate:
             return hits
         return self._caption_selection_fallback(question) or hits
@@ -316,9 +405,12 @@ class QARecallSystem:
                     keep.append(i + 1)
         return [jpeg_encode(small[i]) for i in keep], [times[i] for i in keep]
 
-    def _process_video_query(self, question: str) -> QARecallResult:
-        """(reference :2155-2325)"""
-        hits = self._find_relevant_video_segments(question)
+    def _process_video_query(
+        self, question: str, hits: Optional[List[SearchHit]] = None
+    ) -> QARecallResult:
+        """(reference :2155-2325); `hits` can be precomputed (batched recall)."""
+        if hits is None:
+            hits = self._find_relevant_video_segments(question)
         if not hits:
             return QARecallResult(answer="", confidence=0.0, primary_modality="video")
         windows_by_video: Dict[str, List[Tuple[float, float]]] = {}

@@ -101,30 +101,65 @@ class FeatureSearchIndex:
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
         while True:
             vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
-            vals, idx = np.asarray(vals), np.asarray(idx)
-            per_event: Dict[str, int] = {}
-            hits: List[SearchHit] = []
-            for v, i in zip(vals, idx):
-                eid = self.owners[i]
-                if per_event.get(eid, 0) >= top_k_per_event:
-                    continue
-                per_event[eid] = per_event.get(eid, 0) + 1
-                t = float(self.times[i])
-                hits.append(
-                    SearchHit(
-                        event_id=eid,
-                        video_id=self.videos[i],
-                        time=t,
-                        similarity=float(v),
-                        index_in_event=int(self.in_event_idx[i]),
-                        window=(max(0.0, t - window_s), t + window_s),
-                    )
-                )
-                if len(hits) >= global_top_k:
-                    break
+            hits = self._cap_and_cut(
+                np.asarray(vals), np.asarray(idx), top_k_per_event, global_top_k, window_s
+            )
             if len(hits) >= global_top_k or k >= n:
                 return hits
             k = min(n, k * 4)
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        top_k_per_event: int = 5,
+        global_top_k: int = 5,
+        window_s: float = 1.0,
+    ) -> List[List[SearchHit]]:
+        """Q queries in ONE fused normalize+matmul+top-k device program —
+        a (Q, D) @ (D, N) mat-MAT that actually feeds the MXU (single-query
+        recall is a mat-vec and HBM-bound). Per-query results match search()."""
+        n = len(self)
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if n == 0:
+            return [[] for _ in range(len(queries))]
+        from hippomm_tpu.ops.similarity import top_k_cosine
+
+        k = min(n, max(global_top_k * 4, top_k_per_event * 8))
+        vals, idx = top_k_cosine(queries, self._device_feats(), k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        out: List[List[SearchHit]] = []
+        for qi in range(len(queries)):
+            hits = self._cap_and_cut(vals[qi], idx[qi], top_k_per_event, global_top_k, window_s)
+            if len(hits) < global_top_k and k < n:
+                # rare deficient query: widen individually
+                hits = self.search(queries[qi], top_k_per_event, global_top_k, window_s)
+            out.append(hits)
+        return out
+
+    def _cap_and_cut(
+        self, vals, idx, top_k_per_event: int, global_top_k: int, window_s: float
+    ) -> List[SearchHit]:
+        per_event: Dict[str, int] = {}
+        hits: List[SearchHit] = []
+        for v, i in zip(vals, idx):
+            eid = self.owners[i]
+            if per_event.get(eid, 0) >= top_k_per_event:
+                continue
+            per_event[eid] = per_event.get(eid, 0) + 1
+            t = float(self.times[i])
+            hits.append(
+                SearchHit(
+                    event_id=eid,
+                    video_id=self.videos[i],
+                    time=t,
+                    similarity=float(v),
+                    index_in_event=int(self.in_event_idx[i]),
+                    window=(max(0.0, t - window_s), t + window_s),
+                )
+            )
+            if len(hits) >= global_top_k:
+                break
+        return hits
 
 
 def merge_windows(

@@ -243,3 +243,35 @@ def test_reflection_arbitration_includes_transcripts(qa_env):
     assert out.used_reflection
     arb = [p for p in prompts if "pick the better one" in p]
     assert arb and "Context transcriptions:" in arb[0]
+
+
+def test_search_batch_matches_single(qa_env):
+    mem, _ = qa_env
+    idx = FeatureSearchIndex.build(mem.long_term_store, "vision")
+    rng = np.random.default_rng(4)
+    queries = rng.normal(size=(5, 1024)).astype(np.float32)
+    batch = idx.search_batch(queries, top_k_per_event=3, global_top_k=3)
+    for qi, hits in enumerate(batch):
+        single = idx.search(queries[qi], top_k_per_event=3, global_top_k=3)
+        assert [(h.event_id, h.index_in_event) for h in hits] == [
+            (h.event_id, h.index_in_event) for h in single
+        ]
+        assert [h.similarity for h in hits] == pytest.approx(
+            [h.similarity for h in single], abs=1e-5
+        )
+
+
+def test_answer_questions_batched_matches_serial(qa_env):
+    mem, qa = qa_env
+    questions = [
+        "What is the overall summary of the video?",
+        "What color is the moving square?",
+        "What sound can be heard halfway through?",
+    ]
+    batched = qa.answer_questions(questions)
+    serial = [qa.answer_question(q) for q in questions]
+    assert len(batched) == 3
+    for b, s in zip(batched, serial):
+        assert b.question_type == s.question_type
+        assert b.answer == s.answer
+        assert b.used_direct_answer == s.used_direct_answer
