@@ -52,6 +52,11 @@ class MemoryConfig:
 @dataclasses.dataclass
 class StorageConfig:
     base_dir: str = "memory_store"
+    # "json": features as nested lists inside the event JSON (reference-
+    # byte-compatible, hippocampal_memory.py:320-353). "npz": features in an
+    # .npz sidecar with a marker in the JSON — ~10× smaller and much faster
+    # to load for hour-scale stores. Loading understands BOTH, always.
+    features_format: str = "json"
 
 
 @dataclasses.dataclass

@@ -135,7 +135,10 @@ class HippocampalMemory:
         self._full_transcript: Dict[str, List] = {}  # video_id -> [Segment]
         self._asr_futures: Dict[str, object] = {}  # video_id -> Future[[Segment]]
 
-        self.store = MemoryStore(self.config.storage.base_dir)
+        self.store = MemoryStore(
+            self.config.storage.base_dir,
+            features_format=getattr(self.config.storage, "features_format", "json"),
+        )
         self.timers = StageTimer()
 
     # ------------------------------------------------------------------ ingest

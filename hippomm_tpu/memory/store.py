@@ -45,8 +45,9 @@ def base64_to_numpy(obj: Dict) -> np.ndarray:
 class MemoryStore:
     """Owns the on-disk layout + JSON indices."""
 
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, features_format: str = "json"):
         self.base_dir = base_dir
+        self.features_format = features_format
         self.frames_dir = os.path.join(base_dir, "frames")
         self.audio_dir = os.path.join(base_dir, "audio")
         self.events_dir = os.path.join(base_dir, "events")
@@ -95,13 +96,25 @@ class MemoryStore:
 
     def save_theta_event(self, event: ThetaEvent) -> str:
         """events/<video_id>/<event_id>.json, features as nested lists
-        (reference: hippocampal_memory.py:320-353)."""
+        (reference: hippocampal_memory.py:320-353) — or, with
+        features_format="npz", as an .npz sidecar referenced from the JSON
+        (hour-scale stores: ~10× smaller, no float parsing on load)."""
         d = os.path.join(self.events_dir, event.video_id)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{event.event_id}.json")
+        payload = event.to_dict()
+        if self.features_format == "npz" and event.features:
+            import numpy as np
+
+            npz_path = os.path.join(d, f"{event.event_id}_features.npz")
+            np.savez_compressed(
+                npz_path,
+                **{k: np.asarray(v, np.float32) for k, v in event.features.items()},
+            )
+            payload["features"] = {"__npz__": os.path.basename(npz_path)}
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(event.to_dict(), f)
+            json.dump(payload, f)
         os.replace(tmp, path)
         self.event_index[event.event_id] = {
             "video_id": event.video_id,
@@ -125,7 +138,15 @@ class MemoryStore:
         if entry is None:
             raise KeyError(f"unknown event: {event_id}")
         with open(entry["path"]) as f:
-            return ThetaEvent.from_dict(json.load(f))
+            data = json.load(f)
+        feats = data.get("features")
+        if isinstance(feats, dict) and "__npz__" in feats:
+            import numpy as np
+
+            npz_path = os.path.join(os.path.dirname(entry["path"]), feats["__npz__"])
+            with np.load(npz_path) as z:
+                data["features"] = {k: z[k] for k in z.files}
+        return ThetaEvent.from_dict(data)
 
     def list_events(self) -> List[str]:
         return sorted(self.event_index)

@@ -166,3 +166,35 @@ def test_process_sequence_base_time_offsets(engine_factory):
         assert stm.segment_info["start_time"] >= 600.0
         assert stm.segment_info["end_time"] <= 600.0 + 24.0 + 1.0
         assert all(t >= 600.0 for t in stm.segment_info["frame_times"])
+
+
+def test_npz_feature_persistence_roundtrip(tmp_path):
+    """features_format=npz: sidecar arrays, JSON marker, exact roundtrip, and
+    the legacy JSON form still loads through the same path."""
+    import json
+
+    from hippomm_tpu.memory.schema import ThetaEvent
+    from hippomm_tpu.memory.store import MemoryStore
+
+    rng = np.random.default_rng(0)
+    ev = ThetaEvent(
+        video_id="npzvid",
+        features={"vision": rng.normal(size=(7, 1024)).astype(np.float32)},
+        feature_times={"vision": list(np.arange(7.0))},
+        summary="s",
+        end_time=7.0,
+    )
+    store = MemoryStore(str(tmp_path / "npz_store"), features_format="npz")
+    path = store.save_theta_event(ev)
+    raw = json.load(open(path))
+    assert raw["features"] == {"__npz__": f"{ev.event_id}_features.npz"}
+    loaded = store.load_theta_event(ev.event_id)
+    np.testing.assert_array_equal(loaded.features["vision"], ev.features["vision"])
+
+    # default json format stays reference-compatible and loadable
+    store2 = MemoryStore(str(tmp_path / "json_store"))
+    p2 = store2.save_theta_event(ev)
+    raw2 = json.load(open(p2))
+    assert isinstance(raw2["features"]["vision"], list)
+    loaded2 = store2.load_theta_event(ev.event_id)
+    np.testing.assert_allclose(loaded2.features["vision"], ev.features["vision"], atol=1e-6)
