@@ -60,12 +60,33 @@ def ask_question(question: str, config, event_id: Optional[str] = None):
     return qa.answer_question(question)
 
 
+def ask_questions(questions: Sequence[str], config, event_id: Optional[str] = None):
+    """Batched QA over one model load — all VIDEO-type embedding searches ride
+    a single text-tower forward + fused (Q,D)@(D,N) top-k (beyond the
+    reference's one-question surface; built for HippoVlog-style QA sets)."""
+    from hippomm_tpu.memory.engine import HippocampalMemory
+    from hippomm_tpu.retrieval.qa import QARecallSystem
+
+    memory = HippocampalMemory(config=config)
+    if event_id:
+        memory.load_theta_event(event_id)
+    else:
+        memory.load_all_events()
+    qa = QARecallSystem(memory, config)
+    return qa.answer_questions(list(questions))
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     """(reference: ask_question.py:76-99)"""
     parser = argparse.ArgumentParser(description="hippomm-tpu memory QA")
     parser.add_argument("--config", default=None)
     parser.add_argument("--memory-store", "--memory_store", default="memory_store")
     parser.add_argument("--question", default=None)
+    parser.add_argument(
+        "--questions-file",
+        default=None,
+        help="file with one question per line — answered as ONE batched recall",
+    )
     parser.add_argument("--event", default=None, help="restrict to one event / inspect it")
     parser.add_argument("--list", action="store_true", help="list stored events")
     parser.add_argument("--json", action="store_true", help="print the full QARecallResult as JSON")
@@ -87,8 +108,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
             print(f"error: unknown event '{args.event}'. Known events: {known}", file=sys.stderr)
             return 1
         return 0
+    if args.questions_file:
+        with open(args.questions_file) as f:
+            questions = [ln.strip() for ln in f if ln.strip()]
+        results = ask_questions(questions, config, args.event)
+        payload = [
+            {"question": q, **r.to_dict()} for q, r in zip(questions, results)
+        ]
+        if args.json:
+            print(json.dumps(payload, indent=2))
+        else:
+            for item in payload:
+                print(f"Q: {item['question']}\nA: {item['answer']}  "
+                      f"(conf {item['confidence']:.2f}, {item['question_type']})")
+        return 0
     if not args.question:
-        parser.error("--question required (or --list / --event)")
+        parser.error("--question required (or --list / --event / --questions-file)")
 
     result = ask_question(args.question, config, args.event)
     if args.json:

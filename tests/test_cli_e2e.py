@@ -191,3 +191,20 @@ def test_single_file_ingest_and_reprocess_flags(tmp_path):
         ["--path", str(tmp_path), "--memory_store", store, "--config", str(cfg), "--no-skip-existing"]
     )
     assert stats3["processed"] == 1
+
+
+def test_questions_file_batch(ingested, capsys, tmp_path):
+    from hippomm_tpu.core.ask_question import main as ask_main
+
+    (root, videos, store, cfg), _ = ingested
+    qf = tmp_path / "qs.txt"
+    qf.write_text(
+        "What is the overall content?\nWhat color is the square?\nWhat sound plays?\n"
+    )
+    rc = ask_main(
+        ["--memory-store", store, "--config", cfg, "--questions-file", str(qf), "--json"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out) == 3
+    assert all(item["answer"] for item in out)
