@@ -324,7 +324,14 @@ def process_single_video(
         )
         f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
         audio = f_audio.result()
-        if memory_system is not None and audio.get("audio") is not None:
+        # single-core hosts: the ASR thread's host share steals the core from
+        # the frame decode it is meant to overlap — prefetch only helps when
+        # there's a core for each side
+        if (
+            memory_system is not None
+            and audio.get("audio") is not None
+            and (os.cpu_count() or 1) > 1
+        ):
             memory_system.prefetch_asr(video_id, audio["audio"])
         frames = f_frames.result()
     return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
