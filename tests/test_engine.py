@@ -198,3 +198,25 @@ def test_npz_feature_persistence_roundtrip(tmp_path):
     assert isinstance(raw2["features"]["vision"], list)
     loaded2 = store2.load_theta_event(ev.event_id)
     np.testing.assert_allclose(loaded2.features["vision"], ev.features["vision"], atol=1e-6)
+
+
+def test_prefetch_asr_consumed_by_process_sequence(engine_factory):
+    """prefetch_asr launches the full-track ASR ahead of time; process_sequence
+    must consume the future (no second transcription) and still produce the
+    same transcripts + holistic text."""
+    mem = engine_factory("prefetch")
+    spec = SynthSpec(duration=24.0, fps=2.0, width=160, height=120, seed=8)
+    res = generate(spec)
+    mem.add_video("pf", "")
+    fut = mem.prefetch_asr("pf", res.audio)
+    assert fut is not None
+    stms = mem.process_sequence(
+        "pf",
+        frame_paths=[f"f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+    )
+    assert "pf" not in mem._asr_futures  # consumed
+    assert any(s.transcription for s in stms)
+    assert mem.long_term_store[-1].holistic_audio_transcription
