@@ -118,6 +118,7 @@ class HippocampalMemory:
             variant=m.whisper_variant,
             random_init=m.whisper_random_init,
             beam_size=m.whisper_beam_size,
+            mesh=self.mesh,
         )
         self.qwen: QwenVL = models.get("qwen") or QwenVL(
             model_name=qwen_path or m.qwen_path, config=self.config

@@ -192,6 +192,7 @@ class Whisper:
         seed: int = 0,
         random_init: bool = False,
         beam_size: int = 5,
+        mesh=None,
     ):
         self.model_name = model_name
         variant = variant or model_name
@@ -215,7 +216,8 @@ class Whisper:
             params = load_whisper(ckpt, self.cfg)
             tokenizer = _try_whisper_tokenizer(model_path)
             self._impl = WhisperTranscriber(
-                jax.device_put(params), self.cfg, tokenizer, dtype, beam_size=beam_size
+                jax.device_put(params), self.cfg, tokenizer, dtype,
+                beam_size=beam_size, mesh=mesh,
             )
         elif variant == "tiny" or random_init:
             # random weights: real compute path at full model scale (tiny for
@@ -223,7 +225,8 @@ class Whisper:
             self.cfg = wh_model.get_config(variant)
             params = wh_model.init_whisper(jax.random.PRNGKey(seed), self.cfg)
             self._impl = WhisperTranscriber(
-                jax.device_put(params), self.cfg, None, dtype, beam_size=beam_size
+                jax.device_put(params), self.cfg, None, dtype,
+                beam_size=beam_size, mesh=mesh,
             )
         else:
             logger.warning("no Whisper checkpoint — using deterministic stub transcriber")

@@ -48,6 +48,7 @@ class WhisperTranscriber:
         dtype=jnp.bfloat16,
         with_timestamps: bool = True,
         beam_size: int = 5,  # reference default (foundation_models.py:181-215)
+        mesh=None,
     ):
         self.params = params
         self.cfg = cfg
@@ -55,8 +56,24 @@ class WhisperTranscriber:
         self.dtype = dtype
         self.with_timestamps = with_timestamps
         self.beam_size = beam_size
+        self.mesh = mesh
+        if mesh is not None:
+            from hippomm_tpu.parallel.mesh import replicated
+
+            self.params = jax.device_put(params, replicated(mesh))
         self.mel = WhisperMel(n_mels=cfg.n_mels)
         self._chunk_samples = int(CHUNK_SECONDS * SAMPLE_RATE)
+
+    def _shard_chunks(self, stacked: jnp.ndarray) -> jnp.ndarray:
+        """Shard the chunk-batch axis over the mesh "data" axis (greedy decode
+        only — beam's cache-reordering gathers cross shard boundaries)."""
+        if self.mesh is None or self.beam_size > 1:
+            return stacked
+        if stacked.shape[0] % self.mesh.shape["data"]:
+            return stacked
+        from hippomm_tpu.parallel.mesh import data_sharding
+
+        return jax.device_put(stacked, data_sharding(self.mesh, stacked.ndim))
 
     def _prompt(self) -> np.ndarray:
         c = self.cfg
@@ -156,7 +173,7 @@ class WhisperTranscriber:
             b = max_chunk_batch  # ONE compiled shape (encoder + decode loop)
             if b > n:
                 batch = batch + [batch[-1]] * (b - n)
-            stacked = jnp.asarray(np.stack(batch))
+            stacked = self._shard_chunks(jnp.asarray(np.stack(batch)))
             mels = jax.vmap(self.mel)(stacked)[:, :, :n_frames_target]
             enc = encoder_forward(self.params, mels, self.cfg, self.dtype)
             prompt = jnp.asarray(np.repeat(prompt1, b, axis=0))

@@ -177,3 +177,27 @@ def test_engine_auto_mesh_on_multidevice(tmp_path):
         np.isfinite(s.features["vision"]).all() for s in stms if "vision" in s.features
     )
     assert len(mem.long_term_store) == 1
+
+
+def test_sharded_whisper_greedy_matches_single(mesh8):
+    """Chunk-batch-sharded greedy transcription over the mesh == single-device
+    (greedy decode only; beam keeps its cache-reordering local)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hippomm_tpu.models.whisper.model import init_whisper, tiny_config
+    from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
+
+    import jax
+
+    cfg = tiny_config()
+    params = init_whisper(jax.random.PRNGKey(1), cfg)
+    single = WhisperTranscriber(params, cfg, None, jnp.float32, beam_size=1)
+    sharded = WhisperTranscriber(params, cfg, None, jnp.float32, beam_size=1, mesh=mesh8)
+    for tr in (single, sharded):
+        tr._chunk_samples = 2 * 16000  # tiny config covers 2 s per window
+    rng = np.random.default_rng(2)
+    clips = [(0.1 * rng.normal(size=9 * 16000)).astype(np.float32)]  # 5 chunks
+    a = single.transcribe_many(clips, max_new_tokens=6, max_chunk_batch=8)
+    b = sharded.transcribe_many(clips, max_new_tokens=6, max_chunk_batch=8)
+    assert [(s.start, s.end) for s in a[0]] == [(s.start, s.end) for s in b[0]]
