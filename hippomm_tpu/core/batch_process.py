@@ -41,6 +41,9 @@ logger = logging.getLogger(__name__)
 
 # reference set (batch_process.py:441) + our native fast-path containers
 VIDEO_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".y4m", ".webm", ".m4v")
+# audio-only ingest (beyond the reference; driver bench config #2 shape:
+# silence segmentation + Whisper + ImageBind audio embeddings, no frames)
+AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".m4a", ".aac", ".ogg")
 DECODE_BATCH = 64
 
 
@@ -318,6 +321,17 @@ def process_single_video(
     ASR launches as soon as audio is demuxed, overlapping the (host-bound)
     frame decode with the (device-bound) Whisper pass."""
     video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
+    if os.path.splitext(video_path)[1].lower() in AUDIO_EXTENSIONS:
+        # audio-only ingest: no frame track (driver bench config #2 shape)
+        audio = extract_audio_from_video(video_path, memory_store_dir, video_id)
+        frames = {
+            "video_id": video_id,
+            "frame_paths": [],
+            "frame_times": [],
+            "frames_rgb": None,
+            "duration": audio.get("duration"),
+        }
+        return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
         f_frames = ex.submit(
             extract_frames_from_video, video_path, memory_store_dir, video_id, timers=timers
@@ -354,10 +368,22 @@ def process_video_folder(
     config.storage.base_dir = memory_store_dir
     mem = memory_system or HippocampalMemory(config=config)
 
+    listing = os.listdir(folder)
+    video_stems = {
+        os.path.splitext(f)[0]
+        for f in listing
+        if os.path.splitext(f)[1].lower() in VIDEO_EXTENSIONS
+    }
     videos = [
         os.path.join(folder, f)
-        for f in os.listdir(folder)
+        for f in listing
         if os.path.splitext(f)[1].lower() in VIDEO_EXTENSIONS
+        or (
+            os.path.splitext(f)[1].lower() in AUDIO_EXTENSIONS
+            # a .wav sharing a video's stem is that video's audio track, not
+            # a standalone audio ingest
+            and os.path.splitext(f)[0] not in video_stems
+        )
     ]
     if sort_by == "name":
         videos.sort()

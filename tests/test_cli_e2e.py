@@ -208,3 +208,83 @@ def test_questions_file_batch(ingested, capsys, tmp_path):
     out = json.loads(capsys.readouterr().out)
     assert len(out) == 3
     assert all(item["answer"] for item in out)
+
+
+def test_audio_only_ingest(tmp_path):
+    """Driver bench config #2 shape: a bare audio file ingests through silence
+    segmentation + ASR + ImageBind audio embeddings into an audio-only event."""
+    import numpy as np
+
+    from hippomm_tpu.core.batch_process import main as batch_main
+    from hippomm_tpu.media.io import write_wav
+    from hippomm_tpu.media.synth import SynthSpec, render_audio
+
+    folder = tmp_path / "audio"
+    folder.mkdir()
+    spec = SynthSpec(duration=45.0, silence_regions=((20.0, 22.0),), seed=9)
+    write_wav(str(folder / "podcast.wav"), render_audio(spec), 16000)
+    cfg = tmp_path / "c.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(
+            {"api": {"mode": "stub"}, "models": {"imagebind_variant": "tiny", "whisper_variant": "stub"}},
+            f,
+        )
+    store = str(tmp_path / "store")
+    stats = batch_main(["--path", str(folder), "--memory_store", store, "--config", str(cfg)])
+    assert stats["processed"] == 1 and stats["failed"] == 0
+    events = os.listdir(os.path.join(store, "events", "podcast"))
+    assert len(events) == 1
+    with open(os.path.join(store, "events", "podcast", events[0])) as f:
+        ev = json.load(f)
+    assert "audio" in ev["features"] and "vision" not in ev["features"]
+    assert ev["audio_transcription"]
+
+
+def test_sibling_wav_not_double_ingested(tmp_path):
+    """A .wav sharing a video's stem is its audio track, not a second item."""
+    from hippomm_tpu.core.batch_process import main as batch_main
+    from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+
+    folder = tmp_path / "mix"
+    folder.mkdir()
+    write_synthetic_video(
+        str(folder / "clip.y4m"),
+        SynthSpec(duration=12.0, fps=4.0, width=160, height=120, seed=2),
+        audio_path=str(folder / "clip.wav"),
+    )
+    cfg = tmp_path / "c.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(
+            {"api": {"mode": "stub"}, "models": {"imagebind_variant": "tiny", "whisper_variant": "stub"}},
+            f,
+        )
+    stats = batch_main(
+        ["--path", str(folder), "--memory_store", str(tmp_path / "store"), "--config", str(cfg)]
+    )
+    assert stats["total"] == 1 and stats["processed"] == 1
+
+
+def test_failed_video_accounted_and_rest_processed(tmp_path):
+    """A corrupt container fails cleanly into stats.errors; the rest ingest."""
+    from hippomm_tpu.core.batch_process import main as batch_main
+    from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+
+    folder = tmp_path / "vids"
+    folder.mkdir()
+    write_synthetic_video(
+        str(folder / "good.mp4"),
+        SynthSpec(duration=10.0, fps=4.0, width=160, height=120, seed=1),
+    )
+    (folder / "bad.mp4").write_bytes(b"this is not a video at all" * 10)
+    cfg = tmp_path / "c.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(
+            {"api": {"mode": "stub"}, "models": {"imagebind_variant": "tiny", "whisper_variant": "stub"}},
+            f,
+        )
+    stats = batch_main(
+        ["--path", str(folder), "--memory_store", str(tmp_path / "store"), "--config", str(cfg)]
+    )
+    assert stats["processed"] == 1
+    assert stats["failed"] == 1
+    assert "bad" in stats["errors"]
