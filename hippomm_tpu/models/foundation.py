@@ -282,6 +282,47 @@ class QwenVL:
         self.client: ChatClient = make_client(cfg.api.qwen, cfg.api.mode, purpose="qwen-vl")
         self.model_name = model_name or cfg.api.qwen.model_name
 
+    def _expand_video_items(self, messages: List[Dict]) -> List[Dict]:
+        """Expand {"type": "video"} content items into inline base64 frames
+        (reference: foundation_models.py:290-332)."""
+        import base64 as b64
+
+        out = []
+        for msg in messages:
+            content = msg.get("content")
+            if not isinstance(content, list):
+                out.append(msg)
+                continue
+            new_content: List[Dict] = []
+            for item in content:
+                if isinstance(item, dict) and item.get("type") == "video":
+                    src = item.get("video")
+                    if isinstance(src, list):  # already frame jpg paths
+                        jpegs = []
+                        for p in src:
+                            try:
+                                with open(p, "rb") as f:
+                                    jpegs.append(f.read())
+                            except OSError:
+                                continue
+                    else:
+                        max_frames = int(item.get("fps", 1.0) * 8) or 8
+                        jpegs = self._load_video_frames(str(src), max_frames=max_frames)
+                    for data in jpegs:
+                        new_content.append(
+                            {
+                                "type": "image_url",
+                                "image_url": {
+                                    "url": "data:image/jpeg;base64,"
+                                    + b64.b64encode(data).decode()
+                                },
+                            }
+                        )
+                else:
+                    new_content.append(item)
+            out.append({**msg, "content": new_content})
+        return out
+
     def _load_video_frames(self, video_path: str, max_frames: int = 8) -> List[bytes]:
         """Uniformly sample frames from a video as JPEG bytes (reference:
         foundation_models.py:233-273 via decord; here the C++ media shim)."""
@@ -306,11 +347,13 @@ class QwenVL:
     ) -> str:
         """Text (+ optional jpeg images / raw frames) -> completion.
         Accepts the reference's generate(messages, max_new_tokens=...) calling
-        convention (foundation_models.py:275-279) as well."""
+        convention (foundation_models.py:275-279), including message items of
+        {"type": "video", "video": <path or frame-path list>, "fps": ...}
+        which expand to inline base64 frames (:290-332)."""
         if max_new_tokens is not None:
             max_tokens = max_new_tokens
         if isinstance(prompt, list):
-            return self.client.chat(prompt, max_tokens=max_tokens)
+            return self.client.chat(self._expand_video_items(prompt), max_tokens=max_tokens)
         content: List[Dict] = [{"type": "text", "text": prompt}]
         jpegs: List[bytes] = list(images or [])
         if video_frames is not None:

@@ -91,3 +91,39 @@ def test_stub_whisper_silence_suppressed():
     s = StubWhisperSegments()
     segs = s.transcribe(np.zeros(16000 * 8, dtype=np.float32))
     assert segs == []
+
+
+def test_qwenvl_video_message_expansion(tmp_path):
+    """Reference message items {"type":"video", ...} expand to inline base64
+    frames (foundation_models.py:290-332) — both path and frame-list forms."""
+    import numpy as np
+
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.media.io import write_jpeg, write_video_av
+    from hippomm_tpu.models.foundation import QwenVL
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    qwen = QwenVL(config=cfg)
+
+    video = str(tmp_path / "v.mp4")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(20, 64, 64, 3)).astype(np.uint8)
+    write_video_av(video, frames, fps=10.0)
+    msgs = [
+        {"role": "user", "content": [
+            {"type": "text", "text": "describe"},
+            {"type": "video", "video": video, "fps": 0.5},
+        ]}
+    ]
+    expanded = qwen._expand_video_items(msgs)
+    kinds = [i["type"] for i in expanded[0]["content"]]
+    assert kinds[0] == "text" and "image_url" in kinds and "video" not in kinds
+    assert qwen.generate(msgs)  # end-to-end through the stub client
+
+    p = str(tmp_path / "f.jpg")
+    write_jpeg(p, frames[0])
+    msgs2 = [{"role": "user", "content": [{"type": "video", "video": [p, p]}]}]
+    expanded2 = qwen._expand_video_items(msgs2)
+    assert len(expanded2[0]["content"]) == 2
+    assert all(i["type"] == "image_url" for i in expanded2[0]["content"])
