@@ -255,33 +255,34 @@ class HippocampalMemory:
                 flat = self.imagebind.encode_vision(frames_rgb[all_idx])
             vision_feats = flat
 
-        # ---- audio features: one forward over all segments' mel clips ----
-        from hippomm_tpu.models.imagebind.preprocess import preprocess_audio
+        # ---- audio features: ONE fbank program + ONE tower forward over all
+        # segments' clips (the reference runs a CUDA round-trip per segment,
+        # :1172-1266; a per-clip loop here would be ~70 dispatches per video)
+        from hippomm_tpu.models.imagebind.preprocess import preprocess_audio_batch
         from hippomm_tpu.models.imagebind import model as ib_model
         import jax.numpy as jnp
 
         audio_embs: Dict[int, np.ndarray] = {}
-        mel_batch, mel_owner = [], []
+        pcm_batch, mel_owner = [], []
         for si, seg in enumerate(segments):
             a = seg.audio_data
             if a is None or len(a) < sample_rate // 10:
                 continue
             peak = float(np.max(np.abs(a))) or 1.0
-            mel_batch.append(
-                np.asarray(
-                    preprocess_audio(
-                        a / peak,
+            pcm_batch.append(a / peak)
+            mel_owner.append(si)
+        if pcm_batch:
+            from hippomm_tpu.ops.bucketing import pad_leading
+
+            with self.timers.stage("encode_audio"):
+                mels = np.asarray(
+                    preprocess_audio_batch(
+                        pcm_batch,
                         mel_bins=self.imagebind.cfg.audio_mel_bins,
                         target_len=self.imagebind.cfg.audio_target_len,
                     )
                 )
-            )
-            mel_owner.append(si)
-        if mel_batch:
-            from hippomm_tpu.ops.bucketing import pad_leading
-
-            with self.timers.stage("encode_audio"):
-                mels, n_real = pad_leading(np.concatenate(mel_batch, axis=0))
+                mels, n_real = pad_leading(mels)
                 embs = np.asarray(
                     ib_model.audio_forward(
                         self.imagebind.params,

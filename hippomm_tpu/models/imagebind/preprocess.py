@@ -49,6 +49,64 @@ def _get_fbank(bins: int) -> KaldiFbank:
     return _FBANK_CACHE[bins]
 
 
+_BATCHED_FBANK_CACHE = {}
+
+
+def _get_batched_fbank(mel_bins: int, target_len: int):
+    """One jitted program: vmapped kaldi fbank + transpose/pad/normalize for a
+    (N, clip_samples) clip stack. N is bucket-padded by the caller so the
+    program compiles a bounded number of times."""
+    key = (mel_bins, target_len)
+    if key not in _BATCHED_FBANK_CACHE:
+        fbank = _get_fbank(mel_bins)
+        import jax
+
+        @jax.jit
+        def run(clips: jnp.ndarray) -> jnp.ndarray:  # (N, S) -> (N, bins, len)
+            feats = jax.vmap(fbank)(clips)  # (N, T, bins)
+            feats = jnp.transpose(feats, (0, 2, 1))
+            t = feats.shape[2]
+            if t < target_len:
+                feats = jnp.pad(feats, ((0, 0), (0, 0), (0, target_len - t)))
+            feats = feats[:, :, :target_len]
+            return (feats - AUDIO_MEAN) / (AUDIO_STD * 2.0)
+
+        _BATCHED_FBANK_CACHE[key] = run
+    return _BATCHED_FBANK_CACHE[key]
+
+
+def _clip_starts(n_samples: int, clips_per_video: int, clip_samples: int) -> np.ndarray:
+    span = max(0, n_samples - clip_samples)
+    if clips_per_video > 1:
+        return np.linspace(0, span, clips_per_video).astype(int)
+    return np.array([0])
+
+
+def preprocess_audio_batch(
+    pcms,
+    mel_bins: int = 128,
+    target_len: int = 204,
+    clips_per_video: int = CLIPS_PER_VIDEO,
+) -> jnp.ndarray:
+    """Many 16 kHz clips -> (B, clips, 1, mel_bins, target_len) in ONE device
+    program (clip slicing on host; fbank+normalize batched — the per-clip loop
+    cost one dispatch per segment per clip, ~70 round-trips per video)."""
+    from hippomm_tpu.ops.bucketing import pad_leading
+
+    clip_samples = int(CLIP_DURATION_S * SAMPLE_RATE)
+    windows = []
+    for pcm in pcms:
+        pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+        if len(pcm) < clip_samples:
+            pcm = np.pad(pcm, (0, clip_samples - len(pcm)))
+        for s in _clip_starts(len(pcm), clips_per_video, clip_samples):
+            windows.append(pcm[s : s + clip_samples])
+    stack, n_real = pad_leading(np.stack(windows), mode="zero")
+    feats = _get_batched_fbank(mel_bins, target_len)(jnp.asarray(stack))[:n_real]
+    b = len(pcms)
+    return feats.reshape(b, clips_per_video, 1, mel_bins, target_len)
+
+
 def preprocess_audio(
     pcm: np.ndarray,
     mel_bins: int = 128,
@@ -61,30 +119,9 @@ def preprocess_audio(
     starts uniformly spaced over [0, duration - clip_duration]. Short audio is
     zero-padded to one clip.
     """
-    pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
-    clip_samples = int(CLIP_DURATION_S * SAMPLE_RATE)
-    if len(pcm) < clip_samples:
-        pcm = np.pad(pcm, (0, clip_samples - len(pcm)))
-    span = len(pcm) - clip_samples
-    starts = (
-        np.linspace(0, span, clips_per_video).astype(int)
-        if clips_per_video > 1
-        else np.array([0])
+    return preprocess_audio_batch(
+        [pcm], mel_bins=mel_bins, target_len=target_len, clips_per_video=clips_per_video
     )
-    fbank = _get_fbank(mel_bins)
-    clips = []
-    for s in starts:
-        clip = pcm[s : s + clip_samples]
-        feats = np.asarray(fbank(jnp.asarray(clip)))  # (T, mel_bins)
-        feats = feats.T  # (mel_bins, T)
-        t = feats.shape[1]
-        if t < target_len:
-            feats = np.pad(feats, ((0, 0), (0, target_len - t)))
-        elif t > target_len:
-            feats = feats[:, :target_len]
-        feats = (feats - AUDIO_MEAN) / (AUDIO_STD * 2.0)
-        clips.append(feats[None])  # (1, mel_bins, target_len)
-    return jnp.asarray(np.stack(clips)[None])  # (1, clips, 1, bins, len)
 
 
 # ---------------------------------------------------------------------------
