@@ -101,10 +101,15 @@ def preprocess_audio_batch(
             pcm = np.pad(pcm, (0, clip_samples - len(pcm)))
         for s in _clip_starts(len(pcm), clips_per_video, clip_samples):
             windows.append(pcm[s : s + clip_samples])
-    stack, n_real = pad_leading(np.stack(windows), mode="zero")
-    feats = _get_batched_fbank(mel_bins, target_len)(jnp.asarray(stack))[:n_real]
+    # fixed 32-window chunks: ONE compiled shape regardless of segment count
+    run = _get_batched_fbank(mel_bins, target_len)
+    outs = []
+    for lo in range(0, len(windows), 32):
+        chunk, n_real = pad_leading(np.stack(windows[lo : lo + 32]), n=32, mode="zero")
+        outs.append(np.asarray(run(jnp.asarray(chunk)))[:n_real])
+    feats = np.concatenate(outs)
     b = len(pcms)
-    return feats.reshape(b, clips_per_video, 1, mel_bins, target_len)
+    return jnp.asarray(feats.reshape(b, clips_per_video, 1, mel_bins, target_len))
 
 
 def preprocess_audio(
