@@ -555,6 +555,17 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
 
         mem = HippocampalMemory(config=config)
         video_id = os.path.splitext(os.path.basename(args.path))[0]
+        if (
+            args.skip_existing
+            and mem.store.has_video(video_id)
+            and mem.store.events_for_video(video_id)
+        ):
+            logger.info("skipping %s (already ingested)", video_id)
+            return {
+                "total": 1, "processed": 0, "skipped": 1, "failed": 0, "errors": {},
+                "video_id": video_id, "wall_seconds": 0.0, "media_seconds": 0.0,
+                "engine": mem.get_stats(),
+            }
         t0 = time.perf_counter()
         extracted = process_single_video(
             args.path, args.memory_store, video_id, timers=mem.timers, memory_system=mem

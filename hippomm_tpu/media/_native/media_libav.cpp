@@ -46,7 +46,7 @@ struct AvLogInit {
 
 struct AvReader {
   AVFormatContext* fmt = nullptr;
-  AVCodecContext* dec = nullptr;
+  AVCodecContext* vdec = nullptr;
   int vstream = -1;
   int width = 0, height = 0;
   double fps = 0.0;
@@ -55,10 +55,12 @@ struct AvReader {
   bool has_audio = false;
   AVRational tb{1, 1};
   int64_t start_pts = 0;
-  AVFrame* frame = nullptr;
+  AVFrame* frame = nullptr;  // last successfully decoded frame (held copy)
+  AVFrame* dec = nullptr;    // scratch frame for avcodec_receive_frame
   AVPacket* pkt = nullptr;
   bool draining = false;
   bool eof = false;
+  bool have_frame = false;  // r->frame holds valid decoded data
   int64_t last_idx = -1;  // presentation index of the frame currently held
   SwsContext* sws_rgb = nullptr;
   SwsContext* sws_gray = nullptr;
@@ -71,12 +73,19 @@ int64_t frame_index(const AvReader* r, int64_t pts) {
   return (int64_t)llround(t * r->fps);
 }
 
-// Decode the next frame in presentation order into r->frame.
+// Decode the next frame in presentation order into the scratch frame, then
+// move it into r->frame (the HELD frame). avcodec_receive_frame unrefs its
+// output frame when returning EOF, so decoding into r->frame directly would
+// clobber the held frame the at-EOF clamp path depends on (feeding an empty
+// AVFrame to sws_scale aborts the process).
 // Returns 0 ok, 1 EOF, <0 error.
 int decode_next(AvReader* r) {
   for (;;) {
-    int rc = avcodec_receive_frame(r->dec, r->frame);
+    int rc = avcodec_receive_frame(r->vdec, r->dec);
     if (rc == 0) {
+      av_frame_unref(r->frame);
+      av_frame_move_ref(r->frame, r->dec);
+      r->have_frame = true;
       int64_t pts = r->frame->best_effort_timestamp;
       r->last_idx = frame_index(r, pts);
       return 0;
@@ -95,13 +104,13 @@ int decode_next(AvReader* r) {
     for (;;) {
       rc = av_read_frame(r->fmt, r->pkt);
       if (rc == AVERROR_EOF) {
-        avcodec_send_packet(r->dec, nullptr);
+        avcodec_send_packet(r->vdec, nullptr);
         r->draining = true;
         break;
       }
       if (rc < 0) return rc;
       if (r->pkt->stream_index == r->vstream) {
-        rc = avcodec_send_packet(r->dec, r->pkt);
+        rc = avcodec_send_packet(r->vdec, r->pkt);
         av_packet_unref(r->pkt);
         if (rc < 0 && rc != AVERROR(EAGAIN)) return rc;
         break;
@@ -116,7 +125,7 @@ int seek_to_index(AvReader* r, int64_t idx) {
   int64_t ts = r->start_pts + (int64_t)llround(t / av_q2d(r->tb));
   int rc = av_seek_frame(r->fmt, r->vstream, ts, AVSEEK_FLAG_BACKWARD);
   if (rc < 0) return rc;
-  avcodec_flush_buffers(r->dec);
+  avcodec_flush_buffers(r->vdec);
   r->draining = false;
   r->eof = false;
   r->last_idx = idx - 1;  // provisional; real pts overrides on next decode
@@ -124,36 +133,40 @@ int seek_to_index(AvReader* r, int64_t idx) {
 }
 
 // Advance the stream so r->frame holds the frame for index `idx` (or the
-// nearest one at/after it; at EOF the last decoded frame is reused).
-// `have` says whether r->frame currently holds a valid frame at r->last_idx.
-int position_at(AvReader* r, int64_t idx, bool* have) {
+// nearest one at/after it; at EOF the last decoded frame is reused — the
+// container's frame-count metadata can overestimate, e.g. mkv whose audio
+// track outlasts the video). `r->have_frame` tracks held-frame validity, so
+// earlier indices remain reachable via backward seek even after EOF.
+int position_at(AvReader* r, int64_t idx) {
   // Seek when the forward gap exceeds ~4 s of FRAMES (fps-relative, small
   // floor: a 64-frame floor at 2 fps meant 32 s gaps decoded linearly).
   const int64_t SEEK_GAP = std::max<int64_t>((int64_t)(4.0 * r->fps), 8);
-  if (*have && r->last_idx >= idx) {
+  // `cursor_valid`: last_idx reflects the stream position (a seek leaves the
+  // held frame intact but the position provisional)
+  bool cursor_valid = r->have_frame;
+  if (cursor_valid && r->last_idx >= idx) {
     // At/just past the wanted index (fps-rounding jitter): reuse the held
     // frame. Far past it (an earlier index than a previous call): seek back.
     if (r->last_idx <= idx + 2) return 0;
     if (seek_to_index(r, idx) == 0) {
-      *have = false;
+      cursor_valid = false;
     } else {
       return 0;  // unseekable container: best effort, reuse held frame
     }
   }
-  if (!r->eof && (idx - (*have ? r->last_idx : 0)) > SEEK_GAP) {
+  if (!r->eof && (idx - (cursor_valid ? r->last_idx : 0)) > SEEK_GAP) {
     if (seek_to_index(r, idx) < 0) {
       // fall through to linear decode on seek failure (some containers)
     } else {
-      *have = false;
+      cursor_valid = false;
     }
   }
   for (;;) {
     int rc = decode_next(r);
-    if (rc == 1) {  // EOF: keep last decoded frame if any
-      return *have ? 0 : -1;
+    if (rc == 1) {  // EOF: clamp to the held frame if any
+      return r->have_frame ? 0 : -1;
     }
     if (rc < 0) return rc;
-    *have = true;
     if (r->last_idx >= idx) return 0;
   }
 }
@@ -214,18 +227,18 @@ void* hmm_av_open(const char* path) {
     return nullptr;
   }
   AVStream* st = r->fmt->streams[r->vstream];
-  r->dec = avcodec_alloc_context3(codec);
-  avcodec_parameters_to_context(r->dec, st->codecpar);
-  r->dec->thread_count = 0;  // auto
-  r->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
-  if (avcodec_open2(r->dec, codec, nullptr) < 0) {
-    avcodec_free_context(&r->dec);
+  r->vdec = avcodec_alloc_context3(codec);
+  avcodec_parameters_to_context(r->vdec, st->codecpar);
+  r->vdec->thread_count = 0;  // auto
+  r->vdec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  if (avcodec_open2(r->vdec, codec, nullptr) < 0) {
+    avcodec_free_context(&r->vdec);
     avformat_close_input(&r->fmt);
     delete r;
     return nullptr;
   }
-  r->width = r->dec->width;
-  r->height = r->dec->height;
+  r->width = r->vdec->width;
+  r->height = r->vdec->height;
   r->tb = st->time_base;
   r->start_pts = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
   AVRational fr = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
@@ -241,6 +254,7 @@ void* hmm_av_open(const char* path) {
   r->has_audio =
       av_find_best_stream(r->fmt, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0) >= 0;
   r->frame = av_frame_alloc();
+  r->dec = av_frame_alloc();
   r->pkt = av_packet_alloc();
   if (r->width <= 0 || r->height <= 0 || r->nframes <= 0) {
     // still usable if dims known; nframes==0 streams are rejected
@@ -269,10 +283,9 @@ int hmm_av_read_rgb_indices(void* h, const int64_t* idx, int64_t count,
                             uint8_t* rgb) {
   AvReader* r = static_cast<AvReader*>(h);
   size_t frame_bytes = (size_t)r->width * r->height * 3;
-  bool have = r->last_idx >= 0 && !r->eof;
   for (int64_t i = 0; i < count; ++i) {
     if (i > 0 && idx[i] < idx[i - 1]) return -2;  // must be sorted
-    int rc = position_at(r, idx[i], &have);
+    int rc = position_at(r, idx[i]);
     if (rc < 0) return rc;
     copy_rgb(r, rgb + frame_bytes * i);
   }
@@ -284,10 +297,9 @@ int hmm_av_read_gray_indices(void* h, const int64_t* idx, int64_t count,
                              int gw, int gh, uint8_t* gray) {
   AvReader* r = static_cast<AvReader*>(h);
   size_t frame_bytes = (size_t)gw * gh;
-  bool have = r->last_idx >= 0 && !r->eof;
   for (int64_t i = 0; i < count; ++i) {
     if (i > 0 && idx[i] < idx[i - 1]) return -2;
-    int rc = position_at(r, idx[i], &have);
+    int rc = position_at(r, idx[i]);
     if (rc < 0) return rc;
     copy_gray(r, gray + frame_bytes * i, gw, gh);
   }
@@ -301,7 +313,8 @@ void hmm_av_close(void* h) {
   if (r->sws_gray) sws_freeContext(r->sws_gray);
   if (r->frame) av_frame_free(&r->frame);
   if (r->pkt) av_packet_free(&r->pkt);
-  if (r->dec) avcodec_free_context(&r->dec);
+  if (r->dec) av_frame_free(&r->dec);
+  if (r->vdec) avcodec_free_context(&r->vdec);
   if (r->fmt) avformat_close_input(&r->fmt);
   delete r;
 }

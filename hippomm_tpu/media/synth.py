@@ -115,7 +115,9 @@ def write_synthetic_video(
 
     spec = spec or SynthSpec()
     ext = path.rsplit(".", 1)[-1].lower()
-    if ext in ("mp4", "mov", "mkv", "webm", "avi") and not path.endswith(".y4m"):
+    # no .webm here: this box's libavcodec has no VP8/VP9/Opus ENCODERS (the
+    # webm muxer rejects H.264/AAC); .webm remains fully supported for READS
+    if ext in ("mp4", "mov", "mkv", "avi"):
         if ext == "avi" and codec == "":
             # our own MJPEG writer stays the .avi default (no libav needed)
             result = generate(spec)

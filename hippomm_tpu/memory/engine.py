@@ -103,6 +103,12 @@ class HippocampalMemory:
             total = data * max(1, sys_cfg.mesh_model)
             if total > 1 and total <= n_dev:
                 self.mesh = make_mesh(total, model_parallel=max(1, sys_cfg.mesh_model))
+            elif total > n_dev:
+                logger.warning(
+                    "configured mesh %dx%d needs %d devices but only %d are "
+                    "available — running single-device",
+                    data, max(1, sys_cfg.mesh_model), total, n_dev,
+                )
         except Exception:
             logger.exception("mesh setup failed; running single-device")
 

@@ -101,8 +101,20 @@ class QARecallSystem:
                 used_direct_answer=True,
             )
 
+        return self._finish_question(question, qtype, direct_answer, direct_conf)
+
+    def _finish_question(
+        self,
+        question: str,
+        qtype: str,
+        direct_answer: str,
+        direct_conf: float,
+        hits: Optional[List[SearchHit]] = None,
+    ) -> QARecallResult:
+        """Detailed pathway + corner-case fallback + reflection — shared by
+        answer_question and the batched answer_questions."""
         if qtype == "VIDEO":
-            result = self._process_video_query(question)
+            result = self._process_video_query(question, hits=hits)
         elif qtype == "AUDIO":
             result = self._process_audio_query(question)
         else:
@@ -181,21 +193,10 @@ class QARecallSystem:
                 hits_by_q = dict(zip(vid_idx, gated))
 
             def finish(i: int) -> QARecallResult:
-                q, qtype = questions[i], qtypes[i]
-                if qtype == "VIDEO":
-                    r = self._process_video_query(q, hits=hits_by_q.get(i))
-                elif qtype == "AUDIO":
-                    r = self._process_audio_query(q)
-                else:
-                    r = self._process_multimodal_query(q)
-                r.question_type = qtype
-                if not r.retrieved_segments and not r.used_corner_case:
-                    r = self._handle_multimodal_corner_cases(q)
-                    r.question_type = qtype
                 ans, conf = directs[i]
-                if ans and r.answer and ans != r.answer:
-                    r = self._reflect_on_answer(q, ans, conf, r)
-                return r
+                return self._finish_question(
+                    questions[i], qtypes[i], ans, conf, hits=hits_by_q.get(i)
+                )
 
             for i, r in zip(pending, pool.map(finish, pending)):
                 results[i] = r
@@ -436,6 +437,13 @@ class QARecallSystem:
                     captions[mid:]
                 )
                 captions = [f"First part:\n{first}", f"Second part:\n{second}"]
+            else:
+                # summarization failed on a mid-size set: keep raw captions
+                # but budget-trim so the final-answer prompt can't blow the
+                # token budget summarization exists to enforce
+                captions, _ = evenly_distribute_items(
+                    captions, self.token_budget // 4, "- {}\n"
+                )
         answer, conf = self._final_answer(question, captions=captions)
         return QARecallResult(
             answer=answer,

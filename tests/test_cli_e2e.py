@@ -288,3 +288,28 @@ def test_failed_video_accounted_and_rest_processed(tmp_path):
     assert stats["processed"] == 1
     assert stats["failed"] == 1
     assert "bad" in stats["errors"]
+
+
+def test_single_file_skip_existing(tmp_path):
+    from hippomm_tpu.core.batch_process import main as batch_main
+    from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+
+    video = tmp_path / "again.mp4"
+    write_synthetic_video(
+        str(video), SynthSpec(duration=10.0, fps=4.0, width=160, height=120, seed=1)
+    )
+    cfg = tmp_path / "c.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(
+            {"api": {"mode": "stub"}, "models": {"imagebind_variant": "tiny", "whisper_variant": "stub"}},
+            f,
+        )
+    store = str(tmp_path / "store")
+    s1 = batch_main(["--path", str(video), "--memory_store", store, "--config", str(cfg)])
+    assert s1["processed"] == 1
+    s2 = batch_main(["--path", str(video), "--memory_store", store, "--config", str(cfg)])
+    assert s2["skipped"] == 1 and s2["processed"] == 0
+    s3 = batch_main(
+        ["--path", str(video), "--memory_store", store, "--config", str(cfg), "--no-skip-existing"]
+    )
+    assert s3["processed"] == 1

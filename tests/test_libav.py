@@ -325,3 +325,34 @@ def test_parallel_sparse_rgb_fetch(tmp_path):
     seq = LibavReader(p).read_rgb(idx, _parallel=False)
     assert np.array_equal(par, seq)
     r.close()
+
+
+def test_audio_outlasting_video_clamps_and_recovers(tmp_path):
+    """mkv whose audio track outlasts the video overestimates num_frames
+    (container duration = max over streams). Reading past the decodable end
+    must CLAMP to the last real frame (not abort in swscale on an empty
+    AVFrame), and earlier indices must stay reachable on the same reader
+    after EOF (code-review r2 findings 1-3)."""
+    import numpy as np
+
+    from hippomm_tpu.media.io import LibavWriter
+
+    p = str(tmp_path / "long_audio.mkv")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(30, 64, 64, 3)).astype(np.uint8)  # 3 s @10fps
+    audio = (0.3 * np.sin(np.arange(6 * 16000) * 0.2)).astype(np.float32)  # 6 s
+    wr = LibavWriter(p, 64, 64, 10.0, 16000)
+    wr.write_audio(audio)
+    wr.write_video(frames)
+    wr.close()
+
+    r = LibavReader(p)
+    assert r.num_frames > 30  # the overestimate that triggered the bug
+    # read past the real end: clamps to the last decodable frame, no crash
+    g = r.read_gray_small([r.num_frames - 1], 16, 16)
+    assert g.shape == (1, 16, 16)
+    # earlier indices still reachable on the SAME reader after EOF
+    early = r.read_rgb([2])
+    fresh = LibavReader(p).read_rgb([2])
+    assert np.array_equal(early, fresh)
+    r.close()
