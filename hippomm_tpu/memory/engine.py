@@ -288,16 +288,23 @@ class HippocampalMemory:
                         target_len=self.imagebind.cfg.audio_target_len,
                     )
                 )
-                mels, n_real = pad_leading(mels)
-                embs = np.asarray(
-                    ib_model.audio_forward(
-                        self.imagebind.params,
-                        self.imagebind._shard_batch(jnp.asarray(mels)),
-                        self.imagebind.cfg,
-                        self.imagebind.dtype,
-                    ),
-                    dtype=np.float32,
-                )[:n_real]
+                # fixed 32-segment chunks: one compiled tower shape for any
+                # segment count (hour-long videos have 100+)
+                chunks = []
+                for lo in range(0, len(mels), 32):
+                    part, n_real = pad_leading(mels[lo : lo + 32], n=32)
+                    chunks.append(
+                        np.asarray(
+                            ib_model.audio_forward(
+                                self.imagebind.params,
+                                self.imagebind._shard_batch(jnp.asarray(part)),
+                                self.imagebind.cfg,
+                                self.imagebind.dtype,
+                            ),
+                            dtype=np.float32,
+                        )[:n_real]
+                    )
+                embs = np.concatenate(chunks)
             for si, e in zip(mel_owner, embs):
                 audio_embs[si] = e[None]
 

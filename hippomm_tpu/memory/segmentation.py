@@ -37,23 +37,34 @@ _FUSED_ADJ = None
 
 def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
     """(T, H, W, 3) uint8 -> (T-1,) SSIM between consecutive frames, computed
-    on device at a fixed downscale as ONE fused jitted program
-    (resize→gray→SSIM: a single dispatch, not three). The frame axis is
-    bucket-padded so the program compiles once per bucket, not per video."""
+    on device at a fixed downscale as ONE fused jitted program per 32-frame
+    chunk (resize→gray→SSIM). Chunks overlap by one frame so every adjacent
+    pair is scored; the fixed chunk width means ONE compiled shape for any
+    video length (an hour-long video would otherwise mint a fresh multi-second
+    compile for its padded frame count)."""
     import jax
     import jax.numpy as jnp
-
-    from hippomm_tpu.ops.bucketing import pad_leading
 
     global _FUSED_ADJ
     if _FUSED_ADJ is None:
         _FUSED_ADJ = jax.jit(_fused_adjacent_ssim_impl, static_argnames=("h", "w"))
 
-    if frames_rgb.shape[0] < 2:
+    frames_rgb = np.asarray(frames_rgb)
+    t = frames_rgb.shape[0]
+    if t < 2:
         return np.zeros((0,), np.float32)
-    padded, orig = pad_leading(np.asarray(frames_rgb))
-    sims = _FUSED_ADJ(jnp.asarray(padded), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W)
-    return np.asarray(sims)[: orig - 1]
+    CHUNK = 32
+    sims: list = []
+    lo = 0
+    while lo < t - 1:
+        chunk = frames_rgb[lo : lo + CHUNK]
+        m = len(chunk)
+        if m < CHUNK:  # pad by repeating the last frame (pad pairs → SSIM 1)
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
+        out = np.asarray(_FUSED_ADJ(jnp.asarray(chunk), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W))
+        sims.append(out[: m - 1])
+        lo += CHUNK - 1  # overlap one frame: next chunk starts at this chunk's last
+    return np.concatenate(sims)[: t - 1]
 
 
 def audio_window_levels(

@@ -37,12 +37,16 @@ from hippomm_tpu.models.whisper.transcribe import Segment, WhisperTranscriber
 
 logger = logging.getLogger(__name__)
 
-# ONE compiled batch shape per tower per 32 rows: TPU-idiomatic fixed shapes.
-# Padding a 3-frame call to 32 wastes trivial compute (ViT-H batch-32 forward
-# is ~160 ms) but avoids 5+ extra multi-second XLA compiles — which dominate
-# on remote/tunneled devices and pollute measured throughput windows.
+# ONE compiled batch shape per tower, period: every encode runs as fixed
+# 32-row chunks. Padding a 3-frame call to 32 wastes trivial compute (ViT-H
+# batch-32 forward is ~160 ms); hour-long videos (150+ keyframes) would
+# otherwise mint a new padded shape per size class and pay a multi-second XLA
+# compile mid-ingest — which dominates on remote/tunneled devices.
+CHUNK = 32
+
+
 def _bucket(n: int) -> int:
-    return max(32, ((n + 31) // 32) * 32)
+    return max(CHUNK, ((n + CHUNK - 1) // CHUNK) * CHUNK)
 
 
 class ImageBind:
@@ -109,7 +113,8 @@ class ImageBind:
     # -- encoders ----------------------------------------------------------
 
     def encode_vision(self, frames: Union[np.ndarray, Sequence[str]]) -> np.ndarray:
-        """uint8 (N, H, W, 3) frames or jpeg paths -> (N, 1024) fp32."""
+        """uint8 (N, H, W, 3) frames or jpeg paths -> (N, 1024) fp32.
+        Runs in fixed 32-frame chunks (one compiled shape for any N)."""
         if len(frames) == 0:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
         if isinstance(frames[0], str):
@@ -118,12 +123,16 @@ class ImageBind:
             frames = np.stack([read_jpeg(p) for p in frames])
         frames = np.asarray(frames)
         n = frames.shape[0]
-        b = _bucket(n)
-        if b != n:
-            frames = np.concatenate([frames, np.repeat(frames[-1:], b - n, axis=0)])
-        x = self._shard_batch(preprocess_vision(frames, self.cfg.image_size))
-        out = ib_model.vision_forward(self.params, x, self.cfg, self.dtype)
-        return np.asarray(out[:n], dtype=np.float32)
+        outs = []
+        for lo in range(0, n, CHUNK):
+            chunk = frames[lo : lo + CHUNK]
+            m = len(chunk)
+            if m < CHUNK:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
+            x = self._shard_batch(preprocess_vision(chunk, self.cfg.image_size))
+            out = ib_model.vision_forward(self.params, x, self.cfg, self.dtype)
+            outs.append(np.asarray(out[:m], dtype=np.float32))
+        return np.concatenate(outs)
 
     def encode_audio(self, pcm: np.ndarray, clips_per_video: int = 3) -> np.ndarray:
         """16 kHz mono float32 -> (1, 1024) fp32 (clip-ensembled)."""
