@@ -152,11 +152,14 @@ def main() -> None:
     # windowing programs compile per (bucket, window, hop))
     from hippomm_tpu.ops.silence import detect_silence_regions
     from hippomm_tpu.memory.segmentation import audio_window_levels
+    from hippomm_tpu.ops.similarity import warm_keyframe_buckets
 
     for dur in (600.0, 120.0):
         z = np.zeros(int(dur * 16000), np.float32)
         detect_silence_regions(z)
         audio_window_levels(z)
+    # consolidation dedup-scan shape rungs (one compile per bucket, cached)
+    warm_keyframe_buckets(max_n=512)
 
     # ---- measured ingest: 10-min vlog ---------------------------------------
     t0 = time.perf_counter()

@@ -176,34 +176,63 @@ def extract_frames_from_video(
     info = reader.info
     stride = max(1, int(round(info.fps * min_interval_s)))
     candidate_idx = list(range(0, info.num_frames, stride))
-
-    # --- decode candidate luma at scoring resolution (C++/Y-plane) ----------
-    from hippomm_tpu.media.pipeline import prefetched_batches
-
-    def decode_batch(bi: int):
-        batch = candidate_idx[bi * DECODE_BATCH : (bi + 1) * DECODE_BATCH]
-        return reader.read_gray_small(batch, sh, sw)
-
-    num_batches = (len(candidate_idx) + DECODE_BATCH - 1) // DECODE_BATCH
-    with timers.stage("extract_decode"):
-        grays = np.concatenate(
-            list(prefetched_batches(decode_batch, num_batches, lookahead=2))
-        ) if candidate_idx else np.zeros((0, sh, sw), np.uint8)
-
-    # --- greedy selection: the ENTIRE walk runs on device as a lax.scan, one
-    # dispatch per 256-candidate block (ops/keyframe.py) ----------------------
-    from hippomm_tpu.ops.keyframe import select_keyframes_device
-
     times = [i / info.fps for i in candidate_idx]
-    with timers.stage("extract_score"):
-        sel = select_keyframes_device(grays, times, max_diff_threshold, min_interval_s)
-    saved_idx = [candidate_idx[j] for j in sel]
-    saved_times = [times[j] for j in sel]
 
-    # --- fetch RGB for the selected frames only; JPEG-encode off hot loop ---
-    with timers.stage("extract_rgb_fetch"):
-        saved_rgb = reader.read_rgb(saved_idx) if saved_idx else None
+    # --- single decode pass, interleaved with async device scoring ----------
+    # Each candidate is decoded ONCE (C++ holds refcounted AVFrames; scoring
+    # luma comes out eagerly, full RGB is converted lazily ONLY for the frames
+    # the walk keeps — sws RGB conversion of every candidate costs more than
+    # the decode itself). The greedy-walk scan for block i runs on device
+    # WHILE the host decodes block i+1 (jax dispatch is async; the mask is
+    # materialized one block late), so scoring hides inside the decode wall.
+    # The old shape — a full luma pass, then a second re-decode pass for
+    # selected RGB — paid the stream decode twice.
+    from hippomm_tpu.ops.keyframe import KeyframeScanner
+
+    block = DECODE_BATCH
+    scanner = KeyframeScanner(sh, sw, max_diff_threshold, min_interval_s, block=block)
+    gray_blocks: List[np.ndarray] = []  # all candidate luma (tiny) — reused for
+    # segmentation's adjacent-pair SSIM so nothing is recomputed downstream
+    saved_rgb_parts: List[np.ndarray] = []
+    saved_cand: List[int] = []
+    pending = None  # (cand_offset, device mask handle, held frame block)
+
+    def _flush(entry):
+        off, handle, blk = entry
+        mask = np.asarray(handle)
+        js = np.nonzero(mask)[0]
+        if len(js):
+            saved_cand.extend(off + int(j) for j in js)
+            saved_rgb_parts.append(blk.take_rgb(js))
+        blk.close()
+
+    with timers.stage("extract_decode"):
+        for b0 in range(0, len(candidate_idx), block):
+            batch = candidate_idx[b0 : b0 + block]
+            blk = reader.read_block(batch, sh, sw)
+            gray_blocks.append(blk.gray)
+            handle = scanner.feed(blk.gray, times[b0 : b0 + block])
+            if pending is not None:
+                _flush(pending)
+            pending = (b0, handle, blk)
+    with timers.stage("extract_score"):
+        if pending is not None:
+            _flush(pending)
     reader.close()
+
+    grays = (
+        np.concatenate(gray_blocks) if gray_blocks else np.zeros((0, sh, sw), np.uint8)
+    )
+    saved_idx = [candidate_idx[j] for j in saved_cand]
+    saved_times = [times[j] for j in saved_cand]
+    saved_rgb = np.concatenate(saved_rgb_parts) if saved_rgb_parts else None
+
+    # adjacent-pair SSIM over the SAVED frames' scoring luma — handed to
+    # temporal pattern separation so it never re-resizes/re-scores RGB
+    from hippomm_tpu.memory.segmentation import adjacent_similarity_gray
+
+    with timers.stage("extract_seg_ssim"):
+        frame_ssim = adjacent_similarity_gray(grays[saved_cand]) if saved_cand else None
 
     saved_paths: List[str] = []
     with timers.stage("extract_jpeg_save"):
@@ -225,6 +254,7 @@ def extract_frames_from_video(
         "num_source_frames": info.num_frames,
         "frame_paths": saved_paths,
         "frame_times": [float(t) for t in saved_times],
+        "frame_ssim": [float(s) for s in frame_ssim] if frame_ssim is not None else None,
     }
     os.makedirs(frames_dir, exist_ok=True)
     with open(meta_path, "w") as f:
@@ -422,6 +452,7 @@ def process_video_folder(
             mem.add_video(video_id, path)
             frames = extracted["frames"]
             audio = extracted["audio"]
+            fssim = frames.get("frame_ssim")
             mem.process_sequence(
                 video_id,
                 frame_paths=frames.get("frame_paths", []),
@@ -430,6 +461,7 @@ def process_video_folder(
                 audio_data=audio.get("audio"),
                 video_duration=frames.get("duration"),
                 auto_consolidate=True,
+                frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
             )
             stats["processed"] += 1
             stats["media_seconds"] += float(frames.get("duration") or 0.0)

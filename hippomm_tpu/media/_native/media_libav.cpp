@@ -171,18 +171,18 @@ int position_at(AvReader* r, int64_t idx) {
   }
 }
 
-void copy_rgb(AvReader* r, uint8_t* dst) {
+void copy_rgb_frame(AvReader* r, const AVFrame* f, uint8_t* dst) {
   if (!r->sws_rgb) {
     r->sws_rgb = sws_getContext(
-        r->frame->width, r->frame->height, (AVPixelFormat)r->frame->format,
-        r->width, r->height, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr,
-        nullptr);
+        f->width, f->height, (AVPixelFormat)f->format, r->width, r->height,
+        AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr, nullptr, nullptr);
   }
   uint8_t* planes[4] = {dst, nullptr, nullptr, nullptr};
   int strides[4] = {3 * r->width, 0, 0, 0};
-  sws_scale(r->sws_rgb, r->frame->data, r->frame->linesize, 0,
-            r->frame->height, planes, strides);
+  sws_scale(r->sws_rgb, f->data, f->linesize, 0, f->height, planes, strides);
 }
+
+void copy_rgb(AvReader* r, uint8_t* dst) { copy_rgb_frame(r, r->frame, dst); }
 
 void copy_gray(AvReader* r, uint8_t* dst, int gw, int gh) {
   if (r->sws_gray && (r->gray_w != gw || r->gray_h != gh)) {
@@ -304,6 +304,80 @@ int hmm_av_read_gray_indices(void* h, const int64_t* idx, int64_t count,
     copy_gray(r, gray + frame_bytes * i, gw, gh);
   }
   return 0;
+}
+
+// Single-pass decode: each sorted index is decoded ONCE, emitting both the
+// (gh, gw) GRAY8 scoring plane and the full-resolution RGB24 frame. Keyframe
+// extraction previously paid two sequential decode passes over the stream —
+// one for scoring luma, one re-decoding the selected frames for JPEG/encode.
+int hmm_av_read_gray_rgb_indices(void* h, const int64_t* idx, int64_t count,
+                                 int gw, int gh, uint8_t* gray, uint8_t* rgb) {
+  AvReader* r = static_cast<AvReader*>(h);
+  size_t gray_bytes = (size_t)gw * gh;
+  size_t rgb_bytes = (size_t)r->width * r->height * 3;
+  for (int64_t i = 0; i < count; ++i) {
+    if (i > 0 && idx[i] < idx[i - 1]) return -2;
+    int rc = position_at(r, idx[i]);
+    if (rc < 0) return rc;
+    copy_gray(r, gray + gray_bytes * i, gw, gh);
+    copy_rgb(r, rgb + rgb_bytes * i);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Block-hold decode: decode a block of sorted indices ONCE, emit scoring luma
+// immediately, and RETAIN refcounted AVFrames so full RGB is converted LAZILY
+// — only for the few frames the keyframe walk decides to keep. The eager
+// gray+rgb path above converts every candidate (most of which are dropped);
+// at ~10 ms per full-res sws conversion that dominates the ingest wall.
+// ---------------------------------------------------------------------------
+
+struct AvBlock {
+  AvReader* reader = nullptr;
+  std::vector<AVFrame*> frames;  // one ref per decoded candidate
+};
+
+int hmm_av_read_block_hold(void* h, const int64_t* idx, int64_t count, int gw,
+                           int gh, uint8_t* gray, void** block_out) {
+  AvReader* r = static_cast<AvReader*>(h);
+  AvBlock* blk = new AvBlock();
+  blk->reader = r;
+  blk->frames.reserve(count);
+  size_t gray_bytes = (size_t)gw * gh;
+  for (int64_t i = 0; i < count; ++i) {
+    if ((i > 0 && idx[i] < idx[i - 1]) || position_at(r, idx[i]) < 0) {
+      for (AVFrame* f : blk->frames) av_frame_free(&f);
+      delete blk;
+      return i > 0 && idx[i] < idx[i - 1] ? -2 : -1;
+    }
+    copy_gray(r, gray + gray_bytes * i, gw, gh);
+    AVFrame* f = av_frame_alloc();
+    av_frame_ref(f, r->frame);  // buffer ref, no pixel copy
+    blk->frames.push_back(f);
+  }
+  *block_out = blk;
+  return 0;
+}
+
+// Convert held frames at block-local positions `js` (ascending not required)
+// to packed full-res RGB24.
+int hmm_av_block_take_rgb(void* bh, const int64_t* js, int64_t n,
+                          uint8_t* rgb) {
+  AvBlock* blk = static_cast<AvBlock*>(bh);
+  size_t rgb_bytes = (size_t)blk->reader->width * blk->reader->height * 3;
+  for (int64_t i = 0; i < n; ++i) {
+    if (js[i] < 0 || js[i] >= (int64_t)blk->frames.size()) return -2;
+    copy_rgb_frame(blk->reader, blk->frames[js[i]], rgb + rgb_bytes * i);
+  }
+  return 0;
+}
+
+void hmm_av_block_free(void* bh) {
+  AvBlock* blk = static_cast<AvBlock*>(bh);
+  if (!blk) return;
+  for (AVFrame* f : blk->frames) av_frame_free(&f);
+  delete blk;
 }
 
 void hmm_av_close(void* h) {

@@ -119,6 +119,32 @@ def _load_native_locked():
             ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.hmm_av_read_gray_rgb_indices.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.hmm_av_read_block_hold.restype = ctypes.c_int
+        lib.hmm_av_read_block_hold.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_void_p),
+        ]
+        lib.hmm_av_block_take_rgb.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+        ]
+        lib.hmm_av_block_free.argtypes = [ctypes.c_void_p]
         lib.hmm_av_close.argtypes = [ctypes.c_void_p]
         lib.hmm_av_audio_decode.restype = ctypes.c_void_p
         lib.hmm_av_audio_decode.argtypes = [
@@ -339,6 +365,69 @@ def _box_downscale(x: np.ndarray, gh: int, gw: int) -> np.ndarray:
     return x[:, yi][:, :, xi]
 
 
+class ArrayFrameBlock:
+    """read_block facade over eagerly-available RGB (pure-Python readers)."""
+
+    def __init__(self, gray: np.ndarray, rgb: np.ndarray):
+        self.gray = gray
+        self._rgb = rgb
+
+    def take_rgb(self, js) -> np.ndarray:
+        return self._rgb[np.asarray(js, dtype=np.int64)]
+
+    def close(self) -> None:
+        self._rgb = None
+
+
+class _LazyFrameBlock:
+    """read_block facade for random-access readers (Y4M): RGB fetched per
+    selected frame only."""
+
+    def __init__(self, gray: np.ndarray, fetch):
+        self.gray = gray
+        self._fetch = fetch
+
+    def take_rgb(self, js) -> np.ndarray:
+        return self._fetch(list(np.asarray(js, dtype=np.int64)))
+
+    def close(self) -> None:
+        self._fetch = None
+
+
+class _NativeFrameBlock:
+    """RGB-on-demand over C++-held refcounted AVFrames (LibavReader)."""
+
+    def __init__(self, lib, handle, gray: np.ndarray, height: int, width: int):
+        self._lib = lib
+        self._handle = handle
+        self.gray = gray
+        self._hw = (height, width)
+
+    def take_rgb(self, js) -> np.ndarray:
+        js = np.ascontiguousarray(js, dtype=np.int64)
+        out = np.empty((len(js), self._hw[0], self._hw[1], 3), dtype=np.uint8)
+        rc = self._lib.hmm_av_block_take_rgb(
+            self._handle,
+            js.ctypes.data_as(ctypes.c_void_p),
+            len(js),
+            out.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"block rgb take failed rc={rc}")
+        return out
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.hmm_av_block_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 class Y4MReader:
     """Uncompressed YUV420 container. Frame-exact random access by pointer
     arithmetic; returns planar YUV so color conversion can run on device."""
@@ -418,6 +507,19 @@ class Y4MReader:
                     self.height, self.width
                 )
         return _box_downscale(y, gh, gw)
+
+    def read_gray_rgb(self, indices: Sequence[int], gh: int, gw: int):
+        """(gray, rgb) in one read of each frame's YUV."""
+        from hippomm_tpu.ops.color import yuv420_to_rgb
+
+        y, u, v = self.read_yuv(indices)
+        return _box_downscale(y, gh, gw), np.asarray(yuv420_to_rgb(y, u, v))
+
+    def read_block(self, indices: Sequence[int], gh: int, gw: int):
+        """Y-plane luma eagerly; RGB per selected frame (random access is free)."""
+        idx = list(indices)
+        gray = self.read_gray_small(idx, gh, gw)
+        return _LazyFrameBlock(gray, lambda js: self.read_rgb([idx[j] for j in js]))
 
     def close(self):
         pass
@@ -506,6 +608,14 @@ class AviReader:
 
     def read_gray_small(self, indices: Sequence[int], gh: int, gw: int) -> np.ndarray:
         return _box_downscale(_luma_u8(self.read_rgb(indices)), gh, gw)
+
+    def read_gray_rgb(self, indices: Sequence[int], gh: int, gw: int):
+        rgb = self.read_rgb(indices)
+        return _box_downscale(_luma_u8(rgb), gh, gw), rgb
+
+    def read_block(self, indices: Sequence[int], gh: int, gw: int):
+        gray, rgb = self.read_gray_rgb(indices, gh, gw)
+        return ArrayFrameBlock(gray, rgb)
 
     def close(self):
         if self._h:
@@ -648,6 +758,47 @@ class LibavReader:
         if rc != 0:
             raise RuntimeError(f"libav gray decode failed rc={rc}")
         return out[inverse]
+
+    def read_gray_rgb(self, indices: Sequence[int], gh: int, gw: int):
+        """Single-pass decode: (gray (N,gh,gw), rgb (N,H,W,3)). Each frame is
+        decoded once and scaled twice in C++ — keyframe extraction needs both
+        the scoring luma and (for the frames it keeps) the full RGB, and a
+        second decode pass over the stream costs as much as the first."""
+        uniq, inverse = self._sorted_unique(indices)
+        gray = np.empty((len(uniq), gh, gw), dtype=np.uint8)
+        rgb = np.empty((len(uniq), self.height, self.width, 3), dtype=np.uint8)
+        rc = self._lib.hmm_av_read_gray_rgb_indices(
+            self._h,
+            uniq.ctypes.data_as(ctypes.c_void_p),
+            len(uniq),
+            gw,
+            gh,
+            gray.ctypes.data_as(ctypes.c_void_p),
+            rgb.ctypes.data_as(ctypes.c_void_p),
+        )
+        if rc != 0:
+            raise RuntimeError(f"libav gray+rgb decode failed rc={rc}")
+        return gray[inverse], rgb[inverse]
+
+    def read_block(self, indices: Sequence[int], gh: int, gw: int) -> "FrameBlock":
+        """Decode a sorted candidate block once; scoring luma is returned
+        eagerly, full RGB lazily per frame (refcounted AVFrames held in C++ —
+        no pixel copies for frames the caller never takes)."""
+        idx = np.asarray(indices, dtype=np.int64)
+        gray = np.empty((len(idx), gh, gw), dtype=np.uint8)
+        handle = ctypes.c_void_p()
+        rc = self._lib.hmm_av_read_block_hold(
+            self._h,
+            idx.ctypes.data_as(ctypes.c_void_p),
+            len(idx),
+            gw,
+            gh,
+            gray.ctypes.data_as(ctypes.c_void_p),
+            ctypes.byref(handle),
+        )
+        if rc != 0:
+            raise RuntimeError(f"libav block decode failed rc={rc}")
+        return _NativeFrameBlock(self._lib, handle, gray, self.height, self.width)
 
     def close(self):
         if self._h:

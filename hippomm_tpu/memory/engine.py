@@ -166,6 +166,7 @@ class HippocampalMemory:
         video_duration: Optional[float] = None,
         auto_consolidate: bool = True,
         base_time: float = 0.0,
+        frame_ssim: Optional[np.ndarray] = None,
     ) -> List[ShortTermMemory]:
         """Segment + perceptually encode a video's frames/audio into STMs
         (reference: hippocampal_memory.py:1116-1275).
@@ -210,6 +211,7 @@ class HippocampalMemory:
                 ssim_threshold=self.frame_similarity_threshold,
                 silence_db=self.audio_silence_threshold,
                 duration=video_duration,
+                precomputed_ssim=frame_ssim,
             )
         logger.info("%s: %d segments", video_id, len(segments))
 

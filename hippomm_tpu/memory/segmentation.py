@@ -67,6 +67,36 @@ def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
     return np.concatenate(sims)[: t - 1]
 
 
+def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
+    """(T, h, w) uint8 scoring-resolution luma -> (T-1,) adjacent SSIM.
+
+    Same fixed-32-chunk execution as adjacent_frame_similarity but WITHOUT the
+    resize+gray stage: the keyframe extractor already decoded every saved frame
+    to scoring luma in C++, so segmentation can score boundaries from that —
+    one tiny (32, 90, 160) transfer per chunk instead of re-shipping and
+    re-resizing full RGB."""
+    import jax.numpy as jnp
+
+    from hippomm_tpu.ops.ssim import adjacent_ssim
+
+    grays = np.asarray(grays)
+    t = grays.shape[0]
+    if t < 2:
+        return np.zeros((0,), np.float32)
+    CHUNK = 32
+    sims: list = []
+    lo = 0
+    while lo < t - 1:
+        chunk = grays[lo : lo + CHUNK]
+        m = len(chunk)
+        if m < CHUNK:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
+        out = np.asarray(adjacent_ssim(jnp.asarray(chunk)))
+        sims.append(out[: m - 1])
+        lo += CHUNK - 1
+    return np.concatenate(sims)[: t - 1]
+
+
 def audio_window_levels(
     audio: Optional[np.ndarray], sample_rate: int = 16000
 ) -> Optional[np.ndarray]:
@@ -140,9 +170,13 @@ def segment_sequence(
     ssim_threshold: float = 0.95,
     silence_db: float = -40.0,
     duration: Optional[float] = None,
+    precomputed_ssim: Optional[np.ndarray] = None,
 ) -> List[SequenceSegment]:
     """Full temporal pattern separation -> SequenceSegments with sliced frames
-    and audio (reference: _segment_sequence, hippocampal_memory.py:1002-1114)."""
+    and audio (reference: _segment_sequence, hippocampal_memory.py:1002-1114).
+
+    `precomputed_ssim` ((T-1,) adjacent-pair SSIM, e.g. from the extractor's
+    scoring luma) skips the on-device resize+gray+SSIM recompute."""
     frame_times = list(map(float, frame_times))
     if duration is None:
         candidates = []
@@ -152,11 +186,12 @@ def segment_sequence(
             candidates.append(len(audio) / sample_rate)
         duration = max(candidates) if candidates else 0.0
 
-    ssim = (
-        adjacent_frame_similarity(frames_rgb)
-        if frames_rgb is not None and len(frames_rgb) >= 2
-        else np.zeros((0,), np.float32)
-    )
+    if precomputed_ssim is not None:
+        ssim = np.asarray(precomputed_ssim, np.float32)
+    elif frames_rgb is not None and len(frames_rgb) >= 2:
+        ssim = adjacent_frame_similarity(frames_rgb)
+    else:
+        ssim = np.zeros((0,), np.float32)
     db = audio_window_levels(audio, sample_rate)
     cuts = find_boundaries(
         frame_times, ssim, db, duration, max_segment, min_segment, ssim_threshold, silence_db

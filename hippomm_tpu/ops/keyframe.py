@@ -62,6 +62,49 @@ def _select_block(
     return saves, ref, cum, tlast, has_ref
 
 
+class KeyframeScanner:
+    """Streaming form of the greedy walk: feed fixed-size candidate blocks as
+    they decode; each feed dispatches ONE async device scan and returns a
+    device handle for that block's save mask. The extraction loop decodes
+    block i+1 on host WHILE the device scans block i — materialize the handle
+    (np.asarray) only after the next block is in flight.
+
+    Carry (last-saved gray, cumulative diff, last-save time) chains on device
+    between blocks; nothing syncs until a mask is materialized.
+    """
+
+    def __init__(
+        self,
+        h: int,
+        w: int,
+        max_diff_threshold: float = 0.3,
+        min_interval_s: float = 1.0,
+        block: int = BLOCK,
+    ):
+        self.block = block
+        self._ref = jnp.zeros((h, w), jnp.float32)
+        self._cum = jnp.float32(0.0)
+        self._tlast = jnp.float32(-1e9)
+        self._has_ref = jnp.asarray(False)
+        self._thr = jnp.float32(max_diff_threshold)
+        self._gap = jnp.float32(min_interval_s)
+
+    def feed(self, grays: np.ndarray, times) -> jax.Array:
+        """Score ≤block candidates; returns the (m,) save mask as a DEVICE
+        array (async — do not materialize until the next block is fed)."""
+        m = len(grays)
+        t = np.asarray(times, np.float32)
+        if m < self.block:
+            grays = np.concatenate([grays, np.repeat(grays[-1:], self.block - m, axis=0)])
+            t = np.concatenate([t, np.repeat(t[-1:], self.block - m)])
+        valid = np.arange(self.block) < m
+        saves, self._ref, self._cum, self._tlast, self._has_ref = _select_block(
+            jnp.asarray(grays), jnp.asarray(t), jnp.asarray(valid),
+            self._ref, self._cum, self._tlast, self._has_ref, self._thr, self._gap,
+        )
+        return saves[:m]
+
+
 def select_keyframes_device(
     grays: np.ndarray,
     times,
@@ -77,25 +120,10 @@ def select_keyframes_device(
         return []
     h, w = grays.shape[1:]
     t_arr = np.asarray(times, np.float32)
-    ref = jnp.zeros((h, w), jnp.float32)
-    cum = jnp.float32(0.0)
-    tlast = jnp.float32(-1e9)
-    has_ref = jnp.asarray(False)
-    thr = jnp.float32(max_diff_threshold)
-    gap = jnp.float32(min_interval_s)
-    mask = np.zeros((n,), bool)
-    for b0 in range(0, n, block):
-        b1 = min(n, b0 + block)
-        m = b1 - b0
-        g = grays[b0:b1]
-        t = t_arr[b0:b1]
-        if m < block:
-            g = np.concatenate([g, np.repeat(g[-1:], block - m, axis=0)])
-            t = np.concatenate([t, np.repeat(t[-1:], block - m)])
-        valid = (np.arange(block) < m)
-        saves, ref, cum, tlast, has_ref = _select_block(
-            jnp.asarray(g), jnp.asarray(t), jnp.asarray(valid),
-            ref, cum, tlast, has_ref, thr, gap,
-        )
-        mask[b0:b1] = np.asarray(saves)[:m]
+    scanner = KeyframeScanner(h, w, max_diff_threshold, min_interval_s, block)
+    handles = [
+        scanner.feed(grays[b0 : min(n, b0 + block)], t_arr[b0 : min(n, b0 + block)])
+        for b0 in range(0, n, block)
+    ]
+    mask = np.concatenate([np.asarray(s) for s in handles])
     return [int(i) for i in np.nonzero(mask)[0]]

@@ -49,7 +49,7 @@ def top_k_cosine(query: jax.Array, feats: jax.Array, k: int):
 
 
 @partial(jax.jit, static_argnames=("threshold",))
-def select_keyframes_mask(features: jax.Array, threshold: float = 0.9) -> jax.Array:
+def select_keyframes_mask(features: jax.Array, threshold: float = 0.9, n=None) -> jax.Array:
     """Greedy key-frame selection (reference: hippocampal_memory.py:944-967).
 
     Reference semantics: take frame 0; take frame i iff its cosine similarity to
@@ -58,29 +58,64 @@ def select_keyframes_mask(features: jax.Array, threshold: float = 0.9) -> jax.Ar
     compiled program, no host round-trips.
 
     Returns a bool (N,) mask.
+
+    `n` (dynamic) marks the valid row count when `features` is padded to a
+    shape bucket: pad rows are never selected, so callers compile once per
+    bucket instead of once per distinct video length.
     """
     sims = cosine_sim_matrix(features, features)  # (N, N)
-    n = sims.shape[0]
+    rows = sims.shape[0]
+    valid = jnp.arange(rows) < (rows if n is None else n)
 
     def body(mask, i):
         # max similarity of row i against currently-selected earlier frames
         row = sims[i]
         masked = jnp.where(mask, row, -jnp.inf)
-        take = jnp.max(masked) < threshold
+        take = (jnp.max(masked) < threshold) & valid[i]
         mask = mask.at[i].set(take)
         return mask, take
 
-    init = jnp.zeros((n,), dtype=bool).at[0].set(True)
-    mask, _ = jax.lax.scan(body, init, jnp.arange(1, n))
+    init = jnp.zeros((rows,), dtype=bool).at[0].set(True)
+    mask, _ = jax.lax.scan(body, init, jnp.arange(1, rows))
     return mask
+
+
+def keyframe_bucket(n: int) -> int:
+    """Shape rungs for the dedup scan: 32-quantum up to 128, then powers of two.
+    Bounds compile count across a folder of arbitrarily-long videos while
+    keeping padding waste (O(bucket²) sim-matrix FLOPs) modest."""
+    if n <= 128:
+        return max(32, ((n + 31) // 32) * 32)
+    b = 256
+    while b < n:
+        b *= 2
+    return b
+
+
+def warm_keyframe_buckets(max_n: int = 256, threshold: float = 0.9, dim: int = 1024) -> None:
+    """Pre-compile the dedup scan for every bucket ≤ keyframe_bucket(max_n)
+    (benchmark / service warmup)."""
+    n = 1
+    while True:
+        b = keyframe_bucket(n)
+        select_keyframes_mask(jnp.zeros((b, dim), jnp.float32), threshold=threshold, n=1)
+        if b >= max_n:
+            break
+        n = b + 1
 
 
 def select_keyframes(features: np.ndarray, threshold: float = 0.9) -> np.ndarray:
     """Host wrapper: returns selected indices (ascending), like the reference."""
     features = np.asarray(features, dtype=np.float32)
-    if features.shape[0] == 0:
+    n = features.shape[0]
+    if n == 0:
         return np.zeros((0,), dtype=np.int64)
-    if features.shape[0] == 1:
+    if n == 1:
         return np.zeros((1,), dtype=np.int64)
-    mask = np.asarray(select_keyframes_mask(features, threshold=float(threshold)))
+    b = keyframe_bucket(n)
+    if b != n:
+        features = np.concatenate(
+            [features, np.zeros((b - n,) + features.shape[1:], features.dtype)]
+        )
+    mask = np.asarray(select_keyframes_mask(features, threshold=float(threshold), n=n))[:n]
     return np.nonzero(mask)[0]
