@@ -32,6 +32,8 @@ import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+from hippomm_tpu.utils.device import fetch
 import yaml
 
 from hippomm_tpu.config import Config, load_config
@@ -59,7 +61,7 @@ def compute_frame_difference(frame_a: np.ndarray, frame_b: np.ndarray) -> float:
     from hippomm_tpu.ops.ssim import frame_difference, rgb_to_gray
 
     g = rgb_to_gray(jnp.asarray(np.stack([frame_a, frame_b])))
-    return float(frame_difference(g[:1], g[1:])[0])
+    return float(fetch(frame_difference(g[:1], g[1:]))[0])
 
 
 def save_frame(frame_rgb: np.ndarray, path: str, quality: int = 90) -> None:
@@ -189,17 +191,31 @@ def extract_frames_from_video(
     # selected RGB — paid the stream decode twice.
     from hippomm_tpu.ops.keyframe import KeyframeScanner
 
-    block = DECODE_BATCH
+    # Big blocks: every feed is a host->device round trip, and on a tunneled
+    # TPU per-dispatch latency (~0.3 s) dwarfs the scan compute — 256-candidate
+    # blocks cost 3 round trips for a 10-min vlog instead of 19.
+    from hippomm_tpu.ops.keyframe import BLOCK as SCAN_BLOCK
+
+    block = SCAN_BLOCK
     scanner = KeyframeScanner(sh, sw, max_diff_threshold, min_interval_s, block=block)
     gray_blocks: List[np.ndarray] = []  # all candidate luma (tiny) — reused for
     # segmentation's adjacent-pair SSIM so nothing is recomputed downstream
     saved_rgb_parts: List[np.ndarray] = []
     saved_cand: List[int] = []
-    pending = None  # (cand_offset, device mask handle, held frame block)
+    from collections import deque
+
+    pending: "deque" = deque()  # (cand_offset, device mask handle, held block)
+    # Held blocks keep decoded frames alive (refcounted YUV in C++ / RGB array
+    # in Python readers). Flushing is opportunistic — a mask may sit behind a
+    # multi-second ASR program in the device queue (ASR is dispatched before
+    # decode to overlap it), and blocking on it would stall the decoder. Cap
+    # retained bytes so an unresponsive queue can't hold a whole video.
+    held_frame_bytes = int(info.width * info.height * 1.6) * block
+    max_hold = max(1, (512 << 20) // max(1, held_frame_bytes))
 
     def _flush(entry):
         off, handle, blk = entry
-        mask = np.asarray(handle)
+        mask = fetch(handle)
         js = np.nonzero(mask)[0]
         if len(js):
             saved_cand.extend(off + int(j) for j in js)
@@ -209,15 +225,18 @@ def extract_frames_from_video(
     with timers.stage("extract_decode"):
         for b0 in range(0, len(candidate_idx), block):
             batch = candidate_idx[b0 : b0 + block]
-            blk = reader.read_block(batch, sh, sw)
+            with timers.stage("extract_decode_c"):
+                blk = reader.read_block(batch, sh, sw)
             gray_blocks.append(blk.gray)
-            handle = scanner.feed(blk.gray, times[b0 : b0 + block])
-            if pending is not None:
-                _flush(pending)
-            pending = (b0, handle, blk)
+            with timers.stage("extract_feed"):
+                handle = scanner.feed(blk.gray, times[b0 : b0 + block])
+            with timers.stage("extract_flush"):
+                pending.append((b0, handle, blk))
+                while pending and (len(pending) > max_hold or pending[0][1].is_ready()):
+                    _flush(pending.popleft())
     with timers.stage("extract_score"):
-        if pending is not None:
-            _flush(pending)
+        while pending:
+            _flush(pending.popleft())
     reader.close()
 
     grays = (
@@ -368,15 +387,13 @@ def process_single_video(
         )
         f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
         audio = f_audio.result()
-        # single-core hosts: the ASR thread's host share steals the core from
-        # the frame decode it is meant to overlap — prefetch only helps when
-        # there's a core for each side
-        if (
-            memory_system is not None
-            and audio.get("audio") is not None
-            and (os.cpu_count() or 1) > 1
-        ):
-            memory_system.prefetch_asr(video_id, audio["audio"])
+        # Overlap the ASR with frame decode by DISPATCHING it from this thread
+        # (async device programs) and syncing later in process_sequence. A
+        # worker-thread prefetch was measured to fight the single host core
+        # and starve the extraction scan (10-min vlog: 19s -> 34s); eager
+        # dispatch + late sync overlaps the same work with no second thread.
+        if memory_system is not None and audio.get("audio") is not None:
+            memory_system.dispatch_asr(video_id, audio["audio"])
         frames = f_frames.result()
     return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
 

@@ -351,6 +351,32 @@ def _luma_u8(rgb: np.ndarray) -> np.ndarray:
     return ((19595 * r + 38470 * g + 7471 * b + 32768) >> 16).astype(np.uint8)
 
 
+def _yuv420_to_rgb_np(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Host BT.601 full-range YUV420 -> RGB (inverse of _rgb_to_yuv420_np).
+
+    Used on the Y4M READ path: shipping frames to device just to color-convert
+    means reading uint8 back over the tunnel, where sub-4MB u8 fetches stall
+    for seconds (axon d2h pathology). numpy does this in milliseconds."""
+    yf = y.astype(np.float32)
+    uf = np.repeat(np.repeat(u.astype(np.float32), 2, axis=1), 2, axis=2) - 128.0
+    vf = np.repeat(np.repeat(v.astype(np.float32), 2, axis=1), 2, axis=2) - 128.0
+    r = yf + 1.402 * vf
+    g = yf - 0.344136 * uf - 0.714136 * vf
+    b = yf + 1.772 * uf
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def downscale_rgb(frames: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """(N, H, W, 3) uint8 -> (N, gh, gw, 3) on HOST (box average for integer
+    ratios, nearest otherwise). The detailed-recall thumbnail path: frames were
+    just decoded on host, and round-tripping them through the device costs a
+    pathological uint8 readback."""
+    return np.stack(
+        [_box_downscale(frames[..., c], gh, gw) for c in range(frames.shape[-1])], axis=-1
+    )
+
+
 def _box_downscale(x: np.ndarray, gh: int, gw: int) -> np.ndarray:
     """(N, H, W) uint8 -> (N, gh, gw) uint8 box average (nearest if non-integral)."""
     n, h, w = x.shape
@@ -488,10 +514,8 @@ class Y4MReader:
         return y, u, v
 
     def read_rgb(self, indices: Sequence[int]) -> np.ndarray:
-        from hippomm_tpu.ops.color import yuv420_to_rgb
-
         y, u, v = self.read_yuv(indices)
-        return np.asarray(yuv420_to_rgb(y, u, v))
+        return _yuv420_to_rgb_np(y, u, v)
 
     def read_gray_small(self, indices: Sequence[int], gh: int, gw: int) -> np.ndarray:
         """Scoring-resolution luma: reads ONLY the Y plane (the luma IS the
@@ -510,10 +534,8 @@ class Y4MReader:
 
     def read_gray_rgb(self, indices: Sequence[int], gh: int, gw: int):
         """(gray, rgb) in one read of each frame's YUV."""
-        from hippomm_tpu.ops.color import yuv420_to_rgb
-
         y, u, v = self.read_yuv(indices)
-        return _box_downscale(y, gh, gw), np.asarray(yuv420_to_rgb(y, u, v))
+        return _box_downscale(y, gh, gw), _yuv420_to_rgb_np(y, u, v)
 
     def read_block(self, indices: Sequence[int], gh: int, gw: int):
         """Y-plane luma eagerly; RGB per selected frame (random access is free)."""

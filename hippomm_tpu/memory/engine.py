@@ -25,6 +25,8 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
+from hippomm_tpu.utils.device import fetch
+
 from hippomm_tpu.config import Config
 from hippomm_tpu.memory.consolidation import consolidate_short_term_memory
 from hippomm_tpu.memory.schema import SequenceSegment, ShortTermMemory, ThetaEvent
@@ -283,7 +285,7 @@ class HippocampalMemory:
             from hippomm_tpu.ops.bucketing import pad_leading
 
             with self.timers.stage("encode_audio"):
-                mels = np.asarray(
+                mels = fetch(
                     preprocess_audio_batch(
                         pcm_batch,
                         mel_bins=self.imagebind.cfg.audio_mel_bins,
@@ -296,7 +298,7 @@ class HippocampalMemory:
                 for lo in range(0, len(mels), 32):
                     part, n_real = pad_leading(mels[lo : lo + 32], n=32)
                     chunks.append(
-                        np.asarray(
+                        fetch(
                             ib_model.audio_forward(
                                 self.imagebind.params,
                                 self.imagebind._shard_batch(jnp.asarray(part)),
@@ -379,6 +381,28 @@ class HippocampalMemory:
                 )
             )
         return stms
+
+    def dispatch_asr(self, video_id: str, audio: np.ndarray, sample_rate: int = 16000):
+        """Dispatch the full-track ASR device programs from THIS thread and
+        stash the finisher; process_sequence picks it up exactly like a
+        prefetch future. Unlike prefetch_asr (worker thread), this never
+        contends for the single host core — dispatch is cheap, and the
+        materializing sync happens later when the result is actually needed."""
+        audio = np.asarray(audio, dtype=np.float32)
+        if len(audio) < sample_rate // 10:
+            return None
+        self._full_audio[video_id] = audio
+        finish = self.whisper.transcribe_async(audio, sample_rate)
+        if finish is None:
+            return None
+
+        class _Finisher:
+            def result(self):
+                return finish()
+
+        fut = _Finisher()
+        self._asr_futures[video_id] = fut
+        return fut
 
     def prefetch_asr(self, video_id: str, audio: np.ndarray, sample_rate: int = 16000):
         """Launch the full-track batched ASR on a background thread so the TPU

@@ -19,6 +19,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from hippomm_tpu.memory.schema import SequenceSegment
+from hippomm_tpu.utils.device import fetch
 from hippomm_tpu.ops.resize import resize_frames
 from hippomm_tpu.ops.ssim import adjacent_ssim, rgb_to_gray
 
@@ -61,7 +62,7 @@ def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
         m = len(chunk)
         if m < CHUNK:  # pad by repeating the last frame (pad pairs → SSIM 1)
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
-        out = np.asarray(_FUSED_ADJ(jnp.asarray(chunk), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W))
+        out = fetch(_FUSED_ADJ(jnp.asarray(chunk), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W))
         sims.append(out[: m - 1])
         lo += CHUNK - 1  # overlap one frame: next chunk starts at this chunk's last
     return np.concatenate(sims)[: t - 1]
@@ -91,7 +92,7 @@ def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
         m = len(chunk)
         if m < CHUNK:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
-        out = np.asarray(adjacent_ssim(jnp.asarray(chunk)))
+        out = fetch(adjacent_ssim(jnp.asarray(chunk)))
         sims.append(out[: m - 1])
         lo += CHUNK - 1
     return np.concatenate(sims)[: t - 1]

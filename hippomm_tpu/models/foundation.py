@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hippomm_tpu.utils.device import fetch
+
 from hippomm_tpu.config import Config
 from hippomm_tpu.models.clients import ChatClient, make_client
 from hippomm_tpu.models.imagebind import model as ib_model
@@ -131,7 +133,7 @@ class ImageBind:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
             x = self._shard_batch(preprocess_vision(chunk, self.cfg.image_size))
             out = ib_model.vision_forward(self.params, x, self.cfg, self.dtype)
-            outs.append(np.asarray(out[:m], dtype=np.float32))
+            outs.append(fetch(out[:m], dtype=np.float32))
         return np.concatenate(outs)
 
     def encode_audio(self, pcm: np.ndarray, clips_per_video: int = 3) -> np.ndarray:
@@ -143,7 +145,7 @@ class ImageBind:
             clips_per_video=clips_per_video,
         )
         out = ib_model.audio_forward(self.params, mel, self.cfg, self.dtype)
-        return np.asarray(out, dtype=np.float32)
+        return fetch(out, dtype=np.float32)
 
     def encode_text(self, texts: Sequence[str]) -> np.ndarray:
         """list[str] -> (N, 1024) fp32."""
@@ -151,7 +153,7 @@ class ImageBind:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
         tokens = self._shard_batch(jnp.asarray(self.tokenizer(list(texts))))
         out = ib_model.text_forward(self.params, tokens, self.cfg, self.dtype)
-        return np.asarray(out, dtype=np.float32)
+        return fetch(out, dtype=np.float32)
 
     # -- reference-compatible surface (foundation_models.py:135-151) --------
 
@@ -260,6 +262,16 @@ class Whisper:
         if hasattr(self._impl, "transcribe_many"):
             return self._impl.transcribe_many(pcms, sample_rate)
         return [self._impl.transcribe(p, sample_rate) for p in pcms]
+
+    def transcribe_async(self, audio: np.ndarray, sample_rate: int = 16000):
+        """Dispatch the full transcription to device NOW; returns a zero-arg
+        finisher (None for the stub — nothing to overlap). The caller keeps the
+        host busy (frame decode) while the ASR programs drain the device queue."""
+        pcm = np.asarray(audio, dtype=np.float32)
+        if hasattr(self._impl, "transcribe_many_async"):
+            inner = self._impl.transcribe_many_async([pcm], sample_rate)
+            return lambda: inner()[0]
+        return None
 
     def __call__(self, *a, **k):
         raise NotImplementedError(

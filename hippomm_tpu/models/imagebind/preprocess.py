@@ -25,6 +25,8 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
+from hippomm_tpu.utils.device import fetch
+
 from hippomm_tpu.ops.mel import KaldiFbank
 from hippomm_tpu.ops.resize import resize_normalize
 
@@ -106,7 +108,7 @@ def preprocess_audio_batch(
     outs = []
     for lo in range(0, len(windows), 32):
         chunk, n_real = pad_leading(np.stack(windows[lo : lo + 32]), n=32, mode="zero")
-        outs.append(np.asarray(run(jnp.asarray(chunk)))[:n_real])
+        outs.append(fetch(run(jnp.asarray(chunk)))[:n_real])
     feats = np.concatenate(outs)
     b = len(pcms)
     return jnp.asarray(feats.reshape(b, clips_per_video, 1, mel_bins, target_len))

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hippomm_tpu.utils.device import fetch
+
 from hippomm_tpu.ops.mel import WhisperMel
 from hippomm_tpu.models.whisper.model import (
     WhisperConfig,
@@ -143,6 +145,22 @@ class WhisperTranscriber:
         (memory/engine.py), so per-video ASR is a handful of device programs
         regardless of segment count.
         """
+        return self.transcribe_many_async(pcms, sample_rate, max_new_tokens, max_chunk_batch)()
+
+    def transcribe_many_async(
+        self,
+        pcms: List[np.ndarray],
+        sample_rate: int = SAMPLE_RATE,
+        max_new_tokens: int = 224,
+        max_chunk_batch: int = 16,
+    ):
+        """Dispatch every ASR device program NOW (jax dispatch is async) and
+        return a zero-arg finisher that materializes + parses the tokens.
+        The caller can decode video frames on host while the chunk batches run
+        on device — all from ONE thread (a prefetch thread was measured to
+        fight the single-core host and to starve the extraction scan's device
+        queue; dispatching eagerly and syncing late gets the overlap for free).
+        """
         if sample_rate != SAMPLE_RATE:
             raise ValueError("resample to 16 kHz first (media.load_audio_mono16k)")
         # ---- split every input into 30 s windows -----------------------------
@@ -165,8 +183,8 @@ class WhisperTranscriber:
         plen = prompt1.shape[1]
         max_len = min(plen + max_new_tokens, self.cfg.max_target_positions)
         n_frames_target = 2 * self.cfg.max_source_positions  # 3000 for 30 s
-        results: List[List[Segment]] = [[] for _ in pcms]
 
+        handles = []  # (lo, n_real, tokens device array, lengths device array)
         for lo in range(0, len(chunks), max_chunk_batch):
             batch = chunks[lo : lo + max_chunk_batch]
             n = len(batch)
@@ -187,14 +205,21 @@ class WhisperTranscriber:
                 tokens, lengths = greedy_decode(
                     self.params, enc, prompt, self.cfg, max_len=max_len, dtype=self.dtype
                 )
-            tokens = np.asarray(tokens)
-            lengths = np.asarray(lengths)
-            for j in range(n):
-                ci = lo + j
-                ids = list(tokens[j][plen : int(lengths[j])])
-                chunk_segments = self._parse_segments(ids, offsets[ci])
-                for s in chunk_segments:  # clamp to real audio duration
-                    s.end = min(s.end, offsets[ci] + durs[ci])
-                    if s.end > s.start:
-                        results[owners[ci]].append(s)
-        return results
+            handles.append((lo, n, tokens, lengths))
+
+        def finish() -> List[List[Segment]]:
+            results: List[List[Segment]] = [[] for _ in pcms]
+            for lo, n, tokens_d, lengths_d in handles:
+                tokens = fetch(tokens_d)
+                lengths = fetch(lengths_d)
+                for j in range(n):
+                    ci = lo + j
+                    ids = list(tokens[j][plen : int(lengths[j])])
+                    chunk_segments = self._parse_segments(ids, offsets[ci])
+                    for s in chunk_segments:  # clamp to real audio duration
+                        s.end = min(s.end, offsets[ci] + durs[ci])
+                        if s.end > s.start:
+                            results[owners[ci]].append(s)
+            return results
+
+        return finish

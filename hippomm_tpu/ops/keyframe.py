@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hippomm_tpu.ops.ssim import ssim_pairs
+from hippomm_tpu.utils.device import fetch
 
 BLOCK = 256
 
@@ -59,7 +60,9 @@ def _select_block(
     (ref, cum, tlast, has_ref), saves = jax.lax.scan(
         step, (ref, cum, tlast, has_ref), (grays, times, valid)
     )
-    return saves, ref, cum, tlast, has_ref
+    # int32 mask: bool (u8-on-the-wire) device->host reads stall for SECONDS on
+    # the tunneled TPU (measured 8 s per sub-4MB u8/bool fetch vs 26 ms as i32)
+    return saves.astype(jnp.int32), ref, cum, tlast, has_ref
 
 
 class KeyframeScanner:
@@ -125,5 +128,5 @@ def select_keyframes_device(
         scanner.feed(grays[b0 : min(n, b0 + block)], t_arr[b0 : min(n, b0 + block)])
         for b0 in range(0, n, block)
     ]
-    mask = np.concatenate([np.asarray(s) for s in handles])
+    mask = np.concatenate([fetch(s) for s in handles])
     return [int(i) for i in np.nonzero(mask)[0]]

@@ -14,6 +14,7 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from hippomm_tpu.utils.device import fetch
 
 _DB_FLOOR = -100.0
 
@@ -31,7 +32,7 @@ def window_rms_db_bucketed(pcm: np.ndarray, window: int, hop: int) -> np.ndarray
     target = 1 << max(0, int(np.ceil(np.log2(max(n, window)))))
     if target > n:
         pcm = np.pad(pcm, (0, target - n))
-    return np.asarray(window_rms_db(pcm, window, hop))[:num]
+    return fetch(window_rms_db(pcm, window, hop))[:num]
 
 
 @partial(jax.jit, static_argnames=("window", "hop"))

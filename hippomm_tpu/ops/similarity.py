@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from hippomm_tpu.utils.device import fetch
+
 # fp32 MXU inputs: retrieval thresholds (0.9 dedup, 0.4 gate) are parity-sensitive.
 _FP32 = jax.lax.Precision.HIGHEST
 
@@ -117,5 +119,5 @@ def select_keyframes(features: np.ndarray, threshold: float = 0.9) -> np.ndarray
         features = np.concatenate(
             [features, np.zeros((b - n,) + features.shape[1:], features.dtype)]
         )
-    mask = np.asarray(select_keyframes_mask(features, threshold=float(threshold), n=n))[:n]
+    mask = fetch(select_keyframes_mask(features, threshold=float(threshold), n=n))[:n]
     return np.nonzero(mask)[0]

@@ -18,6 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from hippomm_tpu.utils.device import fetch
 
 WIN = 7
 
@@ -74,7 +75,7 @@ def batched_ssim(frames_a: np.ndarray, frames_b: np.ndarray, data_range: float =
     if a.ndim == 2:
         a = a[None]
         b = b[None]
-    return np.asarray(ssim_pairs(a, b, data_range=float(data_range)))
+    return fetch(ssim_pairs(a, b, data_range=float(data_range)))
 
 
 @partial(jax.jit, static_argnames=("data_range",))

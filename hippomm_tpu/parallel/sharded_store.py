@@ -21,6 +21,8 @@ from typing import List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from hippomm_tpu.utils.device import fetch
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hippomm_tpu.memory.schema import ThetaEvent
@@ -119,7 +121,7 @@ class ShardedFeatureStore:
             np.asarray(query, np.float32).reshape(-1), NamedSharding(self.mesh, P())
         )
         vals, idx = _sharded_topk(self._feats, self._valid, q, k_eff, self.mesh)
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        vals, idx = fetch(vals), fetch(idx)
         out = []
         for v, i in zip(vals, idx):
             if not np.isfinite(v) or i >= self.n_rows:

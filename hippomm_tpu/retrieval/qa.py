@@ -32,6 +32,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from hippomm_tpu.utils.device import fetch
+
 from hippomm_tpu.config import Config
 from hippomm_tpu.memory.schema import QARecallResult, ThetaEvent
 from hippomm_tpu.models.clients import ChatClient, make_client
@@ -393,14 +395,16 @@ class QARecallSystem:
 
         import jax.numpy as jnp
 
-        from hippomm_tpu.ops.resize import resize_frames
+        from hippomm_tpu.media.io import downscale_rgb
         from hippomm_tpu.ops.ssim import rgb_to_gray, ssim_pairs
 
-        small = np.asarray(resize_frames(jnp.asarray(frames), 180, 320))
+        # host downscale: the frames were just decoded on host, and a device
+        # round trip would read uint8 back over the tunnel (seconds-long stall)
+        small = downscale_rgb(np.asarray(frames), 180, 320)
         keep = [0]
         if len(small) > 1:
             gray = rgb_to_gray(jnp.asarray(small))
-            sims = np.asarray(ssim_pairs(gray[:-1], gray[1:]))
+            sims = fetch(ssim_pairs(gray[:-1], gray[1:]))
             for i, s in enumerate(sims):
                 if s < 0.9:  # keep frames that changed (reference gate 0.3)
                     keep.append(i + 1)

@@ -18,6 +18,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from hippomm_tpu.utils.device import fetch
+
 from hippomm_tpu.memory.schema import ThetaEvent
 from hippomm_tpu.ops.similarity import top_k_cosine
 
@@ -102,7 +104,7 @@ class FeatureSearchIndex:
         while True:
             vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
             hits = self._cap_and_cut(
-                np.asarray(vals), np.asarray(idx), top_k_per_event, global_top_k, window_s
+                fetch(vals), fetch(idx), top_k_per_event, global_top_k, window_s
             )
             if len(hits) >= global_top_k or k >= n:
                 return hits
@@ -126,7 +128,7 @@ class FeatureSearchIndex:
 
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
         vals, idx = top_k_cosine(queries, self._device_feats(), k)
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        vals, idx = fetch(vals), fetch(idx)
         out: List[List[SearchHit]] = []
         for qi in range(len(queries)):
             hits = self._cap_and_cut(vals[qi], idx[qi], top_k_per_event, global_top_k, window_s)
