@@ -285,30 +285,41 @@ class HippocampalMemory:
             from hippomm_tpu.ops.bucketing import pad_leading
 
             with self.timers.stage("encode_audio"):
-                mels = fetch(
-                    preprocess_audio_batch(
-                        pcm_batch,
-                        mel_bins=self.imagebind.cfg.audio_mel_bins,
-                        target_len=self.imagebind.cfg.audio_target_len,
-                    )
+                # mels stay DEVICE-resident between fbank and the tower — a
+                # fetch+re-upload between the two programs costs two tunnel
+                # round trips for nothing
+                mels = preprocess_audio_batch(
+                    pcm_batch,
+                    mel_bins=self.imagebind.cfg.audio_mel_bins,
+                    target_len=self.imagebind.cfg.audio_target_len,
                 )
+                n_mels = mels.shape[0]
                 # fixed 32-segment chunks: one compiled tower shape for any
-                # segment count (hour-long videos have 100+)
-                chunks = []
-                for lo in range(0, len(mels), 32):
-                    part, n_real = pad_leading(mels[lo : lo + 32], n=32)
-                    chunks.append(
-                        fetch(
+                # segment count (hour-long videos have 100+). Dispatch ALL
+                # chunks first (async), fetch after — the device pipelines
+                # them back-to-back instead of idling at each host sync.
+                handles = []
+                for lo in range(0, n_mels, 32):
+                    part = mels[lo : lo + 32]
+                    n_real = part.shape[0]
+                    if n_real < 32:
+                        part = jnp.concatenate(
+                            [part, jnp.repeat(part[-1:], 32 - n_real, axis=0)]
+                        )
+                    handles.append(
+                        (
+                            n_real,
                             ib_model.audio_forward(
                                 self.imagebind.params,
-                                self.imagebind._shard_batch(jnp.asarray(part)),
+                                self.imagebind._shard_batch(part),
                                 self.imagebind.cfg,
                                 self.imagebind.dtype,
                             ),
-                            dtype=np.float32,
-                        )[:n_real]
+                        )
                     )
-                embs = np.concatenate(chunks)
+                embs = np.concatenate(
+                    [fetch(h, dtype=np.float32)[:n_real] for n_real, h in handles]
+                )
             for si, e in zip(mel_owner, embs):
                 audio_embs[si] = e[None]
 

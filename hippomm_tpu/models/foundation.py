@@ -99,6 +99,17 @@ class ImageBind:
         self.tokenizer = load_tokenizer(
             model_path, vocab_size=self.cfg.vocab_size, context_length=self.cfg.context_length
         )
+        # ONE fused program: uint8 frames -> resize/normalize -> ViT forward.
+        # Separate preprocess + forward programs cost two dispatches per chunk
+        # and leave the normalized tensor bouncing through transfer buffers.
+        from hippomm_tpu.ops.resize import resize_normalize
+
+        cfg, dtype = self.cfg, self.dtype
+        self._vision_prog = jax.jit(
+            lambda p, frames_u8: ib_model.vision_forward(
+                p, resize_normalize(frames_u8, cfg.image_size), cfg, dtype
+            )
+        )
 
     def _shard_batch(self, arr: jnp.ndarray) -> jnp.ndarray:
         """Place a bucket-padded batch sharded over the mesh "data" axis; the
@@ -125,16 +136,16 @@ class ImageBind:
             frames = np.stack([read_jpeg(p) for p in frames])
         frames = np.asarray(frames)
         n = frames.shape[0]
-        outs = []
+        handles = []  # dispatch ALL chunks async, fetch after: the device
+        # pipelines chunk i+1 behind chunk i instead of idling per host sync
         for lo in range(0, n, CHUNK):
             chunk = frames[lo : lo + CHUNK]
             m = len(chunk)
             if m < CHUNK:
                 chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
-            x = self._shard_batch(preprocess_vision(chunk, self.cfg.image_size))
-            out = ib_model.vision_forward(self.params, x, self.cfg, self.dtype)
-            outs.append(fetch(out[:m], dtype=np.float32))
-        return np.concatenate(outs)
+            x = self._shard_batch(jnp.asarray(chunk))
+            handles.append((m, self._vision_prog(self.params, x)))
+        return np.concatenate([fetch(h[:m], dtype=np.float32) for m, h in handles])
 
     def encode_audio(self, pcm: np.ndarray, clips_per_video: int = 3) -> np.ndarray:
         """16 kHz mono float32 -> (1, 1024) fp32 (clip-ensembled)."""

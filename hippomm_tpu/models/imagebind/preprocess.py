@@ -103,15 +103,17 @@ def preprocess_audio_batch(
             pcm = np.pad(pcm, (0, clip_samples - len(pcm)))
         for s in _clip_starts(len(pcm), clips_per_video, clip_samples):
             windows.append(pcm[s : s + clip_samples])
-    # fixed 32-window chunks: ONE compiled shape regardless of segment count
+    # fixed 32-window chunks: ONE compiled shape regardless of segment count.
+    # Everything stays DEVICE-resident — the mels feed the audio tower next,
+    # and a fetch/re-upload between the two would cost two tunnel round trips.
     run = _get_batched_fbank(mel_bins, target_len)
     outs = []
     for lo in range(0, len(windows), 32):
         chunk, n_real = pad_leading(np.stack(windows[lo : lo + 32]), n=32, mode="zero")
-        outs.append(fetch(run(jnp.asarray(chunk)))[:n_real])
-    feats = np.concatenate(outs)
+        outs.append(run(jnp.asarray(chunk))[:n_real])
+    feats = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     b = len(pcms)
-    return jnp.asarray(feats.reshape(b, clips_per_video, 1, mel_bins, target_len))
+    return feats.reshape(b, clips_per_video, 1, mel_bins, target_len)
 
 
 def preprocess_audio(

@@ -1,9 +1,11 @@
-"""Audio silence detection on device.
+"""Audio silence detection.
 
 Replaces (a) the reference's ffmpeg `silencedetect=n=-50dB:d=0.1` subprocess parse
 (batch_process.py:298-318) and (b) the per-window Python RMS scan used during
 segmentation (hippocampal_memory.py:993-1000, 1061-1077) with one windowed-RMS
-reduction over the whole waveform.
+reduction over the whole waveform. The reduction is memory-bound with ~0
+FLOPs/byte, so for host-resident audio it runs in numpy (window_rms_db_host);
+the jitted window_rms_db serves device-resident waveforms.
 """
 
 from __future__ import annotations
@@ -19,20 +21,37 @@ from hippomm_tpu.utils.device import fetch
 _DB_FLOOR = -100.0
 
 
-def window_rms_db_bucketed(pcm: np.ndarray, window: int, hop: int) -> np.ndarray:
-    """window_rms_db with the waveform length padded to a power of two, so the
-    program compiles once per (bucket, window, hop) instead of once per audio
-    duration. Zero padding yields floor-dB windows; the result is trimmed to
-    the true window count so callers never see them."""
+def window_rms_db_host(pcm: np.ndarray, window: int, hop: int) -> np.ndarray:
+    """Windowed RMS dB in numpy. Windowed RMS is ~0 FLOPs/byte — for audio
+    that lives in HOST memory, shipping the waveform to the device costs more
+    than the whole reduction on any hardware (and vastly more over a tunneled
+    transport). The device version (window_rms_db) exists for audio that is
+    already device-resident."""
     pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
     n = len(pcm)
-    if n < window:
-        return np.zeros((0,), np.float32)
     num = 1 + (n - window) // hop
-    target = 1 << max(0, int(np.ceil(np.log2(max(n, window)))))
-    if target > n:
-        pcm = np.pad(pcm, (0, target - n))
-    return fetch(window_rms_db(pcm, window, hop))[:num]
+    sq = np.square(pcm)
+    if window % hop == 0:
+        k = window // hop
+        nh = n // hop
+        block = sq[: nh * hop].reshape(nh, hop).sum(axis=1)
+        sums = np.convolve(block, np.ones(k, np.float32), mode="valid")[:num]
+    else:
+        csum = np.concatenate([[0.0], np.cumsum(sq)])
+        starts = np.arange(num) * hop
+        sums = csum[starts + window] - csum[starts]
+    rms = np.sqrt(np.maximum(sums, 0.0) / window)
+    db = 20.0 * np.log10(np.maximum(rms, 1e-10))
+    return np.maximum(db, _DB_FLOOR).astype(np.float32)
+
+
+def window_rms_db_bucketed(pcm: np.ndarray, window: int, hop: int) -> np.ndarray:
+    """Windowed RMS dB for host-resident audio — runs in numpy (see
+    window_rms_db_host; the historical name is kept for callers/tests)."""
+    pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
+    if len(pcm) < window:
+        return np.zeros((0,), np.float32)
+    return window_rms_db_host(pcm, window, hop)
 
 
 @partial(jax.jit, static_argnames=("window", "hop"))
@@ -40,15 +59,30 @@ def window_rms_db(pcm: jax.Array, window: int, hop: int) -> jax.Array:
     """RMS level in dBFS per window. pcm: (N,) float in [-1, 1].
 
     Returns (num_windows,) where num_windows = 1 + (N - window) // hop.
+
+    When window is a multiple of hop (both production configs: 500 ms/100 ms
+    segmentation windows and 50 ms/50 ms silencedetect), each window is an
+    exact sum of window//hop hop-blocks — a (num_hops, hop) reshape-reduce plus
+    a tiny rolling sum, instead of a full-length sequential cumsum (a 10-minute
+    track is a 9.6M-element scan, the slowest shape on a vector unit).
     """
     n = pcm.shape[0]
     num = 1 + (n - window) // hop
     x = pcm.astype(jnp.float32)
     sq = jnp.square(x)
-    csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(sq)])
-    starts = jnp.arange(num) * hop
-    # fp32 cumsum differences can underflow slightly negative — clamp before sqrt
-    sums = jnp.maximum(csum[starts + window] - csum[starts], 0.0)
+    if window % hop == 0:
+        k = window // hop
+        nh = n // hop
+        block = sq[: nh * hop].reshape(nh, hop).sum(axis=1)  # (num_hops,)
+        # rolling sum of k consecutive hop-blocks; windows never cross the
+        # truncated tail because num = 1 + (n - window)//hop <= nh - k + 1
+        sums = jnp.convolve(block, jnp.ones((k,), jnp.float32), mode="valid")[:num]
+        sums = jnp.maximum(sums, 0.0)
+    else:
+        csum = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(sq)])
+        starts = jnp.arange(num) * hop
+        # fp32 cumsum differences can underflow slightly negative — clamp
+        sums = jnp.maximum(csum[starts + window] - csum[starts], 0.0)
     rms = jnp.sqrt(sums / window)
     db = 20.0 * jnp.log10(jnp.maximum(rms, 1e-10))
     return jnp.maximum(db, _DB_FLOOR)

@@ -9,16 +9,34 @@ Two measured pathologies of the tunneled TPU transport (axon) make the naive
   2. uint8/bool buffers read back pathologically (~8 s for sub-4MB fetches
      even when ready); int32/float32 reads of the same data are fast.
 
-`fetch()` is the one correct way to bring a device array to host: barrier
-first, widen u8/bool to int32 on device, read, cast back. On non-tunneled
-backends (CPU tests, direct-attached TPU) it degrades to a plain asarray.
+`fetch()` is the one correct way to bring a device array to host: wait for
+readiness by POLLING `is_ready()` (block_until_ready itself has been observed
+to return early right after a fresh compile, after which the read stalls),
+widen u8/bool to int32 on device, read, cast back. On non-tunneled backends
+(CPU tests, direct-attached TPU) it degrades to a plain asarray.
 """
 
 from __future__ import annotations
 
+import time
+
 import numpy as np
 
 _WIDEN = None  # lazily-built jitted u8/bool -> int32 cast
+
+
+def _wait_ready(x, timeout_s: float = 120.0) -> None:
+    if hasattr(x, "is_ready"):
+        deadline = time.monotonic() + timeout_s
+        sleep = 0.0005
+        while not x.is_ready():
+            if time.monotonic() > deadline:
+                break
+            time.sleep(sleep)
+            sleep = min(sleep * 1.5, 0.01)
+        return
+    if hasattr(x, "block_until_ready"):
+        x.block_until_ready()
 
 
 def fetch(x, dtype=None) -> np.ndarray:
@@ -35,8 +53,7 @@ def fetch(x, dtype=None) -> np.ndarray:
 
             _WIDEN = jax.jit(lambda a: a.astype(jnp.int32))
         x = _WIDEN(x)
-    if hasattr(x, "block_until_ready"):
-        x.block_until_ready()
+    _wait_ready(x)
     out = np.asarray(x)
     if narrow:
         out = out.astype(dtype if dtype is not None else orig_dtype)
