@@ -226,7 +226,9 @@ def extract_frames_from_video(
         for b0 in range(0, len(candidate_idx), block):
             batch = candidate_idx[b0 : b0 + block]
             with timers.stage("extract_decode_c"):
-                blk = reader.read_block(batch, sh, sw)
+                # sparse candidates (high-fps sources at ~1 Hz cadence): skip
+                # decoding non-reference frames between candidates entirely
+                blk = reader.read_block(batch, sh, sw, skip_nonref=stride >= 8)
             gray_blocks.append(blk.gray)
             with timers.stage("extract_feed"):
                 handle = scanner.feed(blk.gray, times[b0 : b0 + block])

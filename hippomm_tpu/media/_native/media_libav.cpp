@@ -338,17 +338,25 @@ struct AvBlock {
   std::vector<AVFrame*> frames;  // one ref per decoded candidate
 };
 
+// skip_nonref != 0 sets AVDISCARD_NONREF for the duration of the call: frames
+// no other frame references (most B-frames) are never decoded. Used when the
+// candidate stride is large (high-fps sources sampled at ~1 Hz) — a wanted
+// index that lands on a skipped frame clamps to the nearest decoded reference
+// frame (within the B-run, tens of ms), immaterial for keyframe scoring.
 int hmm_av_read_block_hold(void* h, const int64_t* idx, int64_t count, int gw,
-                           int gh, uint8_t* gray, void** block_out) {
+                           int gh, int skip_nonref, uint8_t* gray,
+                           void** block_out) {
   AvReader* r = static_cast<AvReader*>(h);
   AvBlock* blk = new AvBlock();
   blk->reader = r;
   blk->frames.reserve(count);
   size_t gray_bytes = (size_t)gw * gh;
+  if (skip_nonref) r->vdec->skip_frame = AVDISCARD_NONREF;
   for (int64_t i = 0; i < count; ++i) {
     if ((i > 0 && idx[i] < idx[i - 1]) || position_at(r, idx[i]) < 0) {
       for (AVFrame* f : blk->frames) av_frame_free(&f);
       delete blk;
+      r->vdec->skip_frame = AVDISCARD_DEFAULT;
       return i > 0 && idx[i] < idx[i - 1] ? -2 : -1;
     }
     copy_gray(r, gray + gray_bytes * i, gw, gh);
@@ -356,6 +364,7 @@ int hmm_av_read_block_hold(void* h, const int64_t* idx, int64_t count, int gw,
     av_frame_ref(f, r->frame);  // buffer ref, no pixel copy
     blk->frames.push_back(f);
   }
+  r->vdec->skip_frame = AVDISCARD_DEFAULT;
   *block_out = blk;
   return 0;
 }

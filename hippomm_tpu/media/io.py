@@ -135,6 +135,7 @@ def _load_native_locked():
             ctypes.c_int64,
             ctypes.c_int,
             ctypes.c_int,
+            ctypes.c_int,
             ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_void_p),
         ]
@@ -537,7 +538,7 @@ class Y4MReader:
         y, u, v = self.read_yuv(indices)
         return _box_downscale(y, gh, gw), _yuv420_to_rgb_np(y, u, v)
 
-    def read_block(self, indices: Sequence[int], gh: int, gw: int):
+    def read_block(self, indices: Sequence[int], gh: int, gw: int, skip_nonref: bool = False):
         """Y-plane luma eagerly; RGB per selected frame (random access is free)."""
         idx = list(indices)
         gray = self.read_gray_small(idx, gh, gw)
@@ -635,7 +636,7 @@ class AviReader:
         rgb = self.read_rgb(indices)
         return _box_downscale(_luma_u8(rgb), gh, gw), rgb
 
-    def read_block(self, indices: Sequence[int], gh: int, gw: int):
+    def read_block(self, indices: Sequence[int], gh: int, gw: int, skip_nonref: bool = False):
         gray, rgb = self.read_gray_rgb(indices, gh, gw)
         return ArrayFrameBlock(gray, rgb)
 
@@ -802,10 +803,15 @@ class LibavReader:
             raise RuntimeError(f"libav gray+rgb decode failed rc={rc}")
         return gray[inverse], rgb[inverse]
 
-    def read_block(self, indices: Sequence[int], gh: int, gw: int) -> "FrameBlock":
+    def read_block(
+        self, indices: Sequence[int], gh: int, gw: int, skip_nonref: bool = False
+    ) -> "FrameBlock":
         """Decode a sorted candidate block once; scoring luma is returned
         eagerly, full RGB lazily per frame (refcounted AVFrames held in C++ —
-        no pixel copies for frames the caller never takes)."""
+        no pixel copies for frames the caller never takes). skip_nonref skips
+        decoding frames nothing references (B-frames) — for sparse candidate
+        strides a wanted index landing on a skipped frame clamps to the
+        nearest decoded reference frame (within the B-run)."""
         idx = np.asarray(indices, dtype=np.int64)
         gray = np.empty((len(idx), gh, gw), dtype=np.uint8)
         handle = ctypes.c_void_p()
@@ -815,6 +821,7 @@ class LibavReader:
             len(idx),
             gw,
             gh,
+            1 if skip_nonref else 0,
             gray.ctypes.data_as(ctypes.c_void_p),
             ctypes.byref(handle),
         )
