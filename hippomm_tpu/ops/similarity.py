@@ -50,6 +50,16 @@ def top_k_cosine(query: jax.Array, feats: jax.Array, k: int):
     return vals, idx
 
 
+@partial(jax.jit, static_argnames=("k",))
+def top_k_cosine_packed(query: jax.Array, feats: jax.Array, k: int) -> jax.Array:
+    """top_k_cosine with (vals, idx) PACKED into one float32 array
+    ((2, k) or (2, Q, k)): one device→host read instead of two. Each readback
+    on a tunneled transport costs a fixed round trip that dwarfs the payload;
+    f32 holds row indices exactly up to 2^24 (stores are far smaller)."""
+    vals, idx = top_k_cosine(query, feats, k)
+    return jnp.stack([vals, idx.astype(jnp.float32)])
+
+
 @partial(jax.jit, static_argnames=("threshold",))
 def select_keyframes_mask(features: jax.Array, threshold: float = 0.9, n=None) -> jax.Array:
     """Greedy key-frame selection (reference: hippocampal_memory.py:944-967).

@@ -97,15 +97,23 @@ class FeatureSearchIndex:
         n = len(self)
         if n == 0:
             return []
-        from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
+        import os
 
         q = np.asarray(query, np.float32).reshape(-1)
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
+        use_pallas = os.environ.get("HIPPOMM_PALLAS_TOPK") == "1"
         while True:
-            vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
-            hits = self._cap_and_cut(
-                fetch(vals), fetch(idx), top_k_per_event, global_top_k, window_s
-            )
+            if use_pallas:
+                from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
+
+                vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
+                vals, idx = fetch(vals), fetch(idx)
+            else:
+                from hippomm_tpu.ops.similarity import top_k_cosine_packed
+
+                packed = fetch(top_k_cosine_packed(q, self._device_feats(), k))
+                vals, idx = packed[0], packed[1].astype(np.int64)
+            hits = self._cap_and_cut(vals, idx, top_k_per_event, global_top_k, window_s)
             if len(hits) >= global_top_k or k >= n:
                 return hits
             k = min(n, k * 4)
@@ -124,11 +132,11 @@ class FeatureSearchIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if n == 0:
             return [[] for _ in range(len(queries))]
-        from hippomm_tpu.ops.similarity import top_k_cosine
+        from hippomm_tpu.ops.similarity import top_k_cosine_packed
 
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
-        vals, idx = top_k_cosine(queries, self._device_feats(), k)
-        vals, idx = fetch(vals), fetch(idx)
+        packed = fetch(top_k_cosine_packed(queries, self._device_feats(), k))
+        vals, idx = packed[0], packed[1].astype(np.int64)
         out: List[List[SearchHit]] = []
         for qi in range(len(queries)):
             hits = self._cap_and_cut(vals[qi], idx[qi], top_k_per_event, global_top_k, window_s)
