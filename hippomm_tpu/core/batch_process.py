@@ -409,8 +409,12 @@ def process_video_folder(
     checkpoint_every: int = 5,
     limit: Optional[int] = None,
     skip_existing: bool = True,
+    pipeline_lookahead: bool = True,
 ) -> Dict:
-    """Batch ingest driver (reference: batch_process.py:437-663)."""
+    """Batch ingest driver (reference: batch_process.py:437-663).
+
+    pipeline_lookahead=True overlaps video N+1's host-bound extraction with
+    video N's device-bound engine stages (one extraction in flight)."""
     from hippomm_tpu.memory.engine import HippocampalMemory
 
     config = config or load_config(None)
@@ -455,6 +459,12 @@ def process_video_folder(
     throughput = Throughput()
     throughput.start()
 
+    # Cross-video pipeline: while video N runs its device-bound engine stages
+    # (towers, ASR sync, consolidation, replay) on THIS thread, video N+1's
+    # host-bound extraction (libav decode) runs on a worker. The extraction
+    # dispatches its own scan/ASR device programs from the worker; decode is
+    # GIL-released C, so the two sides genuinely overlap even on one core.
+    todo: List[Tuple[int, str, str]] = []
     for i, path in enumerate(videos):
         video_id = os.path.splitext(os.path.basename(path))[0]
         # skip-existing via video_index + existing events (reference :489-531)
@@ -462,12 +472,34 @@ def process_video_folder(
             logger.info("skipping %s (already ingested)", video_id)
             stats["skipped"] += 1
             continue
+        todo.append((i, path, video_id))
+
+    def _extract(path: str, video_id: str) -> Dict:
+        return process_single_video(
+            path, memory_store_dir, video_id,
+            timers=getattr(mem, "timers", None), memory_system=mem,
+        )
+
+    lookahead_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+
+    def _submit(pos: int):
+        if not pipeline_lookahead:
+            return None
+        return lookahead_pool.submit(_extract, todo[pos][1], todo[pos][2])
+
+    next_fut = _submit(0) if todo else None
+
+    for pos, (i, path, video_id) in enumerate(todo):
         t0 = time.perf_counter()
         try:
-            extracted = process_single_video(
-                path, memory_store_dir, video_id,
-                timers=getattr(mem, "timers", None), memory_system=mem,
-            )
+            fut, next_fut = next_fut, None
+            try:
+                extracted = fut.result() if fut is not None else _extract(path, video_id)
+            finally:
+                # keep the lookahead alive even when this video's extraction
+                # failed — the NEXT video's decode should already be running
+                if pos + 1 < len(todo):
+                    next_fut = _submit(pos + 1)
             mem.add_video(video_id, path)
             frames = extracted["frames"]
             audio = extracted["audio"]
@@ -492,6 +524,7 @@ def process_video_folder(
             stats["errors"][video_id] = repr(e)
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             _save_driver_checkpoint(mem, memory_store_dir, stats)
+    lookahead_pool.shutdown(wait=False)
     throughput.stop()
     stats["wall_seconds"] = throughput.wall_seconds
     stats["realtime_multiple"] = throughput.realtime_multiple
