@@ -173,6 +173,69 @@ def extract_frames_from_video(
         except Exception:
             logger.exception("bad metadata for %s; re-extracting", video_id)
 
+    chunks: List[Dict] = []
+    meta: Dict = {}
+    for item in extract_frames_streaming(
+        video_path,
+        output_dir,
+        video_id,
+        max_diff_threshold=max_diff_threshold,
+        min_interval_s=min_interval_s,
+        score_hw=score_hw,
+        emit_seconds=float("inf"),
+        timers=timers,
+        _meta_out=meta,
+    ):
+        chunks.append(item)
+    out = dict(meta)
+    out["resumed"] = False
+    if keep_rgb:
+        rgbs = [c["frames_rgb"] for c in chunks if c["frames_rgb"] is not None]
+        out["frames_rgb"] = np.concatenate(rgbs) if rgbs else None
+    return out
+
+
+def extract_frames_streaming(
+    video_path: str,
+    output_dir: str,
+    video_id: Optional[str] = None,
+    max_diff_threshold: float = 0.3,
+    min_interval_s: float = 1.0,
+    score_hw: Tuple[int, int] = (90, 160),
+    emit_seconds: float = 300.0,
+    timers=None,
+    _meta_out: Optional[Dict] = None,
+):
+    """Streaming key-frame extraction: yields a chunk dict roughly every
+    `emit_seconds` of media WHILE decode continues, so a long video's engine
+    stages (towers, segmentation) can run on chunk N as the host decodes chunk
+    N+1. The greedy-walk carry spans chunks — the selected key-frame set is
+    IDENTICAL to a whole-video pass.
+
+    Chunk dict: {chunk_start, chunk_duration, frame_paths, frame_times
+    (global), frames_rgb, frame_ssim (adjacent pairs within the chunk)}.
+    metadata.yaml is written after the final chunk (into `_meta_out` too).
+
+    Single decode pass: each candidate is decoded ONCE (C++ holds refcounted
+    AVFrames; scoring luma eagerly, full RGB lazily only for kept frames).
+    The device scan for block i runs while the host decodes block i+1 (async
+    dispatch; masks materialized late via opportunistic is_ready polling —
+    a blocking read could sit behind a multi-second ASR program in the device
+    queue). 256-candidate blocks keep round trips rare; sparse candidate
+    strides skip decoding non-reference frames entirely.
+    """
+    from hippomm_tpu.media.io import open_video
+    from hippomm_tpu.memory.segmentation import adjacent_similarity_gray
+    from hippomm_tpu.ops.keyframe import BLOCK as SCAN_BLOCK
+    from hippomm_tpu.ops.keyframe import KeyframeScanner
+    from hippomm_tpu.utils.timers import StageTimer
+    from collections import deque
+
+    timers = timers if timers is not None else StageTimer()
+    video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
+    frames_dir = os.path.join(output_dir, "frames", video_id)
+    meta_path = os.path.join(frames_dir, "metadata.yaml")
+
     sh, sw = score_hw
     reader = open_video(video_path)
     info = reader.info
@@ -180,111 +243,120 @@ def extract_frames_from_video(
     candidate_idx = list(range(0, info.num_frames, stride))
     times = [i / info.fps for i in candidate_idx]
 
-    # --- single decode pass, interleaved with async device scoring ----------
-    # Each candidate is decoded ONCE (C++ holds refcounted AVFrames; scoring
-    # luma comes out eagerly, full RGB is converted lazily ONLY for the frames
-    # the walk keeps — sws RGB conversion of every candidate costs more than
-    # the decode itself). The greedy-walk scan for block i runs on device
-    # WHILE the host decodes block i+1 (jax dispatch is async; the mask is
-    # materialized one block late), so scoring hides inside the decode wall.
-    # The old shape — a full luma pass, then a second re-decode pass for
-    # selected RGB — paid the stream decode twice.
-    from hippomm_tpu.ops.keyframe import KeyframeScanner
-
-    # Big blocks: every feed is a host->device round trip, and on a tunneled
-    # TPU per-dispatch latency (~0.3 s) dwarfs the scan compute — 256-candidate
-    # blocks cost 3 round trips for a 10-min vlog instead of 19.
-    from hippomm_tpu.ops.keyframe import BLOCK as SCAN_BLOCK
-
-    block = SCAN_BLOCK
+    # scan-block size: 256 candidates per device round trip normally; a
+    # smaller fixed shape when the emit cadence is finer than a block (chunks
+    # can only be cut at block boundaries). Two compiled shapes total.
+    cand_per_emit = emit_seconds / max(min_interval_s, 1e-6)
+    block = SCAN_BLOCK if cand_per_emit >= SCAN_BLOCK else 64
     scanner = KeyframeScanner(sh, sw, max_diff_threshold, min_interval_s, block=block)
-    gray_blocks: List[np.ndarray] = []  # all candidate luma (tiny) — reused for
-    # segmentation's adjacent-pair SSIM so nothing is recomputed downstream
-    saved_rgb_parts: List[np.ndarray] = []
-    saved_cand: List[int] = []
-    from collections import deque
-
     pending: "deque" = deque()  # (cand_offset, device mask handle, held block)
-    # Held blocks keep decoded frames alive (refcounted YUV in C++ / RGB array
-    # in Python readers). Flushing is opportunistic — a mask may sit behind a
-    # multi-second ASR program in the device queue (ASR is dispatched before
-    # decode to overlap it), and blocking on it would stall the decoder. Cap
-    # retained bytes so an unresponsive queue can't hold a whole video.
     held_frame_bytes = int(info.width * info.height * 1.6) * block
     max_hold = max(1, (512 << 20) // max(1, held_frame_bytes))
+
+    all_gray_blocks: List[np.ndarray] = []  # tiny; reused for metadata ssim
+    all_saved_cand: List[int] = []
+    all_saved_paths: List[str] = []
+    all_saved_times: List[float] = []
+    # per-chunk accumulators (reset at each emit)
+    cur_cand: List[int] = []
+    cur_rgb: List[np.ndarray] = []
+    chunk_start = 0.0
+    jpeg_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    jpeg_futs: List = []
 
     def _flush(entry):
         off, handle, blk = entry
         mask = fetch(handle)
         js = np.nonzero(mask)[0]
         if len(js):
-            saved_cand.extend(off + int(j) for j in js)
-            saved_rgb_parts.append(blk.take_rgb(js))
+            cur_cand.extend(off + int(j) for j in js)
+            cur_rgb.append(blk.take_rgb(js))
         blk.close()
+
+    def _emit(chunk_end: float) -> Dict:
+        nonlocal chunk_start, cur_cand, cur_rgb
+        rgb = np.concatenate(cur_rgb) if cur_rgb else None
+        c_times = [times[j] for j in cur_cand]
+        paths: List[str] = []
+        with timers.stage("extract_jpeg_save"):
+            for k, t in enumerate(c_times):
+                sec_dir = os.path.join(frames_dir, f"t_{int(t)}")
+                path = os.path.join(sec_dir, f"frame_{len(all_saved_paths) + k}.jpg")
+                paths.append(path)
+                jpeg_futs.append(jpeg_pool.submit(save_frame, rgb[k], path))
+        with timers.stage("extract_seg_ssim"):
+            grays_all = np.concatenate(all_gray_blocks)
+            ssim = adjacent_similarity_gray(grays_all[cur_cand]) if cur_cand else None
+        chunk = {
+            "chunk_start": chunk_start,
+            "chunk_duration": chunk_end - chunk_start,
+            "frame_paths": paths,
+            "frame_times": c_times,
+            "frames_rgb": rgb,
+            "frame_ssim": ssim,
+        }
+        all_saved_cand.extend(cur_cand)
+        all_saved_paths.extend(paths)
+        all_saved_times.extend(c_times)
+        cur_cand, cur_rgb = [], []
+        chunk_start = chunk_end
+        return chunk
 
     with timers.stage("extract_decode"):
         for b0 in range(0, len(candidate_idx), block):
             batch = candidate_idx[b0 : b0 + block]
             with timers.stage("extract_decode_c"):
-                # sparse candidates (high-fps sources at ~1 Hz cadence): skip
-                # decoding non-reference frames between candidates entirely
                 blk = reader.read_block(batch, sh, sw, skip_nonref=stride >= 8)
-            gray_blocks.append(blk.gray)
+            all_gray_blocks.append(blk.gray)
             with timers.stage("extract_feed"):
                 handle = scanner.feed(blk.gray, times[b0 : b0 + block])
             with timers.stage("extract_flush"):
                 pending.append((b0, handle, blk))
                 while pending and (len(pending) > max_hold or pending[0][1].is_ready()):
                     _flush(pending.popleft())
+            block_end_t = times[min(b0 + block, len(times)) - 1]
+            last_block = b0 + block >= len(candidate_idx)
+            if not last_block and block_end_t - chunk_start >= emit_seconds:
+                with timers.stage("extract_score"):
+                    while pending:
+                        _flush(pending.popleft())
+                yield _emit(block_end_t + min_interval_s / 2)
     with timers.stage("extract_score"):
         while pending:
             _flush(pending.popleft())
     reader.close()
+    final = _emit(info.duration if info.duration else (times[-1] + min_interval_s if times else 0.0))
 
-    grays = (
-        np.concatenate(gray_blocks) if gray_blocks else np.zeros((0, sh, sw), np.uint8)
+    # metadata over the WHOLE video (resume path recomputes nothing)
+    grays_all = (
+        np.concatenate(all_gray_blocks)
+        if all_gray_blocks
+        else np.zeros((0, sh, sw), np.uint8)
     )
-    saved_idx = [candidate_idx[j] for j in saved_cand]
-    saved_times = [times[j] for j in saved_cand]
-    saved_rgb = np.concatenate(saved_rgb_parts) if saved_rgb_parts else None
-
-    # adjacent-pair SSIM over the SAVED frames' scoring luma — handed to
-    # temporal pattern separation so it never re-resizes/re-scores RGB
-    from hippomm_tpu.memory.segmentation import adjacent_similarity_gray
-
     with timers.stage("extract_seg_ssim"):
-        frame_ssim = adjacent_similarity_gray(grays[saved_cand]) if saved_cand else None
-
-    saved_paths: List[str] = []
+        full_ssim = (
+            adjacent_similarity_gray(grays_all[all_saved_cand]) if all_saved_cand else None
+        )
     with timers.stage("extract_jpeg_save"):
-        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
-            futs = []
-            for k, t in enumerate(saved_times):
-                sec_dir = os.path.join(frames_dir, f"t_{int(t)}")
-                path = os.path.join(sec_dir, f"frame_{k}.jpg")
-                saved_paths.append(path)
-                futs.append(pool.submit(save_frame, saved_rgb[k], path))
-            for f in futs:
-                f.result()
-
+        for f in jpeg_futs:
+            f.result()
+        jpeg_pool.shutdown(wait=True)
     meta = {
         "video_id": video_id,
         "video_path": video_path,
         "fps": info.fps,
         "duration": info.duration,
         "num_source_frames": info.num_frames,
-        "frame_paths": saved_paths,
-        "frame_times": [float(t) for t in saved_times],
-        "frame_ssim": [float(s) for s in frame_ssim] if frame_ssim is not None else None,
+        "frame_paths": all_saved_paths,
+        "frame_times": [float(t) for t in all_saved_times],
+        "frame_ssim": [float(s) for s in full_ssim] if full_ssim is not None else None,
     }
     os.makedirs(frames_dir, exist_ok=True)
     with open(meta_path, "w") as f:
         yaml.safe_dump(meta, f)
-    out = dict(meta)
-    out["resumed"] = False
-    if keep_rgb:
-        out["frames_rgb"] = saved_rgb if saved_rgb is not None and len(saved_rgb) else None
-    return out
+    if _meta_out is not None:
+        _meta_out.update(meta)
+    yield final
 
 
 # ---------------------------------------------------------------------------
@@ -400,6 +472,77 @@ def process_single_video(
     return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
 
 
+# Videos longer than this ingest chunk-by-chunk: the engine encodes chunk N on
+# device while the host decodes chunk N+1 (within-video pipelining).
+STREAMING_THRESHOLD_S = 900.0
+STREAM_CHUNK_S = 300.0
+
+
+def process_single_video_streaming(
+    video_path: str,
+    memory_store_dir: str,
+    video_id: Optional[str] = None,
+    memory_system=None,
+    chunk_seconds: float = STREAM_CHUNK_S,
+) -> Dict:
+    """Chunked ingest for LONG videos: extraction yields ~chunk_seconds chunks
+    (extract_frames_streaming) and each chunk runs through process_sequence
+    with base_time offsets while the next chunk decodes. The full-track ASR is
+    dispatched ONCE up front (global timestamps); consolidation + replay run
+    once at the end, so the video still produces a single ThetaEvent exactly
+    like the whole-video path (reference base_time flow,
+    hippocampal_memory.py:1134)."""
+    mem = memory_system
+    video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
+    audio_meta = extract_audio_from_video(video_path, memory_store_dir, video_id)
+    audio = audio_meta.get("audio")
+    sr = int(audio_meta.get("sample_rate", 16000) or 16000)
+    mem.add_video(video_id, video_path)
+    if audio is not None:
+        mem.dispatch_asr(video_id, audio, sr)
+    meta: Dict = {}
+    n_chunks = 0
+    for chunk in extract_frames_streaming(
+        video_path,
+        memory_store_dir,
+        video_id,
+        emit_seconds=chunk_seconds,
+        timers=getattr(mem, "timers", None),
+        _meta_out=meta,
+    ):
+        t0c = chunk["chunk_start"]
+        dur = chunk["chunk_duration"]
+        seg_audio = None
+        if audio is not None:
+            seg_audio = audio[int(t0c * sr) : int((t0c + dur) * sr)]
+        fssim = chunk["frame_ssim"]
+        mem.process_sequence(
+            video_id,
+            frame_paths=chunk["frame_paths"],
+            frame_times=[t - t0c for t in chunk["frame_times"]],
+            frames_rgb=chunk["frames_rgb"],
+            audio_data=seg_audio,
+            sample_rate=sr,
+            video_duration=dur,
+            auto_consolidate=False,
+            base_time=t0c,
+            frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
+            resume=False,
+        )
+        n_chunks += 1
+    mem.consolidate(video_id)
+    mem.replay(video_id)
+    frames = dict(meta)
+    frames["streamed_chunks"] = n_chunks
+    return {
+        "video_id": video_id,
+        "video_path": video_path,
+        "frames": frames,
+        "audio": audio_meta,
+        "streamed": True,
+    }
+
+
 def process_video_folder(
     folder: str,
     memory_store_dir: str,
@@ -464,7 +607,7 @@ def process_video_folder(
     # host-bound extraction (libav decode) runs on a worker. The extraction
     # dispatches its own scan/ASR device programs from the worker; decode is
     # GIL-released C, so the two sides genuinely overlap even on one core.
-    todo: List[Tuple[int, str, str]] = []
+    todo: List[Tuple[int, str, str, bool]] = []
     for i, path in enumerate(videos):
         video_id = os.path.splitext(os.path.basename(path))[0]
         # skip-existing via video_index + existing events (reference :489-531)
@@ -472,7 +615,23 @@ def process_video_folder(
             logger.info("skipping %s (already ingested)", video_id)
             stats["skipped"] += 1
             continue
-        todo.append((i, path, video_id))
+        # long videos ingest chunk-by-chunk on the MAIN thread (the streaming
+        # path pipelines within the video; its decode saturates the host, so
+        # no cross-video lookahead runs concurrently). Already-extracted
+        # videos (metadata.yaml) resume through the standard path instead.
+        is_long = False
+        if os.path.splitext(path)[1].lower() in VIDEO_EXTENSIONS and not os.path.exists(
+            os.path.join(memory_store_dir, "frames", video_id, "metadata.yaml")
+        ):
+            try:
+                from hippomm_tpu.media.io import open_video
+
+                probe = open_video(path)
+                is_long = (probe.info.duration or 0.0) > STREAMING_THRESHOLD_S
+                probe.close()
+            except Exception:
+                pass
+        todo.append((i, path, video_id, is_long))
 
     def _extract(path: str, video_id: str) -> Dict:
         return process_single_video(
@@ -483,37 +642,46 @@ def process_video_folder(
     lookahead_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
     def _submit(pos: int):
-        if not pipeline_lookahead:
+        if not pipeline_lookahead or todo[pos][3]:  # long videos stream inline
             return None
         return lookahead_pool.submit(_extract, todo[pos][1], todo[pos][2])
 
     next_fut = _submit(0) if todo else None
 
-    for pos, (i, path, video_id) in enumerate(todo):
+    for pos, (i, path, video_id, is_long) in enumerate(todo):
         t0 = time.perf_counter()
         try:
             fut, next_fut = next_fut, None
-            try:
-                extracted = fut.result() if fut is not None else _extract(path, video_id)
-            finally:
-                # keep the lookahead alive even when this video's extraction
-                # failed — the NEXT video's decode should already be running
+            if is_long:
+                result = process_single_video_streaming(
+                    path, memory_store_dir, video_id, memory_system=mem
+                )
                 if pos + 1 < len(todo):
                     next_fut = _submit(pos + 1)
-            mem.add_video(video_id, path)
-            frames = extracted["frames"]
-            audio = extracted["audio"]
-            fssim = frames.get("frame_ssim")
-            mem.process_sequence(
-                video_id,
-                frame_paths=frames.get("frame_paths", []),
-                frame_times=frames.get("frame_times", []),
-                frames_rgb=frames.get("frames_rgb"),
-                audio_data=audio.get("audio"),
-                video_duration=frames.get("duration"),
-                auto_consolidate=True,
-                frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
-            )
+                frames = result["frames"]
+            else:
+                try:
+                    extracted = fut.result() if fut is not None else _extract(path, video_id)
+                finally:
+                    # keep the lookahead alive even when this video's
+                    # extraction failed — the NEXT video's decode should
+                    # already be running
+                    if pos + 1 < len(todo):
+                        next_fut = _submit(pos + 1)
+                mem.add_video(video_id, path)
+                frames = extracted["frames"]
+                audio = extracted["audio"]
+                fssim = frames.get("frame_ssim")
+                mem.process_sequence(
+                    video_id,
+                    frame_paths=frames.get("frame_paths", []),
+                    frame_times=frames.get("frame_times", []),
+                    frames_rgb=frames.get("frames_rgb"),
+                    audio_data=audio.get("audio"),
+                    video_duration=frames.get("duration"),
+                    auto_consolidate=True,
+                    frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
+                )
             stats["processed"] += 1
             stats["media_seconds"] += float(frames.get("duration") or 0.0)
             throughput.add_media(float(frames.get("duration") or 0.0))

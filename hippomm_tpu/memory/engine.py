@@ -34,6 +34,7 @@ from hippomm_tpu.memory.segmentation import segment_sequence
 from hippomm_tpu.memory.store import MemoryStore
 from hippomm_tpu.models.clients import make_client
 from hippomm_tpu.models.foundation import ImageBind, QwenVL, Whisper
+from hippomm_tpu.models.whisper.transcribe import Segment
 from hippomm_tpu.utils.timers import StageTimer
 
 logger = logging.getLogger(__name__)
@@ -142,6 +143,7 @@ class HippocampalMemory:
         self._frame_buffer: Dict[str, List] = {}  # video_id -> [(path, time)]
         self._full_audio: Dict[str, np.ndarray] = {}
         self._full_transcript: Dict[str, List] = {}  # video_id -> [Segment]
+        self._transcript_full_track: set = set()  # _full_transcript covers whole video
         self._asr_futures: Dict[str, object] = {}  # video_id -> Future[[Segment]]
 
         self.store = MemoryStore(
@@ -169,6 +171,7 @@ class HippocampalMemory:
         auto_consolidate: bool = True,
         base_time: float = 0.0,
         frame_ssim: Optional[np.ndarray] = None,
+        resume: bool = True,
     ) -> List[ShortTermMemory]:
         """Segment + perceptually encode a video's frames/audio into STMs
         (reference: hippocampal_memory.py:1116-1275).
@@ -178,8 +181,10 @@ class HippocampalMemory:
         `base_time` offsets all produced timestamps — the reference's chunk
         offset for re-chunked long videos (hippocampal_memory.py:1134).
         """
-        # checkpoint fast-path (reference :1136-1150)
-        if self.store.has_checkpoint(video_id):
+        # checkpoint fast-path (reference :1136-1150). Chunked long-video
+        # ingest passes resume=False: chunk N+1 must not short-circuit on the
+        # checkpoint chunk N just wrote.
+        if resume and self.store.has_checkpoint(video_id):
             stms = self.store.load_checkpoint(video_id)
             if stms:
                 logger.info("resumed %d STMs from checkpoint for %s", len(stms), video_id)
@@ -199,7 +204,13 @@ class HippocampalMemory:
             frames_rgb = np.stack([read_jpeg(fp) for fp in frame_paths])
         if audio_data is not None:
             audio_data = np.asarray(audio_data, dtype=np.float32)
-            self._full_audio[video_id] = audio_data
+            # keep the LONGEST known track: in chunked long-video flows the
+            # full track was registered by dispatch_asr and must not be
+            # clobbered by a 5-minute chunk (holistic transcription fallback
+            # and detailed-recall re-slicing read this)
+            prev = self._full_audio.get(video_id)
+            if prev is None or len(audio_data) > len(prev):
+                self._full_audio[video_id] = audio_data
 
         with self.timers.stage("segmentation"):
             segments = segment_sequence(
@@ -225,7 +236,8 @@ class HippocampalMemory:
             frame_times = [t + base_time for t in frame_times]
 
         stms = self._encode_segments(
-            video_id, segments, frames_rgb, frame_times, sample_rate, base_time=base_time
+            video_id, segments, frames_rgb, frame_times, sample_rate,
+            base_time=base_time, call_audio=audio_data,
         )
         self.short_term_buffer.setdefault(video_id, []).extend(stms)
 
@@ -245,6 +257,7 @@ class HippocampalMemory:
         frame_times: Sequence[float],
         sample_rate: int,
         base_time: float = 0.0,
+        call_audio: Optional[np.ndarray] = None,
     ) -> List[ShortTermMemory]:
         """Perceptual encoding, batched across segments."""
         ft = np.asarray(list(frame_times), dtype=np.float64)
@@ -326,29 +339,39 @@ class HippocampalMemory:
         # ---- transcription: ONE batched full-track ASR pass ----
         # The reference transcribes every segment slice AND the full track
         # again for the holistic transcription (:1238-1246, :1367-1415) —
-        # double ASR compute. Here the full track runs once (all 30 s windows
-        # in bucketized chunk batches); per-segment texts are the full-track
-        # timestamped segments assigned by midpoint, and replay reuses the
-        # same pass for the holistic transcription.
+        # double ASR compute. Here the track runs once (all 30 s windows in
+        # bucketized chunk batches); per-segment texts are the timestamped ASR
+        # segments assigned by midpoint, and replay reuses the same pass for
+        # the holistic transcription. _full_transcript accumulates GLOBAL-time
+        # segments, so chunked long-video ingest (base_time flow) transcribes
+        # each chunk exactly once and the holistic text still covers the video.
         transcripts: Dict[int, str] = {}
-        full = self._full_audio.get(video_id)
-        if full is not None and len(full) >= sample_rate // 10:
-            fut = self._asr_futures.pop(video_id, None)
+        asr_segs = None
+        fut = self._asr_futures.pop(video_id, None)
+        if fut is not None:  # full-track pass dispatched earlier (global times)
             with self.timers.stage("transcribe"):
-                # prefetched ASR (launched while the host decoded frames) or
-                # run the batched full-track pass now
-                asr_segs = fut.result() if fut is not None else self.whisper.transcribe(
-                    full, sample_rate
-                )
-            self._full_transcript[video_id] = asr_segs
+                asr_segs = fut.result()
+            self._full_transcript[video_id] = list(asr_segs)
+            self._transcript_full_track.add(video_id)
+        elif video_id in self._transcript_full_track and base_time:
+            # chunked flow after a full-track dispatch: reuse, don't re-run
+            asr_segs = self._full_transcript[video_id]
+        elif call_audio is not None and len(call_audio) >= sample_rate // 10:
+            with self.timers.stage("transcribe"):
+                local = self.whisper.transcribe(call_audio, sample_rate)
+            asr_segs = [
+                Segment(s.start + base_time, s.end + base_time, s.text) for s in local
+            ] if base_time else local
+            self._full_transcript.setdefault(video_id, []).extend(asr_segs)
+        if asr_segs is not None:
             for si, seg in enumerate(segments):
-                lo, hi = seg.start_time - base_time, seg.end_time - base_time
+                lo, hi = seg.start_time, seg.end_time  # global, like asr_segs
                 texts = [
                     s.text for s in asr_segs if s.text and lo <= (s.start + s.end) / 2 < hi
                 ]
                 if texts:
                     transcripts[si] = " ".join(texts).strip()
-        else:  # no cached track (add_memory path): per-segment batched ASR
+        else:  # no track audio (add_memory path): per-segment batched ASR
             asr_owner = [
                 si
                 for si, seg in enumerate(segments)

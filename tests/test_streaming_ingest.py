@@ -1,0 +1,133 @@
+"""Chunked (streaming) long-video ingest vs the whole-video path.
+
+The streaming path (core.batch_process.process_single_video_streaming /
+extract_frames_streaming) must select the SAME key frames as a whole-video
+pass (the greedy-walk carry spans chunk boundaries) and produce one ThetaEvent
+covering the full duration with per-chunk transcripts stitched in global time.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from hippomm_tpu.config import Config
+from hippomm_tpu.core.batch_process import (
+    extract_frames_from_video,
+    extract_frames_streaming,
+    process_single_video_streaming,
+)
+from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+from hippomm_tpu.memory.engine import HippocampalMemory
+
+SPEC = SynthSpec(
+    duration=75.0,
+    fps=4.0,
+    width=160,
+    height=120,
+    scene_changes=(20.0, 41.0, 62.0),
+    silence_regions=((19.5, 20.5), (60.5, 61.5)),
+    seed=11,
+)
+
+
+@pytest.fixture(scope="module")
+def video_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("vid") / "long.mp4")
+    write_synthetic_video(p, SPEC)
+    return p
+
+
+def _mk_engine(tmp_path_factory, tag):
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path_factory.mktemp(tag))
+    return HippocampalMemory(config=cfg)
+
+
+def test_streaming_selects_identical_keyframes(video_path, tmp_path_factory):
+    whole_dir = str(tmp_path_factory.mktemp("whole"))
+    stream_dir = str(tmp_path_factory.mktemp("stream"))
+    whole = extract_frames_from_video(video_path, whole_dir, "v", keep_rgb=False)
+    chunks = list(
+        extract_frames_streaming(video_path, stream_dir, "v", emit_seconds=25.0)
+    )
+    assert len(chunks) >= 2  # actually chunked
+    streamed_times = [t for c in chunks for t in c["frame_times"]]
+    assert streamed_times == whole["frame_times"]
+    # chunk boundaries tile the video
+    ends = [c["chunk_start"] + c["chunk_duration"] for c in chunks]
+    starts = [c["chunk_start"] for c in chunks]
+    assert starts[0] == 0.0
+    assert starts[1:] == ends[:-1]
+    # every chunk's frames fall inside its window
+    for c in chunks:
+        for t in c["frame_times"]:
+            assert c["chunk_start"] <= t < c["chunk_start"] + c["chunk_duration"] + 1e-6
+    # metadata written identically to the whole pass
+    import yaml
+
+    with open(os.path.join(stream_dir, "frames", "v", "metadata.yaml")) as f:
+        meta = yaml.safe_load(f)
+    assert meta["frame_times"] == whole["frame_times"]
+
+
+def test_streaming_ingest_one_event_full_coverage(video_path, tmp_path_factory):
+    mem = _mk_engine(tmp_path_factory, "stream_engine")
+    result = process_single_video_streaming(
+        video_path, mem.config.storage.base_dir, "long", memory_system=mem,
+        chunk_seconds=25.0,
+    )
+    assert result["streamed"] and result["frames"]["streamed_chunks"] >= 2
+    assert len(mem.long_term_store) == 1
+    ev = mem.long_term_store[0]
+    assert ev.video_id == "long"
+    assert ev.start_time == 0.0
+    assert ev.end_time == pytest.approx(SPEC.duration, abs=1.5)
+    assert ev.features["vision"].shape[1] == 1024
+    # every STM (pre-dedup) carries vision features; together they span the video
+    stms = mem.short_term_buffer["long"]
+    assert all("vision" in s.features and len(s.features["vision"]) for s in stms)
+    assert stms[0].segment_info["start_time"] == 0.0
+    assert stms[-1].segment_info["end_time"] == pytest.approx(SPEC.duration, abs=1.5)
+    covered = sum(
+        s.segment_info["end_time"] - s.segment_info["start_time"] for s in stms
+    )
+    assert covered == pytest.approx(SPEC.duration, abs=1.5)
+    # per-chunk transcripts stitched in GLOBAL time, exactly once per chunk
+    assert ev.audio_transcription
+    assert ev.holistic_audio_transcription
+    # STMs from chunk 2+ carry global (offset) times AND their own transcripts
+    # (stub whisper has no async dispatch, so each chunk transcribes itself;
+    # the full-track-reuse branch must NOT starve later chunks)
+    stms2 = [s for s in stms if s.segment_info["start_time"] >= 25.0]
+    assert stms2
+    assert any(s.transcription for s in stms2)
+
+
+def test_folder_routes_long_videos_to_streaming(tmp_path_factory, monkeypatch):
+    from hippomm_tpu.core import batch_process as bp
+
+    folder = tmp_path_factory.mktemp("folder")
+    p = str(folder / "longish.mp4")
+    write_synthetic_video(p, SPEC)
+    store = str(tmp_path_factory.mktemp("store"))
+    monkeypatch.setattr(bp, "STREAMING_THRESHOLD_S", 50.0)
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = store
+    mem = HippocampalMemory(config=cfg)
+    stats = bp.process_video_folder(
+        str(folder), store, config=cfg, memory_system=mem, checkpoint_every=0
+    )
+    assert stats["processed"] == 1 and stats["failed"] == 0
+    assert len(mem.long_term_store) == 1
+    # rerun skips (idempotent via video_index + events)
+    stats2 = bp.process_video_folder(
+        str(folder), store, config=cfg, memory_system=mem, checkpoint_every=0
+    )
+    assert stats2["skipped"] == 1
