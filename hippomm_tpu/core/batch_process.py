@@ -28,6 +28,7 @@ import json
 import logging
 import os
 import queue
+import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -500,16 +501,41 @@ def process_single_video_streaming(
     mem.add_video(video_id, video_path)
     if audio is not None:
         mem.dispatch_asr(video_id, audio, sr)
+    # The extractor runs on a PRODUCER thread pushing chunks through a bounded
+    # queue: chunk N+1 decodes while this thread runs chunk N's device-bound
+    # engine stages (a plain generator would serialize — it only advances when
+    # the consumer asks). It also mirrors the short-video path's threading
+    # shape, where extraction reads device results from a different thread
+    # than the one that dispatched the ASR (same-thread reads have been
+    # observed to wedge the tunneled transport for minutes).
     meta: Dict = {}
     n_chunks = 0
-    for chunk in extract_frames_streaming(
-        video_path,
-        memory_store_dir,
-        video_id,
-        emit_seconds=chunk_seconds,
-        timers=getattr(mem, "timers", None),
-        _meta_out=meta,
-    ):
+    chunk_q: "queue.Queue" = queue.Queue(maxsize=1)
+    _DONE = object()
+
+    def _produce():
+        try:
+            for c in extract_frames_streaming(
+                video_path,
+                memory_store_dir,
+                video_id,
+                emit_seconds=chunk_seconds,
+                timers=getattr(mem, "timers", None),
+                _meta_out=meta,
+            ):
+                chunk_q.put(c)
+            chunk_q.put(_DONE)
+        except BaseException as e:  # propagate into the consumer
+            chunk_q.put(e)
+
+    producer = threading.Thread(target=_produce, daemon=True)
+    producer.start()
+    while True:
+        chunk = chunk_q.get()
+        if chunk is _DONE:
+            break
+        if isinstance(chunk, BaseException):
+            raise chunk
         t0c = chunk["chunk_start"]
         dur = chunk["chunk_duration"]
         seg_audio = None

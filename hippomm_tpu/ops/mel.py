@@ -62,10 +62,15 @@ class WhisperMel:
         self.n_mels = n_mels
         window = np.hanning(self.N_FFT + 1)[:-1]  # periodic hann
         cos, sin = _rdft_matrices(self.N_FFT, self.N_FFT)
-        self.a_cos = jnp.asarray((window[:, None] * cos).astype(np.float32))
-        self.a_sin = jnp.asarray((window[:, None] * sin).astype(np.float32))
-        self.melbank = jnp.asarray(
-            mel_filterbank_slaney(n_mels, self.N_FFT, self.SAMPLE_RATE)
+        # numpy, NOT device arrays: these are captured as CONSTANTS in the
+        # jitted __call__, and lowering a jaxpr with device-array constants
+        # reads them back to host — a pathological (sometimes hanging) d2h on
+        # the tunneled transport, paid at every fresh-process lowering even on
+        # compile-cache hits. numpy constants lower without any device read.
+        self.a_cos = (window[:, None] * cos).astype(np.float32)
+        self.a_sin = (window[:, None] * sin).astype(np.float32)
+        self.melbank = mel_filterbank_slaney(n_mels, self.N_FFT, self.SAMPLE_RATE).astype(
+            np.float32
         )
 
     @functools.partial(jax.jit, static_argnames=("self",))
@@ -114,11 +119,13 @@ class KaldiFbank:
         window = np.hanning(L)  # np.hanning is symmetric — kaldi "hanning"
         WPD = window[:, None] * (P @ D)
         cos, sin = _rdft_matrices(L, self.PADDED)
-        self.a_cos = jnp.asarray((WPD.T @ cos).astype(np.float32))
-        self.a_sin = jnp.asarray((WPD.T @ sin).astype(np.float32))
-        self.melbank = jnp.asarray(
-            mel_filterbank_kaldi(num_mel_bins, self.PADDED, self.SAMPLE_RATE, self.LOW_FREQ)
-        )
+        # numpy, not device arrays — see WhisperMel.__init__ (device-array
+        # jit constants trigger pathological d2h at every lowering)
+        self.a_cos = (WPD.T @ cos).astype(np.float32)
+        self.a_sin = (WPD.T @ sin).astype(np.float32)
+        self.melbank = mel_filterbank_kaldi(
+            num_mel_bins, self.PADDED, self.SAMPLE_RATE, self.LOW_FREQ
+        ).astype(np.float32)
 
     def num_frames(self, n_samples: int) -> int:
         if n_samples < self.FRAME_LEN:

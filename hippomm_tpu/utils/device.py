@@ -18,11 +18,15 @@ widen u8/bool to int32 on device, read, cast back. On non-tunneled backends
 
 from __future__ import annotations
 
+import logging
 import time
 
 import numpy as np
 
+logger = logging.getLogger(__name__)
+
 _WIDEN = None  # lazily-built jitted u8/bool -> int32 cast
+_SLOW_S = 2.0  # log any materialization slower than this (transport stalls)
 
 
 def _wait_ready(x, timeout_s: float = 120.0) -> None:
@@ -39,6 +43,45 @@ def _wait_ready(x, timeout_s: float = 120.0) -> None:
         x.block_until_ready()
 
 
+_COPY = None  # jitted identity: re-materializes a buffer for a retry read
+
+
+def _read_with_retry(x) -> np.ndarray:
+    """np.asarray with a watchdog: the transport's read RPC has been observed
+    to wedge for MINUTES on a ready buffer (one (256,) int32 read measured at
+    722 s). Run the read on a daemon thread; if it exceeds a payload-scaled
+    timeout, dispatch a device-side copy (fresh buffer → fresh RPC) and read
+    that instead. The wedged reader thread is abandoned (daemon, read-only)."""
+    global _COPY
+    nbytes = int(getattr(x, "nbytes", 0) or 0)
+    # generous: ≥8 s, plus time for bulk payloads at worst-case ~3 MB/s d2h
+    timeout = max(8.0, nbytes / 3e6)
+    import queue as queue_mod
+    import threading
+
+    attempt = x
+    for i in range(6):
+        box: "queue_mod.Queue" = queue_mod.Queue()
+        t = threading.Thread(
+            target=lambda a=attempt: box.put(np.asarray(a)), daemon=True
+        )
+        t.start()
+        try:
+            return box.get(timeout=timeout)
+        except queue_mod.Empty:
+            logger.warning(
+                "device read wedged (>%.0fs, shape=%s attempt %d) — retrying "
+                "via device-side copy", timeout, getattr(x, "shape", "?"), i + 1,
+            )
+            if _COPY is None:
+                import jax
+
+                _COPY = jax.jit(lambda a: a + 0)
+            attempt = _COPY(attempt)
+            _wait_ready(attempt)
+    return np.asarray(attempt)  # last resort: block
+
+
 def fetch(x, dtype=None) -> np.ndarray:
     """Materialize a (possibly in-flight) jax array as numpy, safely."""
     global _WIDEN
@@ -53,8 +96,16 @@ def fetch(x, dtype=None) -> np.ndarray:
 
             _WIDEN = jax.jit(lambda a: a.astype(jnp.int32))
         x = _WIDEN(x)
+    t0 = time.monotonic()
     _wait_ready(x)
-    out = np.asarray(x)
+    t1 = time.monotonic()
+    out = _read_with_retry(x)
+    t2 = time.monotonic()
+    if t2 - t0 > _SLOW_S:
+        logger.warning(
+            "slow device fetch: shape=%s dtype=%s wait=%.2fs read=%.2fs",
+            getattr(x, "shape", "?"), orig_dtype, t1 - t0, t2 - t1,
+        )
     if narrow:
         out = out.astype(dtype if dtype is not None else orig_dtype)
     elif dtype is not None:

@@ -80,6 +80,22 @@ def main() -> None:
     cfg.storage.base_dir = os.path.join(work, "store")
 
     mem = HippocampalMemory(config=cfg)
+
+    # warmup clip: exercises every program end-to-end ONCE before the measured
+    # run. First executions on the tunneled TPU stall for seconds-to-minutes
+    # per program (transport pathology) — interleaving them with the streaming
+    # chunk pipeline wedges device reads mid-ingest; a serial warmup absorbs
+    # them all up front (same shape as bench.py's warmup).
+    warm_dir = os.path.join(work, "warm")
+    os.makedirs(warm_dir, exist_ok=True)
+    write_synthetic_video(
+        os.path.join(warm_dir, "warm.mp4"),
+        SynthSpec(duration=30.0, fps=args.fps, width=args.width, height=args.height,
+                  scene_changes=(14.0,), silence_regions=((13.0, 15.0),), seed=1),
+    )
+    process_video_folder(warm_dir, cfg.storage.base_dir, config=cfg,
+                         memory_system=mem, checkpoint_every=0)
+
     t0 = time.perf_counter()
     stats = process_video_folder(videos, cfg.storage.base_dir, config=cfg,
                                  memory_system=mem, checkpoint_every=0)
