@@ -474,7 +474,10 @@ def process_single_video(
 
 
 # Videos longer than this ingest chunk-by-chunk: the engine encodes chunk N on
-# device while the host decodes chunk N+1 (within-video pipelining).
+# device while the host decodes chunk N+1 (within-video pipelining). At
+# ~2-chunk scale the overlap is eaten by device-queue and single-core host
+# contention (measured: a 600 s vlog is no faster streamed); the win appears
+# from ~3+ chunks where decode dominates and chunk engine work amortizes.
 STREAMING_THRESHOLD_S = 900.0
 STREAM_CHUNK_S = 300.0
 
