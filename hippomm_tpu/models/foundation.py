@@ -162,9 +162,14 @@ class ImageBind:
         """list[str] -> (N, 1024) fp32."""
         if not texts:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
+        return fetch(self.encode_text_device(texts), dtype=np.float32)
+
+    def encode_text_device(self, texts: Sequence[str]):
+        """list[str] -> (N, 1024) DEVICE array — no host round trip. Retrieval
+        feeds this straight into the fused top-k so a query costs ONE
+        synchronizing read (the packed result) instead of two."""
         tokens = self._shard_batch(jnp.asarray(self.tokenizer(list(texts))))
-        out = ib_model.text_forward(self.params, tokens, self.cfg, self.dtype)
-        return fetch(out, dtype=np.float32)
+        return ib_model.text_forward(self.params, tokens, self.cfg, self.dtype)
 
     # -- reference-compatible surface (foundation_models.py:135-151) --------
 

@@ -302,7 +302,8 @@ class QARecallSystem:
         if len(index) == 0:
             return []
         query = self._format_search_query(question)
-        emb = self.memory.imagebind.encode_text([query])[0]
+        # device-resident embedding -> fused top-k: one synchronizing read
+        emb = self.memory.imagebind.encode_text_device([query])[0]
         hits = index.search(emb, top_k_per_event=self.top_k, global_top_k=self.top_k, window_s=1.0)
         return self._gate_video_hits(question, hits)
 
@@ -393,18 +394,17 @@ class QARecallSystem:
                     continue
             return out_jpegs, out_times
 
-        import jax.numpy as jnp
+        from hippomm_tpu.media.io import downscale_rgb, _luma_u8
+        from hippomm_tpu.ops.ssim import ssim_pairs_host
 
-        from hippomm_tpu.media.io import downscale_rgb
-        from hippomm_tpu.ops.ssim import rgb_to_gray, ssim_pairs
-
-        # host downscale: the frames were just decoded on host, and a device
-        # round trip would read uint8 back over the tunnel (seconds-long stall)
+        # all host: the frames were just decoded here, the batch is tiny, and
+        # a device round trip costs ~60 ms of fixed transport latency where
+        # numpy SSIM over a handful of 180x320 thumbnails takes ~1 ms
         small = downscale_rgb(np.asarray(frames), 180, 320)
         keep = [0]
         if len(small) > 1:
-            gray = rgb_to_gray(jnp.asarray(small))
-            sims = fetch(ssim_pairs(gray[:-1], gray[1:]))
+            gray = _luma_u8(small).astype(np.float32)
+            sims = ssim_pairs_host(gray[:-1], gray[1:])
             for i, s in enumerate(sims):
                 if s < 0.9:  # keep frames that changed (reference gate 0.3)
                     keep.append(i + 1)

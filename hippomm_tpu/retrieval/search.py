@@ -99,7 +99,13 @@ class FeatureSearchIndex:
             return []
         import os
 
-        q = np.asarray(query, np.float32).reshape(-1)
+        # device-resident queries (ImageBind.encode_text_device) pass through
+        # untouched: the text embedding feeds the fused top-k without ever
+        # visiting the host, so a query pays ONE synchronizing read
+        if hasattr(query, "is_ready"):
+            q = query.reshape(-1)
+        else:
+            q = np.asarray(query, np.float32).reshape(-1)
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
         use_pallas = os.environ.get("HIPPOMM_PALLAS_TOPK") == "1"
         while True:
