@@ -45,6 +45,7 @@ logger = logging.getLogger(__name__)
 # otherwise mint a new padded shape per size class and pay a multi-second XLA
 # compile mid-ingest — which dominates on remote/tunneled devices.
 CHUNK = 32
+BIG_CHUNK = 128  # bulk tier for the vision tower (see encode_vision)
 
 
 def _bucket(n: int) -> int:
@@ -138,11 +139,17 @@ class ImageBind:
         n = frames.shape[0]
         handles = []  # dispatch ALL chunks async, fetch after: the device
         # pipelines chunk i+1 behind chunk i instead of idling per host sync
-        for lo in range(0, n, CHUNK):
-            chunk = frames[lo : lo + CHUNK]
+        lo = 0
+        while lo < n:
+            # two compiled shapes: 128-wide for bulk (higher MXU occupancy,
+            # 4x fewer round trips on long videos), 32-wide for remainders
+            # (padding a 10-frame tail to 128 would cost 4x its compute)
+            size = BIG_CHUNK if n - lo >= BIG_CHUNK else CHUNK
+            chunk = frames[lo : lo + size]
             m = len(chunk)
-            if m < CHUNK:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
+            lo += m
+            if m < size:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], size - m, axis=0)])
             x = self._shard_batch(jnp.asarray(chunk))
             handles.append((m, self._vision_prog(self.params, x)))
         return np.concatenate([fetch(h[:m], dtype=np.float32) for m, h in handles])

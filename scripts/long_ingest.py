@@ -95,6 +95,9 @@ def main() -> None:
     )
     process_video_folder(warm_dir, cfg.storage.base_dir, config=cfg,
                          memory_system=mem, checkpoint_every=0)
+    import numpy as _np
+
+    mem.imagebind.encode_vision(_np.zeros((128, args.height, args.width, 3), _np.uint8))
 
     t0 = time.perf_counter()
     stats = process_video_folder(videos, cfg.storage.base_dir, config=cfg,

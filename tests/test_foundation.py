@@ -32,6 +32,16 @@ def test_encode_vision_bucketing_consistent(ib, rng):
     np.testing.assert_allclose(full[0], one[0], atol=1e-4, rtol=1e-3)
 
 
+def test_encode_vision_big_chunk_tier(ib, rng):
+    """N > 128 routes bulk through the 128-wide tier + 32-wide remainder;
+    rows must match the small-chunk path."""
+    frames = rng.integers(0, 256, size=(140, 32, 48, 3)).astype(np.uint8)
+    out = ib.encode_vision(frames)
+    assert out.shape == (140, 1024)
+    probe = ib.encode_vision(frames[130:131])
+    np.testing.assert_allclose(out[130], probe[0], atol=1e-4, rtol=1e-3)
+
+
 def test_encode_text_deterministic(ib):
     a = ib.encode_text(["hello world"])
     b = ib.encode_text(["hello world"])
