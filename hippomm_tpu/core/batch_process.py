@@ -261,6 +261,7 @@ def extract_frames_streaming(
     # per-chunk accumulators (reset at each emit)
     cur_cand: List[int] = []
     cur_rgb: List[np.ndarray] = []
+    cur_gray: List[np.ndarray] = []  # saved frames' scoring luma, this chunk
     chunk_start = 0.0
     jpeg_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
     jpeg_futs: List = []
@@ -272,10 +273,11 @@ def extract_frames_streaming(
         if len(js):
             cur_cand.extend(off + int(j) for j in js)
             cur_rgb.append(blk.take_rgb(js))
+            cur_gray.append(blk.gray[js])
         blk.close()
 
     def _emit(chunk_end: float) -> Dict:
-        nonlocal chunk_start, cur_cand, cur_rgb
+        nonlocal chunk_start, cur_cand, cur_rgb, cur_gray
         rgb = np.concatenate(cur_rgb) if cur_rgb else None
         c_times = [times[j] for j in cur_cand]
         paths: List[str] = []
@@ -286,8 +288,11 @@ def extract_frames_streaming(
                 paths.append(path)
                 jpeg_futs.append(jpeg_pool.submit(save_frame, rgb[k], path))
         with timers.stage("extract_seg_ssim"):
-            grays_all = np.concatenate(all_gray_blocks)
-            ssim = adjacent_similarity_gray(grays_all[cur_cand]) if cur_cand else None
+            # only THIS chunk's saved-frame luma — re-concatenating the whole
+            # video's gray blocks per emit would be O(N²) over a long ingest
+            ssim = (
+                adjacent_similarity_gray(np.concatenate(cur_gray)) if cur_cand else None
+            )
         chunk = {
             "chunk_start": chunk_start,
             "chunk_duration": chunk_end - chunk_start,
@@ -299,45 +304,53 @@ def extract_frames_streaming(
         all_saved_cand.extend(cur_cand)
         all_saved_paths.extend(paths)
         all_saved_times.extend(c_times)
-        cur_cand, cur_rgb = [], []
+        cur_cand, cur_rgb, cur_gray = [], [], []
         chunk_start = chunk_end
         return chunk
 
-    with timers.stage("extract_decode"):
-        for b0 in range(0, len(candidate_idx), block):
-            batch = candidate_idx[b0 : b0 + block]
-            with timers.stage("extract_decode_c"):
-                blk = reader.read_block(batch, sh, sw, skip_nonref=stride >= 8)
-            all_gray_blocks.append(blk.gray)
-            with timers.stage("extract_feed"):
-                handle = scanner.feed(blk.gray, times[b0 : b0 + block])
-            with timers.stage("extract_flush"):
-                pending.append((b0, handle, blk))
-                while pending and (len(pending) > max_hold or pending[0][1].is_ready()):
-                    _flush(pending.popleft())
-            block_end_t = times[min(b0 + block, len(times)) - 1]
-            last_block = b0 + block >= len(candidate_idx)
-            if not last_block and block_end_t - chunk_start >= emit_seconds:
-                with timers.stage("extract_score"):
-                    while pending:
+    completed = False
+    try:
+        with timers.stage("extract_decode"):
+            for b0 in range(0, len(candidate_idx), block):
+                batch = candidate_idx[b0 : b0 + block]
+                with timers.stage("extract_decode_c"):
+                    blk = reader.read_block(batch, sh, sw, skip_nonref=stride >= 8)
+                all_gray_blocks.append(blk.gray)
+                with timers.stage("extract_feed"):
+                    handle = scanner.feed(blk.gray, times[b0 : b0 + block])
+                with timers.stage("extract_flush"):
+                    pending.append((b0, handle, blk))
+                    while pending and (len(pending) > max_hold or pending[0][1].is_ready()):
                         _flush(pending.popleft())
-                yield _emit(block_end_t + min_interval_s / 2)
-    with timers.stage("extract_score"):
-        while pending:
-            _flush(pending.popleft())
-    reader.close()
+                block_end_t = times[min(b0 + block, len(times)) - 1]
+                last_block = b0 + block >= len(candidate_idx)
+                if not last_block and block_end_t - chunk_start >= emit_seconds:
+                    with timers.stage("extract_score"):
+                        while pending:
+                            _flush(pending.popleft())
+                    yield _emit(block_end_t + min_interval_s / 2)
+        with timers.stage("extract_score"):
+            while pending:
+                _flush(pending.popleft())
+        completed = True
+    finally:
+        # abandoned mid-stream (consumer failed, generator .close()d): release
+        # held AVFrame blocks, the decoder, and the JPEG pool
+        for _, _, blk in pending:
+            blk.close()
+        pending.clear()
+        reader.close()
+        if not completed:
+            jpeg_pool.shutdown(wait=False)
     final = _emit(info.duration if info.duration else (times[-1] + min_interval_s if times else 0.0))
 
     # metadata over the WHOLE video (resume path recomputes nothing)
-    grays_all = (
-        np.concatenate(all_gray_blocks)
-        if all_gray_blocks
-        else np.zeros((0, sh, sw), np.uint8)
-    )
     with timers.stage("extract_seg_ssim"):
-        full_ssim = (
-            adjacent_similarity_gray(grays_all[all_saved_cand]) if all_saved_cand else None
-        )
+        if all_saved_cand:
+            grays_all = np.concatenate(all_gray_blocks)
+            full_ssim = adjacent_similarity_gray(grays_all[all_saved_cand])
+        else:
+            full_ssim = None
     with timers.stage("extract_jpeg_save"):
         for f in jpeg_futs:
             f.result()
@@ -514,51 +527,73 @@ def process_single_video_streaming(
     meta: Dict = {}
     n_chunks = 0
     chunk_q: "queue.Queue" = queue.Queue(maxsize=1)
+    stop = threading.Event()  # consumer died: producer must unwind, not block
     _DONE = object()
 
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                chunk_q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _produce():
+        gen = extract_frames_streaming(
+            video_path,
+            memory_store_dir,
+            video_id,
+            emit_seconds=chunk_seconds,
+            timers=getattr(mem, "timers", None),
+            _meta_out=meta,
+        )
         try:
-            for c in extract_frames_streaming(
-                video_path,
-                memory_store_dir,
-                video_id,
-                emit_seconds=chunk_seconds,
-                timers=getattr(mem, "timers", None),
-                _meta_out=meta,
-            ):
-                chunk_q.put(c)
-            chunk_q.put(_DONE)
+            for c in gen:
+                if not _put(c):  # consumer gone: trigger the generator's
+                    gen.close()  # finally (frees decoder + held AVFrames)
+                    return
+            _put(_DONE)
         except BaseException as e:  # propagate into the consumer
-            chunk_q.put(e)
+            _put(e)
 
     producer = threading.Thread(target=_produce, daemon=True)
     producer.start()
-    while True:
-        chunk = chunk_q.get()
-        if chunk is _DONE:
-            break
-        if isinstance(chunk, BaseException):
-            raise chunk
-        t0c = chunk["chunk_start"]
-        dur = chunk["chunk_duration"]
-        seg_audio = None
-        if audio is not None:
-            seg_audio = audio[int(t0c * sr) : int((t0c + dur) * sr)]
-        fssim = chunk["frame_ssim"]
-        mem.process_sequence(
-            video_id,
-            frame_paths=chunk["frame_paths"],
-            frame_times=[t - t0c for t in chunk["frame_times"]],
-            frames_rgb=chunk["frames_rgb"],
-            audio_data=seg_audio,
-            sample_rate=sr,
-            video_duration=dur,
-            auto_consolidate=False,
-            base_time=t0c,
-            frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
-            resume=False,
-        )
-        n_chunks += 1
+    try:
+        while True:
+            chunk = chunk_q.get()
+            if chunk is _DONE:
+                break
+            if isinstance(chunk, BaseException):
+                raise chunk
+            t0c = chunk["chunk_start"]
+            dur = chunk["chunk_duration"]
+            seg_audio = None
+            if audio is not None:
+                seg_audio = audio[int(t0c * sr) : int((t0c + dur) * sr)]
+            fssim = chunk["frame_ssim"]
+            mem.process_sequence(
+                video_id,
+                frame_paths=chunk["frame_paths"],
+                frame_times=[t - t0c for t in chunk["frame_times"]],
+                frames_rgb=chunk["frames_rgb"],
+                audio_data=seg_audio,
+                sample_rate=sr,
+                video_duration=dur,
+                auto_consolidate=False,
+                base_time=t0c,
+                frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
+                resume=False,
+            )
+            n_chunks += 1
+    finally:
+        # consumer failed (or finished): release a producer blocked on put
+        stop.set()
+        try:
+            while True:
+                chunk_q.get_nowait()
+        except queue.Empty:
+            pass
     mem.consolidate(video_id)
     mem.replay(video_id)
     frames = dict(meta)

@@ -306,25 +306,6 @@ int hmm_av_read_gray_indices(void* h, const int64_t* idx, int64_t count,
   return 0;
 }
 
-// Single-pass decode: each sorted index is decoded ONCE, emitting both the
-// (gh, gw) GRAY8 scoring plane and the full-resolution RGB24 frame. Keyframe
-// extraction previously paid two sequential decode passes over the stream —
-// one for scoring luma, one re-decoding the selected frames for JPEG/encode.
-int hmm_av_read_gray_rgb_indices(void* h, const int64_t* idx, int64_t count,
-                                 int gw, int gh, uint8_t* gray, uint8_t* rgb) {
-  AvReader* r = static_cast<AvReader*>(h);
-  size_t gray_bytes = (size_t)gw * gh;
-  size_t rgb_bytes = (size_t)r->width * r->height * 3;
-  for (int64_t i = 0; i < count; ++i) {
-    if (i > 0 && idx[i] < idx[i - 1]) return -2;
-    int rc = position_at(r, idx[i]);
-    if (rc < 0) return rc;
-    copy_gray(r, gray + gray_bytes * i, gw, gh);
-    copy_rgb(r, rgb + rgb_bytes * i);
-  }
-  return 0;
-}
-
 // ---------------------------------------------------------------------------
 // Block-hold decode: decode a block of sorted indices ONCE, emit scoring luma
 // immediately, and RETAIN refcounted AVFrames so full RGB is converted LAZILY

@@ -119,15 +119,6 @@ def _load_native_locked():
             ctypes.c_int,
             ctypes.c_void_p,
         ]
-        lib.hmm_av_read_gray_rgb_indices.argtypes = [
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_int64,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-        ]
         lib.hmm_av_read_block_hold.restype = ctypes.c_int
         lib.hmm_av_read_block_hold.argtypes = [
             ctypes.c_void_p,
@@ -533,11 +524,6 @@ class Y4MReader:
                 )
         return _box_downscale(y, gh, gw)
 
-    def read_gray_rgb(self, indices: Sequence[int], gh: int, gw: int):
-        """(gray, rgb) in one read of each frame's YUV."""
-        y, u, v = self.read_yuv(indices)
-        return _box_downscale(y, gh, gw), _yuv420_to_rgb_np(y, u, v)
-
     def read_block(self, indices: Sequence[int], gh: int, gw: int, skip_nonref: bool = False):
         """Y-plane luma eagerly; RGB per selected frame (random access is free)."""
         idx = list(indices)
@@ -781,27 +767,6 @@ class LibavReader:
         if rc != 0:
             raise RuntimeError(f"libav gray decode failed rc={rc}")
         return out[inverse]
-
-    def read_gray_rgb(self, indices: Sequence[int], gh: int, gw: int):
-        """Single-pass decode: (gray (N,gh,gw), rgb (N,H,W,3)). Each frame is
-        decoded once and scaled twice in C++ — keyframe extraction needs both
-        the scoring luma and (for the frames it keeps) the full RGB, and a
-        second decode pass over the stream costs as much as the first."""
-        uniq, inverse = self._sorted_unique(indices)
-        gray = np.empty((len(uniq), gh, gw), dtype=np.uint8)
-        rgb = np.empty((len(uniq), self.height, self.width, 3), dtype=np.uint8)
-        rc = self._lib.hmm_av_read_gray_rgb_indices(
-            self._h,
-            uniq.ctypes.data_as(ctypes.c_void_p),
-            len(uniq),
-            gw,
-            gh,
-            gray.ctypes.data_as(ctypes.c_void_p),
-            rgb.ctypes.data_as(ctypes.c_void_p),
-        )
-        if rc != 0:
-            raise RuntimeError(f"libav gray+rgb decode failed rc={rc}")
-        return gray[inverse], rgb[inverse]
 
     def read_block(
         self, indices: Sequence[int], gh: int, gw: int, skip_nonref: bool = False

@@ -362,7 +362,15 @@ class HippocampalMemory:
             asr_segs = [
                 Segment(s.start + base_time, s.end + base_time, s.text) for s in local
             ] if base_time else local
-            self._full_transcript.setdefault(video_id, []).extend(asr_segs)
+            if base_time:
+                # chunked flow: accumulate chunks in global time
+                self._full_transcript.setdefault(video_id, []).extend(asr_segs)
+            else:
+                # fresh pass over the video's start (chunk 0 of a re-ingest,
+                # or a plain single-call flow): RESET — extending would stack
+                # a retried video's transcript on top of the failed attempt's
+                self._full_transcript[video_id] = list(asr_segs)
+                self._transcript_full_track.discard(video_id)
         if asr_segs is not None:
             for si, seg in enumerate(segments):
                 lo, hi = seg.start_time, seg.end_time  # global, like asr_segs

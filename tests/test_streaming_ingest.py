@@ -107,6 +107,41 @@ def test_streaming_ingest_one_event_full_coverage(video_path, tmp_path_factory):
     assert any(s.transcription for s in stms2)
 
 
+def test_streaming_consumer_failure_unwinds_producer(video_path, tmp_path_factory):
+    """A chunk-processing failure must propagate AND release the producer
+    (blocked put), the decoder, and held frame blocks — no deadlock, no
+    lingering threads (code-review finding: Queue(1) put with a dead reader)."""
+    import threading
+    import time
+
+    mem = _mk_engine(tmp_path_factory, "fail_engine")
+    calls = {"n": 0}
+    orig = mem.process_sequence
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("synthetic chunk failure")
+        return orig(*a, **k)
+
+    mem.process_sequence = boom
+    before = {t.ident for t in threading.enumerate()}
+    with pytest.raises(RuntimeError, match="synthetic chunk failure"):
+        process_single_video_streaming(
+            video_path, mem.config.storage.base_dir, "failvid", memory_system=mem,
+            chunk_seconds=25.0,
+        )
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        extras = [
+            t for t in threading.enumerate() if t.ident not in before and t.is_alive()
+        ]
+        if not extras:
+            break
+        time.sleep(0.1)
+    assert not extras, f"producer machinery leaked threads: {extras}"
+
+
 def test_folder_routes_long_videos_to_streaming(tmp_path_factory, monkeypatch):
     from hippomm_tpu.core import batch_process as bp
 
