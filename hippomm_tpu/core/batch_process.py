@@ -7,7 +7,7 @@ process_memory_sync (:666), main (:749) — re-planned for TPU:
   * video decode via the C++ media shim (no cv2.VideoCapture python loop)
   * frame-difference key-framing as ONE batched device SSIM program over
     ~1 Hz candidates (the reference SSIMs pairs in Python every 30th frame)
-  * silence detection as a device RMS reduction (no ffmpeg subprocess)
+  * silence detection as a host numpy RMS reduction (no ffmpeg subprocess)
   * the engine receives in-memory RGB + audio, so nothing is re-read from disk
   * the streaming consumer (process_memory_sync) is the CORRECTED version of
     the reference's broken path (nonexistent consolidate_video_memories,
@@ -33,11 +33,10 @@ import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
-
-from hippomm_tpu.utils.device import fetch
 import yaml
 
 from hippomm_tpu.config import Config, load_config
+from hippomm_tpu.utils.device import fetch
 from hippomm_tpu.utils.timers import Throughput
 
 logger = logging.getLogger(__name__)
@@ -47,7 +46,6 @@ VIDEO_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".y4m", ".webm", ".m4v")
 # audio-only ingest (beyond the reference; driver bench config #2 shape:
 # silence segmentation + Whisper + ImageBind audio embeddings, no frames)
 AUDIO_EXTENSIONS = (".wav", ".mp3", ".flac", ".m4a", ".aac", ".ogg")
-DECODE_BATCH = 64
 
 
 # ---------------------------------------------------------------------------

@@ -29,21 +29,17 @@ from hippomm_tpu.utils.device import fetch
 from hippomm_tpu.config import Config
 from hippomm_tpu.models.clients import ChatClient, make_client
 from hippomm_tpu.models.imagebind import model as ib_model
-from hippomm_tpu.models.imagebind.preprocess import (
-    load_tokenizer,
-    preprocess_audio,
-    preprocess_vision,
-)
+from hippomm_tpu.models.imagebind.preprocess import load_tokenizer, preprocess_audio
 from hippomm_tpu.models.whisper import model as wh_model
 from hippomm_tpu.models.whisper.transcribe import Segment, WhisperTranscriber
 
 logger = logging.getLogger(__name__)
 
-# ONE compiled batch shape per tower, period: every encode runs as fixed
-# 32-row chunks. Padding a 3-frame call to 32 wastes trivial compute (ViT-H
-# batch-32 forward is ~160 ms); hour-long videos (150+ keyframes) would
-# otherwise mint a new padded shape per size class and pay a multi-second XLA
-# compile mid-ingest — which dominates on remote/tunneled devices.
+# Bounded compiled batch shapes per tower: encodes run as fixed 32-row chunks
+# (vision adds a 128-wide bulk tier). Padding a 3-frame call to 32 wastes
+# trivial compute (ViT-H batch-32 forward is ~160 ms); per-call shapes would
+# mint a multi-second XLA compile mid-ingest — which dominates on
+# remote/tunneled devices.
 CHUNK = 32
 BIG_CHUNK = 128  # bulk tier for the vision tower (see encode_vision)
 
@@ -128,7 +124,8 @@ class ImageBind:
 
     def encode_vision(self, frames: Union[np.ndarray, Sequence[str]]) -> np.ndarray:
         """uint8 (N, H, W, 3) frames or jpeg paths -> (N, 1024) fp32.
-        Runs in fixed 32-frame chunks (one compiled shape for any N)."""
+        Runs in fixed-size chunks (128-wide bulk tier + 32-wide remainder —
+        exactly two compiled shapes for any N)."""
         if len(frames) == 0:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
         if isinstance(frames[0], str):

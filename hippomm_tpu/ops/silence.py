@@ -16,7 +16,6 @@ from typing import List, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from hippomm_tpu.utils.device import fetch
 
 _DB_FLOOR = -100.0
 
@@ -98,8 +97,8 @@ def detect_silence_regions(
     """ffmpeg-silencedetect equivalent: contiguous regions below threshold_db
     lasting >= min_duration. Returns [(start_s, end_s), ...].
 
-    Device computes per-window dB in one reduction; the tiny boolean run-length
-    pass runs on host.
+    Per-window dB runs in numpy (window_rms_db_host), the boolean run-length
+    pass too — the whole detector is host-side by design (see module doc).
     """
     pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
     window = max(1, int(sample_rate * window_seconds))
