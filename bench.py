@@ -190,6 +190,22 @@ def main() -> None:
     wall30 = time.perf_counter() - t0
     realtime30 = (stats30["media_seconds"] or 1e-9) / wall30
 
+    # ---- audio-only ingest: 5 min (driver config #2 shape: silence
+    # segmentation + ASR + ImageBind audio embeddings, no frame track) --------
+    from hippomm_tpu.media.io import write_wav
+    from hippomm_tpu.media.synth import generate
+
+    aud_dir = os.path.join(work, "audio_only")
+    os.makedirs(aud_dir)
+    res = generate(SynthSpec(duration=300.0, fps=1.0, width=32, height=32,
+                             silence_regions=((60.0, 62.0), (180.0, 183.0)), seed=4))
+    write_wav(os.path.join(aud_dir, "talk.wav"), res.audio, 16000)
+    t0 = time.perf_counter()
+    stats_a = process_video_folder(aud_dir, cfg.storage.base_dir, config=cfg,
+                                   memory_system=mem, checkpoint_every=0)
+    wall_a = time.perf_counter() - t0
+    realtime_audio = (stats_a["media_seconds"] or 1e-9) / wall_a
+
     # ---- e2e detailed recall over the INGESTED store (huge text tower + fused
     # top-k + frame re-decode + stub caption/answer) ---------------------------
     from hippomm_tpu.retrieval.qa import QARecallSystem
@@ -266,6 +282,7 @@ def main() -> None:
             "media_s": media_s,
             "ingest_30fps_realtime_x": round(realtime30, 3),
             "ingest_30fps_wall_s": round(wall30, 2),
+            "ingest_audio_only_realtime_x": round(realtime_audio, 3),
             "detailed_recall_p50_ms": round(p50_ms, 2),
             "recall_e2e_ms": round(recall_e2e_ms, 2),
             "recall_p50_target_ms": 200.0,
