@@ -107,6 +107,7 @@ def main() -> None:
 
     ev = mem.long_term_store[-1]
     qa = QARecallSystem(mem, cfg)
+    qa.answer_question("warmup?")  # first-exec of the QA programs (text tower)
     t0 = time.perf_counter()
     answers = qa.answer_questions(
         ["What is the overall content?", "What color is the moving square?"]
