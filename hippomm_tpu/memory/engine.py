@@ -616,6 +616,11 @@ class HippocampalMemory:
         # consumed: a second replay() shouldn't duplicate the event (the
         # reference double-replays each video, SURVEY.md §3.1 note)
         self.consolidated.pop(video_id, None)
+        # the cached 16 kHz track is ~38 MB per 10-minute video; detailed
+        # recall re-slices from the persisted audio.npy when this is gone
+        # (retrieval/qa._audio_for_windows), so a large folder ingest must
+        # not accumulate every video's waveform in host memory
+        self._full_audio.pop(video_id, None)
         return event
 
     def _summarize_event(
