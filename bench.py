@@ -160,20 +160,13 @@ def main() -> None:
     # ---- warmup (compile) ---------------------------------------------------
     process_video_folder(warm, cfg.storage.base_dir, config=cfg, memory_system=mem,
                          checkpoint_every=0)
-    # warm the audio-length pow2 buckets the measured clips will hit (the RMS
-    # windowing programs compile per (bucket, window, hop))
-    from hippomm_tpu.ops.silence import detect_silence_regions
-    from hippomm_tpu.memory.segmentation import audio_window_levels
+    # consolidation dedup-scan shape rungs the measured clips can hit (one
+    # compile per bucket; every first execution also stalls seconds on this
+    # transport, so warm ONLY what the workloads need — the 256/512 rungs and
+    # the 128-wide vision tier belong to longer videos than any bench clip)
     from hippomm_tpu.ops.similarity import warm_keyframe_buckets
 
-    for dur in (600.0, 120.0):
-        z = np.zeros(int(dur * 16000), np.float32)
-        detect_silence_regions(z)
-        audio_window_levels(z)
-    # consolidation dedup-scan shape rungs (one compile per bucket, cached)
-    warm_keyframe_buckets(max_n=512)
-    # bulk vision-tower tier (128-wide chunks appear only on long videos)
-    mem.imagebind.encode_vision(np.zeros((128, 360, 640, 3), np.uint8))
+    warm_keyframe_buckets(max_n=128)
 
     # ---- measured ingest: 10-min vlog ---------------------------------------
     t0 = time.perf_counter()
