@@ -155,6 +155,30 @@ def test_extract_audio_from_container(clip, tmp_path):
     assert any(abs(s - 3.0) < 0.5 for s, e in meta["silence_regions"])
 
 
+def test_extract_audio_skips_mostly_silent_track(tmp_path):
+    """>90%-silent audio is skipped (reference: batch_process.py:321-327) —
+    no audio.npy persisted, has_audio False, fraction recorded."""
+    import numpy as np
+
+    from hippomm_tpu.core.batch_process import extract_audio_from_video
+    from hippomm_tpu.media.io import write_video_av
+    from hippomm_tpu.media.synth import SynthSpec, generate
+
+    res = generate(SynthSpec(duration=10.0, fps=2.0, width=64, height=48, seed=9))
+    pcm = np.zeros_like(res.audio)
+    pcm[: len(pcm) // 25] = res.audio[: len(pcm) // 25]  # ~4% non-silent
+    path = str(tmp_path / "quiet.mp4")
+    write_video_av(path, res.frames, fps=2.0, audio=pcm)
+    meta = extract_audio_from_video(path, str(tmp_path / "store"))
+    assert meta["skipped_as_silent"]
+    assert not meta["has_audio"]
+    assert meta["silence_fraction"] > 0.9
+    assert meta["audio"] is None
+    import os
+
+    assert not os.path.exists(tmp_path / "store" / "audio" / "quiet" / "audio.npy")
+
+
 def test_mp4_ingest_end_to_end(tmp_path):
     """Driver config #1 shape with a REAL container: H.264 mp4 with embedded
     AAC audio through batch_process → events → ask_question."""
