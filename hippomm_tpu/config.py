@@ -47,6 +47,10 @@ class ModelsConfig:
 class MemoryConfig:
     max_short_term: int = 10
     max_long_term: int = 100
+    # drop a video's in-memory STMs once its ThetaEvent is persisted (the
+    # per-video checkpoint on disk keeps them resumable); keeps folder-ingest
+    # RSS flat instead of growing ~2-5 MB per video forever
+    evict_after_replay: bool = True
 
 
 @dataclasses.dataclass
@@ -73,6 +77,10 @@ class ProcessingConfig:
     keyframe_dedup_threshold: float = 0.9
     retrieval_top_k: int = 5
     low_similarity_gate: float = 0.4
+    # detailed-recall window re-decode keeps a frame only when its SSIM vs the
+    # last KEPT frame is <= this (reference discards similarity > 0.3,
+    # hippocampal_memory.py:2236-2239)
+    recall_dedup_threshold: float = 0.3
     fast_path_confidence: float = 0.7
     whisper_chunk_seconds: float = 600.0
     token_budget: int = 120_000

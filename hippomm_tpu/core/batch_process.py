@@ -513,6 +513,12 @@ def process_single_video_streaming(
     audio = audio_meta.get("audio")
     sr = int(audio_meta.get("sample_rate", 16000) or 16000)
     mem.add_video(video_id, video_path)
+    # A failed earlier streaming attempt leaves its STMs in the buffer and a
+    # partial checkpoint on disk; chunk 0 runs with resume=False (which
+    # bypasses the checkpoint short-circuit) and would extend() onto the stale
+    # state, duplicating every segment in the final ThetaEvent.
+    mem.short_term_buffer[video_id] = []
+    mem.store.delete_checkpoint(video_id)
     if audio is not None:
         mem.dispatch_asr(video_id, audio, sr)
     # The extractor runs on a PRODUCER thread pushing chunks through a bounded
@@ -669,8 +675,8 @@ def process_video_folder(
     # host-bound extraction (libav decode) runs on a worker. The extraction
     # dispatches its own scan/ASR device programs from the worker; decode is
     # GIL-released C, so the two sides genuinely overlap even on one core.
-    todo: List[Tuple[int, str, str, bool]] = []
-    for i, path in enumerate(videos):
+    todo: List[Tuple[str, str, bool]] = []
+    for path in videos:
         video_id = os.path.splitext(os.path.basename(path))[0]
         # skip-existing via video_index + existing events (reference :489-531)
         if skip_existing and mem.store.has_video(video_id) and mem.store.events_for_video(video_id):
@@ -693,7 +699,7 @@ def process_video_folder(
                 probe.close()
             except Exception:
                 pass
-        todo.append((i, path, video_id, is_long))
+        todo.append((path, video_id, is_long))
 
     def _extract(path: str, video_id: str) -> Dict:
         return process_single_video(
@@ -704,13 +710,13 @@ def process_video_folder(
     lookahead_pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
     def _submit(pos: int):
-        if not pipeline_lookahead or todo[pos][3]:  # long videos stream inline
+        if not pipeline_lookahead or todo[pos][2]:  # long videos stream inline
             return None
-        return lookahead_pool.submit(_extract, todo[pos][1], todo[pos][2])
+        return lookahead_pool.submit(_extract, todo[pos][0], todo[pos][1])
 
     next_fut = _submit(0) if todo else None
 
-    for pos, (i, path, video_id, is_long) in enumerate(todo):
+    for pos, (path, video_id, is_long) in enumerate(todo):
         t0 = time.perf_counter()
         try:
             fut, next_fut = next_fut, None
@@ -752,7 +758,16 @@ def process_video_folder(
             logger.exception("failed on %s", video_id)
             stats["failed"] += 1
             stats["errors"][video_id] = repr(e)
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            # drop the pending ASR future + cached track for the failed video:
+            # dispatch_asr registers them before process_sequence pops them, so
+            # a failure in between would retain device token buffers for the
+            # life of the engine (accumulating across a large failing folder)
+            mem._asr_futures.pop(video_id, None)
+            mem._full_audio.pop(video_id, None)
+        # cadence over the videos actually being processed (pos), not the
+        # pre-filter enumerate index — skip-existing interleaving would
+        # otherwise leave long stretches of processed videos uncheckpointed
+        if checkpoint_every and (pos + 1) % checkpoint_every == 0:
             _save_driver_checkpoint(mem, memory_store_dir, stats)
     lookahead_pool.shutdown(wait=False)
     throughput.stop()

@@ -91,6 +91,7 @@ class HippocampalMemory:
         self.frame_similarity_threshold = p.frame_similarity_threshold
         self.audio_silence_threshold = p.audio_silence_threshold
         self.keyframe_dedup_threshold = p.keyframe_dedup_threshold
+        self.evict_stm_after_replay = self.config.memory.evict_after_replay
 
         # device mesh: data-parallel encode across all local chips by default
         # (config.system.mesh_data/mesh_model override; 1 chip → no mesh)
@@ -295,8 +296,6 @@ class HippocampalMemory:
             pcm_batch.append(a / peak)
             mel_owner.append(si)
         if pcm_batch:
-            from hippomm_tpu.ops.bucketing import pad_leading
-
             with self.timers.stage("encode_audio"):
                 # mels stay DEVICE-resident between fbank and the tower — a
                 # fetch+re-upload between the two programs costs two tunnel
@@ -616,6 +615,12 @@ class HippocampalMemory:
         # consumed: a second replay() shouldn't duplicate the event (the
         # reference double-replays each video, SURVEY.md §3.1 note)
         self.consolidated.pop(video_id, None)
+        # the video's STMs (~2-5 MB each) are now fully represented by the
+        # persisted ThetaEvent + the per-video checkpoint on disk
+        # (store.save_checkpoint); holding them in memory across a 1000-video
+        # folder ingest would bloat RSS without bound
+        if self.evict_stm_after_replay:
+            self.short_term_buffer.pop(video_id, None)
         # the cached 16 kHz track is ~38 MB per 10-minute video; detailed
         # recall re-slices from the persisted audio.npy when this is gone
         # (retrieval/qa._audio_for_windows), so a large folder ingest must

@@ -182,6 +182,12 @@ class MemoryStore:
     def has_checkpoint(self, video_id: str) -> bool:
         return os.path.exists(self._ckpt_path(video_id))
 
+    def delete_checkpoint(self, video_id: str) -> None:
+        try:
+            os.remove(self._ckpt_path(video_id))
+        except FileNotFoundError:
+            pass
+
     def load_checkpoint(self, video_id: str) -> Optional[List[ShortTermMemory]]:
         path = self._ckpt_path(video_id)
         if not os.path.exists(path):

@@ -130,8 +130,18 @@ def test_get_stats(ingested):
     assert "timers" in stats
 
 
+def test_stm_evicted_after_replay(ingested):
+    """Replay persists the ThetaEvent + per-video checkpoint, then drops the
+    in-memory STMs so folder-ingest RSS stays flat across many videos."""
+    mem, _, _ = ingested
+    assert "vid1" not in mem.short_term_buffer
+    assert mem.store.has_checkpoint("vid1")  # still resumable from disk
+
+
 def test_save_load_short_term_buffer(ingested):
     mem, _, _ = ingested
+    # replay evicted the in-memory STMs; repopulate from the on-disk checkpoint
+    assert mem._load_checkpoint("vid1")
     mem.save_short_term_buffer("t1")
     fresh = HippocampalMemory(config=mem.config, models={
         "imagebind": mem.imagebind, "whisper": mem.whisper,

@@ -87,8 +87,9 @@ def test_streaming_ingest_one_event_full_coverage(video_path, tmp_path_factory):
     assert ev.start_time == 0.0
     assert ev.end_time == pytest.approx(SPEC.duration, abs=1.5)
     assert ev.features["vision"].shape[1] == 1024
-    # every STM (pre-dedup) carries vision features; together they span the video
-    stms = mem.short_term_buffer["long"]
+    # every STM (pre-dedup) carries vision features; together they span the
+    # video (replay evicted the in-memory buffer; the checkpoint persists)
+    stms = mem.store.load_checkpoint("long")
     assert all("vision" in s.features and len(s.features["vision"]) for s in stms)
     assert stms[0].segment_info["start_time"] == 0.0
     assert stms[-1].segment_info["end_time"] == pytest.approx(SPEC.duration, abs=1.5)
