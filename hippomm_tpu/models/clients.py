@@ -213,6 +213,11 @@ class StubClient(ChatClient):
             words = re.findall(r"[a-z]+", lower.rsplit("question", 1)[-1])[:4]
             return " ".join(words) or "scene content"
         if "primary modality" in lower:
+            q = lower.rsplit("question:", 1)[-1]
+            if re.search(r"\b(say|said|speak|speaking|talk|talking|mention|discuss|word)\b", q):
+                return "speech"
+            if re.search(r"\b(sound|noise|hear|heard|melody|music|tone|song|plays?)\b", q):
+                return "sound"
             return "video"
         if "json" in lower and ("time" in lower or "frame" in lower):
             return json.dumps([{"start_time": 0.0, "end_time": 5.0}])

@@ -59,6 +59,7 @@ class QARecallSystem:
         self.top_k = p.retrieval_top_k
         self.low_sim_gate = p.low_similarity_gate
         self.confidence_gate = p.fast_path_confidence
+        self.recall_dedup = p.recall_dedup_threshold
         self.reasoning = reasoning_client or make_client(
             self.config.api.reasoning, self.config.api.mode, purpose="reasoning"
         )
@@ -76,7 +77,17 @@ class QARecallSystem:
         cached = self._index_cache.get(key)
         if cached and cached[0] == len(events):
             return cached[1]
-        idx = FeatureSearchIndex.build(events, modality)
+        mesh = getattr(self.memory, "mesh", None)
+        if mesh is not None and mesh.devices.size > 1:
+            # multi-chip engine: the store rows shard across the mesh and
+            # every query's top-k runs as local matmul + all_gather re-rank
+            # over ICI (parallel/sharded_store.py) — same results as the
+            # single-device index, reachable from the product query path
+            from hippomm_tpu.parallel.sharded_store import ShardedFeatureIndex
+
+            idx: FeatureSearchIndex = ShardedFeatureIndex.build(events, modality, mesh)
+        else:
+            idx = FeatureSearchIndex.build(events, modality)
         self._index_cache[key] = (len(events), idx)
         return idx
 
@@ -401,13 +412,19 @@ class QARecallSystem:
         # a device round trip costs ~60 ms of fixed transport latency where
         # numpy SSIM over a handful of 180x320 thumbnails takes ~1 ms
         small = downscale_rgb(np.asarray(frames), 180, 320)
+        # reference dedup gate (hippocampal_memory.py:2236-2239): a frame is
+        # kept only when its SSIM vs the LAST KEPT frame is <= the threshold
+        # (default 0.3) — a static window contributes exactly one frame, so a
+        # recall pays one caption call per visually distinct moment
         keep = [0]
         if len(small) > 1:
             gray = _luma_u8(small).astype(np.float32)
-            sims = ssim_pairs_host(gray[:-1], gray[1:])
-            for i, s in enumerate(sims):
-                if s < 0.9:  # keep frames that changed (reference gate 0.3)
-                    keep.append(i + 1)
+            last = 0
+            for i in range(1, len(small)):
+                s = float(ssim_pairs_host(gray[last : last + 1], gray[i : i + 1])[0])
+                if s <= self.recall_dedup:
+                    keep.append(i)
+                    last = i
         return [jpeg_encode(small[i]) for i in keep], [times[i] for i in keep]
 
     def _process_video_query(
@@ -613,11 +630,15 @@ class QARecallSystem:
             if int(e * sample_rate) > int(s * sample_rate)
         ]
 
-    def _process_audio_query(self, question: str) -> QARecallResult:
-        """(reference :2327-2521)"""
-        is_speech = bool(
-            re.search(r"\b(say|said|speak|talk|mention|word|tell|told)\b", question.lower())
-        )
+    def _process_audio_query(
+        self, question: str, primary_modality: Optional[str] = None
+    ) -> QARecallResult:
+        """(reference :2327-2521; speech-vs-sound routing comes from the LLM's
+        _determine_primary_modality verdict, as at :1684-1686 — a keyword regex
+        would misroute e.g. "what melody plays?" away from the sound path)"""
+        if primary_modality is None:
+            primary_modality = self._determine_primary_modality(question)
+        is_speech = primary_modality == "speech"
         if is_speech:
             frames = self._speech_timeframes(question)
             hits = [SearchHit("", vid, (s + e) / 2, 0.0, -1, (s, e)) for s, e, vid in frames]
@@ -678,7 +699,7 @@ class QARecallSystem:
         """(reference :2724-2962)"""
         primary = self._determine_primary_modality(question)
         if primary in ("speech", "sound"):
-            audio_res = self._process_audio_query(question)
+            audio_res = self._process_audio_query(question, primary_modality=primary)
             # cross-lookup frames in the SAME video each window came from
             win_by_vid: Dict[str, List[Tuple[float, float]]] = {}
             for s in audio_res.retrieved_segments:

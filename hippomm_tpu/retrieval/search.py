@@ -79,6 +79,42 @@ class FeatureSearchIndex:
             self._device = jax.device_put(self._feats)
         return self._device
 
+    def _topk(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """One fused normalize+matmul+top-k over the packed store; returns
+        host (k,) values + global row indices. Overridden by the sharded
+        backend (parallel/sharded_store.ShardedFeatureIndex)."""
+        import os
+
+        if os.environ.get("HIPPOMM_PALLAS_TOPK") == "1":
+            from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
+
+            vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
+            return fetch(vals), fetch(idx)
+        if len(self) >= 2**24:
+            # the packed single-read path encodes row indices as float32,
+            # exact only up to 2^24 — beyond that fall back to the two-read
+            # int32 path rather than silently corrupt hit indices
+            from hippomm_tpu.ops.similarity import top_k_cosine
+
+            vals, idx = top_k_cosine(q, self._device_feats(), k)
+            return fetch(vals), fetch(idx).astype(np.int64)
+        from hippomm_tpu.ops.similarity import top_k_cosine_packed
+
+        packed = fetch(top_k_cosine_packed(q, self._device_feats(), k))
+        return packed[0], packed[1].astype(np.int64)
+
+    def _topk_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(Q, D) queries → ((Q, k) values, (Q, k) global indices)."""
+        if len(self) >= 2**24:
+            from hippomm_tpu.ops.similarity import top_k_cosine
+
+            vals, idx = top_k_cosine(queries, self._device_feats(), k)
+            return fetch(vals), fetch(idx).astype(np.int64)
+        from hippomm_tpu.ops.similarity import top_k_cosine_packed
+
+        packed = fetch(top_k_cosine_packed(queries, self._device_feats(), k))
+        return packed[0], packed[1].astype(np.int64)
+
     def search(
         self,
         query: np.ndarray,
@@ -97,8 +133,6 @@ class FeatureSearchIndex:
         n = len(self)
         if n == 0:
             return []
-        import os
-
         # device-resident queries (ImageBind.encode_text_device) pass through
         # untouched: the text embedding feeds the fused top-k without ever
         # visiting the host, so a query pays ONE synchronizing read
@@ -107,18 +141,8 @@ class FeatureSearchIndex:
         else:
             q = np.asarray(query, np.float32).reshape(-1)
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
-        use_pallas = os.environ.get("HIPPOMM_PALLAS_TOPK") == "1"
         while True:
-            if use_pallas:
-                from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
-
-                vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
-                vals, idx = fetch(vals), fetch(idx)
-            else:
-                from hippomm_tpu.ops.similarity import top_k_cosine_packed
-
-                packed = fetch(top_k_cosine_packed(q, self._device_feats(), k))
-                vals, idx = packed[0], packed[1].astype(np.int64)
+            vals, idx = self._topk(q, k)
             hits = self._cap_and_cut(vals, idx, top_k_per_event, global_top_k, window_s)
             if len(hits) >= global_top_k or k >= n:
                 return hits
@@ -138,11 +162,8 @@ class FeatureSearchIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if n == 0:
             return [[] for _ in range(len(queries))]
-        from hippomm_tpu.ops.similarity import top_k_cosine_packed
-
         k = min(n, max(global_top_k * 4, top_k_per_event * 8))
-        packed = fetch(top_k_cosine_packed(queries, self._device_feats(), k))
-        vals, idx = packed[0], packed[1].astype(np.int64)
+        vals, idx = self._topk_batch(queries, k)
         out: List[List[SearchHit]] = []
         for qi in range(len(queries)):
             hits = self._cap_and_cut(vals[qi], idx[qi], top_k_per_event, global_top_k, window_s)
@@ -158,6 +179,8 @@ class FeatureSearchIndex:
         per_event: Dict[str, int] = {}
         hits: List[SearchHit] = []
         for v, i in zip(vals, idx):
+            if not np.isfinite(v) or i < 0 or i >= len(self.owners):
+                continue  # padded/invalid rows from a sharded backend
             eid = self.owners[i]
             if per_event.get(eid, 0) >= top_k_per_event:
                 continue

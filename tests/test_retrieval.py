@@ -261,6 +261,41 @@ def test_search_batch_matches_single(qa_env):
         )
 
 
+def test_audio_routing_is_llm_not_regex(qa_env):
+    """Speech-vs-sound routing for AUDIO questions comes from the LLM's
+    primary-modality verdict (reference hippocampal_memory.py:1684-1686), not
+    a keyword regex — 'what melody plays?' has no speech keywords and must
+    still take the sound path."""
+    _, qa = qa_env
+    r = qa._process_audio_query("What melody plays in the background?")
+    assert r.primary_modality == "sound"
+    r2 = qa._process_audio_query("What did the person say about the plan?")
+    assert r2.primary_modality == "speech"
+
+
+def test_recall_dedup_gate_static_scene(tmp_path):
+    """Window re-decode keeps a frame only when SSIM vs the last KEPT frame is
+    <= 0.3 (reference hippocampal_memory.py:2236-2239): a static-scene window
+    contributes exactly one frame regardless of its length."""
+    from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+    video = str(tmp_path / "static.mp4")
+    write_synthetic_video(
+        video, SynthSpec(duration=10.0, fps=4.0, width=160, height=120, seed=5)
+    )
+    mem.store.add_video("static", video)
+    qa = QARecallSystem(mem, cfg)
+    jpegs, times = qa._frames_for_windows("static", [(1.0, 7.0)])
+    assert len(jpegs) == 1  # 7 decoded candidates, one visually distinct moment
+    assert times[0] == 1.0
+
+
 def test_answer_questions_batched_matches_serial(qa_env):
     mem, qa = qa_env
     questions = [
