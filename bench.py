@@ -149,10 +149,11 @@ def main() -> None:
     cfg.models.imagebind_variant = "huge"
     cfg.models.imagebind_path = ""  # random weights: throughput-only
     # REAL-size ASR in the measured path (VERDICT r1: no more stub):
-    # distil-large-v3 encoder/decoder, random weights, batched greedy decode.
+    # distil-large-v3 encoder/decoder, random weights. Decode uses the SHIPPED
+    # default (whisper_beam_size: 1, greedy — see config.py rationale); the
+    # reference's beam-5 is measured separately as asr_beam5_realtime_x.
     cfg.models.whisper_variant = "distil-large-v3"
     cfg.models.whisper_random_init = True
-    cfg.models.whisper_beam_size = 1
     cfg.storage.base_dir = os.path.join(work, "store")
 
     mem = HippocampalMemory(config=cfg)
@@ -168,13 +169,30 @@ def main() -> None:
 
     warm_keyframe_buckets(max_n=128)
 
-    # ---- measured ingest: 10-min vlog ---------------------------------------
-    t0 = time.perf_counter()
-    stats = process_video_folder(videos, cfg.storage.base_dir, config=cfg,
-                                 memory_system=mem, checkpoint_every=0)
-    wall = time.perf_counter() - t0
-    media_s = stats["media_seconds"] or 1e-9
-    realtime = media_s / wall
+    # ---- measured ingest: 2x 10-min vlog, MEDIAN of 2 runs -------------------
+    # a single run on this tunneled transport has been observed +-30% and once
+    # lost 78 s to a read wedge (BENCH_r01 48.8x vs 66.7x same-day local); the
+    # median of two 20-minute-media runs makes the committed headline robust
+    # to one pathological run. Each run ingests fresh copies (fresh video_ids)
+    # through the same warm engine.
+    run_multiples, run_walls = [], []
+    media_s = 0.0
+    for r in range(2):
+        vdir = os.path.join(work, f"videos_r{r}")
+        os.makedirs(vdir)
+        for name in ("vlog.mp4", "vlog2.mp4"):
+            shutil.copyfile(
+                os.path.join(videos, name), os.path.join(vdir, f"r{r}_{name}")
+            )
+        t0 = time.perf_counter()
+        stats = process_video_folder(vdir, cfg.storage.base_dir, config=cfg,
+                                     memory_system=mem, checkpoint_every=0)
+        wall = time.perf_counter() - t0
+        media_s = stats["media_seconds"] or 1e-9
+        run_multiples.append(media_s / wall)
+        run_walls.append(round(wall, 2))
+    realtime = float(np.median(run_multiples))
+    wall = run_walls[int(np.argsort(run_multiples)[len(run_multiples) // 2])]
 
     # ---- decode-realism ingest: 2 min @ 30 fps -------------------------------
     t0 = time.perf_counter()
@@ -198,6 +216,19 @@ def main() -> None:
                                    memory_system=mem, checkpoint_every=0)
     wall_a = time.perf_counter() - t0
     realtime_audio = (stats_a["media_seconds"] or 1e-9) / wall_a
+
+    # ---- beam-5 ASR realtime (the reference's decode config, measured
+    # standalone so the headline can ship greedy with the tradeoff on record) --
+    from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
+
+    imp = mem.whisper._impl
+    tr5 = WhisperTranscriber(
+        imp.params, imp.cfg, imp.tokenizer, imp.dtype, beam_size=5, mesh=None
+    )
+    tr5.transcribe(res.audio[: 16000 * 30])  # compile + warm (persistent-cached)
+    t0 = time.perf_counter()
+    tr5.transcribe(res.audio)
+    asr5_realtime = (len(res.audio) / 16000.0) / (time.perf_counter() - t0)
 
     # ---- e2e detailed recall over the INGESTED store (huge text tower + fused
     # top-k + frame re-decode + stub caption/answer) ---------------------------
@@ -270,9 +301,12 @@ def main() -> None:
             "host_cores": os.cpu_count(),
             "workload": "2x600s 640x360 H.264 mp4 + AAC folder batch "
                         "(cross-video pipelined), full pipeline incl. "
-                        "distil-large-v3 ASR (random weights, batched greedy)",
+                        "distil-large-v3 ASR (random weights, shipped-default "
+                        "batched greedy); median of 2 runs",
+            "ingest_runs_x": [round(x, 3) for x in run_multiples],
             "ingest_wall_s": round(wall, 2),
             "media_s": media_s,
+            "asr_beam5_realtime_x": round(asr5_realtime, 1),
             "ingest_30fps_realtime_x": round(realtime30, 3),
             "ingest_30fps_wall_s": round(wall30, 2),
             "ingest_audio_only_realtime_x": round(realtime_audio, 3),

@@ -39,7 +39,14 @@ class ModelsConfig:
     imagebind_variant: str = "huge"  # "huge" | "tiny" (tests)
     whisper_variant: str = "distil-large-v3"  # or "tiny" (tests)
     whisper_random_init: bool = False  # full-scale random weights (benchmarks)
-    whisper_beam_size: int = 5  # reference default (foundation_models.py:190)
+    # DEVIATION from the reference's beam_size=5 (foundation_models.py:190):
+    # that is faster-whisper's generic default, not a distil-tuned choice —
+    # the distil-whisper release evaluates distil-large-v3 with greedy decode
+    # (negligible WER delta on distilled models), while beam-5 costs ~2x ASR
+    # throughput on TPU (SCALING.md: greedy ~150x vs beam-5 ~75x realtime).
+    # Greedy is therefore the shipped default; set 5 for reference behavior
+    # (beam decode shards across the mesh either way).
+    whisper_beam_size: int = 1
     compute_dtype: str = "bfloat16"
 
 

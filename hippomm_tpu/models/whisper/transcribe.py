@@ -65,17 +65,57 @@ class WhisperTranscriber:
             self.params = jax.device_put(params, replicated(mesh))
         self.mel = WhisperMel(n_mels=cfg.n_mels)
         self._chunk_samples = int(CHUNK_SECONDS * SAMPLE_RATE)
+        self._beam_fns: Dict[int, object] = {}  # max_len -> jitted sharded beam
 
     def _shard_chunks(self, stacked: jnp.ndarray) -> jnp.ndarray:
-        """Shard the chunk-batch axis over the mesh "data" axis (greedy decode
-        only — beam's cache-reordering gathers cross shard boundaries)."""
-        if self.mesh is None or self.beam_size > 1:
+        """Shard the chunk-batch axis over the mesh "data" axis."""
+        if self.mesh is None:
             return stacked
         if stacked.shape[0] % self.mesh.shape["data"]:
             return stacked
         from hippomm_tpu.parallel.mesh import data_sharding
 
         return jax.device_put(stacked, data_sharding(self.mesh, stacked.ndim))
+
+    def _beam_decode(self, enc, prompt, max_len: int):
+        """Beam decode, sharded over the mesh's data axis when possible.
+
+        Beam state is strictly PER CHUNK — every gather in the decode loop
+        (token/cache reordering) uses chunk-local row indices — so the chunk
+        axis shards cleanly: shard_map runs the full while_loop per device on
+        its local chunks with zero collectives inside the loop. (A jit over
+        sharded inputs can't see that the gathers are local and would insert
+        all-gathers of the (L, rows, H, T, hd) caches every step.)
+        """
+        if self.mesh is not None and enc.shape[0] % self.mesh.shape["data"] == 0:
+            fn = self._beam_fns.get(max_len)
+            if fn is None:
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                def local(p, e, pr):
+                    return beam_decode_batch(
+                        p, e, pr, self.cfg,
+                        max_len=max_len, beam=self.beam_size, dtype=self.dtype,
+                    )
+
+                fn = jax.jit(
+                    shard_map(
+                        local,
+                        mesh=self.mesh,
+                        in_specs=(P(), P("data", None, None), P("data", None)),
+                        out_specs=(
+                            P("data", None, None), P("data", None), P("data", None)
+                        ),
+                        check_vma=False,
+                    )
+                )
+                self._beam_fns[max_len] = fn
+            return fn(self.params, enc, prompt)
+        return beam_decode_batch(
+            self.params, enc, prompt, self.cfg,
+            max_len=max_len, beam=self.beam_size, dtype=self.dtype,
+        )
 
     def _prompt(self) -> np.ndarray:
         c = self.cfg
@@ -196,10 +236,7 @@ class WhisperTranscriber:
             enc = encoder_forward(self.params, mels, self.cfg, self.dtype)
             prompt = jnp.asarray(np.repeat(prompt1, b, axis=0))
             if self.beam_size > 1:
-                tokens, lengths, _ = beam_decode_batch(
-                    self.params, enc, prompt, self.cfg,
-                    max_len=max_len, beam=self.beam_size, dtype=self.dtype,
-                )
+                tokens, lengths, _ = self._beam_decode(enc, prompt, max_len)
                 tokens, lengths = tokens[:, 0], lengths[:, 0]  # best hypothesis
             else:
                 tokens, lengths = greedy_decode(

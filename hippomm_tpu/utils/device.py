@@ -54,13 +54,17 @@ def _read_with_retry(x) -> np.ndarray:
     that instead. The wedged reader thread is abandoned (daemon, read-only)."""
     global _COPY
     nbytes = int(getattr(x, "nbytes", 0) or 0)
-    # generous: ≥8 s, plus time for bulk payloads at worst-case ~3 MB/s d2h
-    timeout = max(8.0, nbytes / 3e6)
     import queue as queue_mod
     import threading
 
     attempt = x
     for i in range(6):
+        # small payloads (keyframe masks, top-k results) read in ~ms when the
+        # transport is healthy — a wedged read should retry after ~3 s, not
+        # sit out a generous bulk-transfer budget (r01 bench: eight ~8 s mask
+        # wedges cost 30% of an ingest run). Escalate per attempt; bulk
+        # payloads keep the ~3 MB/s worst-case d2h allowance.
+        timeout = max(3.0 * (1.6**i), nbytes / 3e6)
         box: "queue_mod.Queue" = queue_mod.Queue()
         t = threading.Thread(
             target=lambda a=attempt: box.put(np.asarray(a)), daemon=True
