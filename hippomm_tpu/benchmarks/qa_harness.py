@@ -1,0 +1,378 @@
+"""End-to-end QA-accuracy harness (driver bench config #5: HippoVlog-style
+ingest + question answering over a ground-truthed store).
+
+The reference surface this measures: `batch_process.main` over a folder then
+`ask_question` driven across a QA set (reference ask_question.py:50-65,
+batch_process.py:749-826). HippoVlog itself isn't available offline, so the
+harness builds a synthetic workload with EXACT ground truth:
+
+  * video: K scenes, each with a distinct background color from a fixed
+    palette and a unique audio tone frequency (200 + 40·i Hz)
+  * oracle model clients replace the live VLM/LLM/ASR endpoints with
+    DETERMINISTIC content-grounded versions:
+      - OracleVLM captions a frame by nearest-palette-matching its mean color
+      - OracleASR labels each second of audio by FFT dominant frequency
+      - OracleReasoning answers every pipeline prompt (classify, caption
+        selection, speech time frames, final answer) by parsing the prompt's
+        own retrieved context — it has NO access to ground truth
+
+  Accuracy therefore measures whether the RETRIEVAL pipeline surfaced the
+  right windows: a video question is correct iff the answered time falls in a
+  scene of the asked color (localized via caption-selection fallback → window
+  frame fetch → captioning), an audio question iff the re-transcribed windows
+  actually contain the asked tone (speech time-frame localization → window
+  merge → re-transcription). Wrong windows give wrong colors/tones.
+
+Embedding weights never matter: random text↔vision similarities stay far
+below the 0.4 gate, so recall exercises the reference's low-similarity
+fallback chains (hippocampal_memory.py:3156-3257, 2330-2428) end to end.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hippomm_tpu.models.clients import ChatClient
+from hippomm_tpu.models.whisper.transcribe import Segment
+
+# fixed, JPEG-robust palette: saturated primaries/secondaries
+PALETTE: List[Tuple[str, Tuple[int, int, int]]] = [
+    ("red", (200, 30, 30)),
+    ("green", (30, 180, 40)),
+    ("blue", (30, 60, 200)),
+    ("yellow", (210, 200, 30)),
+    ("magenta", (190, 40, 190)),
+    ("cyan", (40, 190, 190)),
+    ("white", (230, 230, 230)),
+]
+
+SAMPLE_RATE = 16000
+
+
+def scene_color(i: int) -> Tuple[str, Tuple[int, int, int]]:
+    return PALETTE[i % len(PALETTE)]
+
+
+def scene_freq(i: int) -> float:
+    return 200.0 + 40.0 * i
+
+
+def tone_label(freq: float) -> str:
+    return f"tone{int(round(freq / 10) * 10)}hz"
+
+
+def nearest_color(rgb_mean: np.ndarray) -> str:
+    d = [np.sum((rgb_mean - np.asarray(c, np.float32)) ** 2) for _, c in PALETTE]
+    return PALETTE[int(np.argmin(d))][0]
+
+
+# ---------------------------------------------------------------------------
+# Workload generation
+# ---------------------------------------------------------------------------
+
+
+def write_palette_video(
+    path: str,
+    duration: float,
+    scene_seconds: float = 30.0,
+    fps: float = 2.0,
+    width: int = 320,
+    height: int = 180,
+    seed: int = 0,
+) -> Dict:
+    """H.264 mp4 + embedded AAC: scene i = solid palette color + a small
+    moving square; audio = the scene's unique tone. Returns the ground truth
+    {scenes: [(start, end, color, freq)]}."""
+    from hippomm_tpu.media import io as mio
+
+    rng = np.random.default_rng(seed)
+    n_scenes = max(1, int(np.ceil(duration / scene_seconds)))
+    scenes = []
+    for i in range(n_scenes):
+        s = i * scene_seconds
+        e = min(duration, (i + 1) * scene_seconds)
+        scenes.append((s, e, scene_color(i)[0], scene_freq(i)))
+
+    n_frames = int(round(duration * fps))
+    sq = max(8, height // 8)
+    # per-scene FIXED zero-mean noise texture: keeps the scene mean on its
+    # palette color (what the oracle VLM reads) while making cross-scene SSIM
+    # low like real footage — solid colors alone defeat SSIM-based keyframing
+    # and the reference's 0.3 recall dedup gate (different solid colors score
+    # SSIM ~0.85: similar luminance + identical flat structure)
+    backgrounds = []
+    for i in range(n_scenes):
+        srng = np.random.default_rng(seed * 1000 + i)
+        noise = srng.normal(0.0, 16.0, size=(height, width, 3))
+        bg = np.clip(np.asarray(scene_color(i)[1], np.float32) + noise, 0, 255)
+        backgrounds.append(bg.astype(np.uint8))
+
+    wr = mio.LibavWriter(path, width, height, fps, SAMPLE_RATE, "")
+    try:
+        # audio first (one pass)
+        tt = np.arange(int(duration * SAMPLE_RATE)) / SAMPLE_RATE
+        scene_idx = np.minimum((tt // scene_seconds).astype(int), n_scenes - 1)
+        freqs = np.asarray([scene_freq(i) for i in range(n_scenes)])[scene_idx]
+        phase = np.cumsum(2 * np.pi * freqs / SAMPLE_RATE)
+        wr.write_audio((0.3 * np.sin(phase)).astype(np.float32))
+        chunk = max(1, int(fps * 30))
+        for f0 in range(0, n_frames, chunk):
+            f1 = min(n_frames, f0 + chunk)
+            frames = np.empty((f1 - f0, height, width, 3), np.uint8)
+            for k, fi in enumerate(range(f0, f1)):
+                t = fi / fps
+                si = min(int(t // scene_seconds), n_scenes - 1)
+                img = backgrounds[si].copy()
+                ph = (t - si * scene_seconds) * 0.05
+                cx = int((0.1 + 0.8 * (ph % 1.0)) * (width - sq))
+                cy = int((0.4 + 0.2 * np.sin(2 * np.pi * ph)) * (height - sq))
+                # small dark square: intra-scene motion without pulling the
+                # scene mean off its palette color
+                img[cy : cy + sq, cx : cx + sq] = (20, 20, 20)
+                frames[k] = img
+            wr.write_video(frames)
+    finally:
+        wr.close()
+    return {"scenes": scenes, "duration": duration, "fps": fps}
+
+
+def build_questions(truth: Dict, n: int, seed: int = 0) -> List[Dict]:
+    """Half video (color → time), half audio (tone presence) questions."""
+    rng = np.random.default_rng(seed)
+    scenes = truth["scenes"]
+    qs: List[Dict] = []
+    for qi in range(n):
+        s, e, color, freq = scenes[int(rng.integers(len(scenes)))]
+        if qi % 2 == 0:
+            qs.append(
+                {
+                    "question": (
+                        f"At what time in the video is the background {color}? "
+                        "Reply with a time in seconds."
+                    ),
+                    "type": "video",
+                    "color": color,
+                }
+            )
+        else:
+            qs.append(
+                {
+                    "question": f"Is the audio tone {tone_label(freq)} heard in the video?",
+                    "type": "audio",
+                    "label": tone_label(freq),
+                }
+            )
+    return qs
+
+
+def score_answer(q: Dict, answer: str, truth: Dict) -> bool:
+    if q["type"] == "video":
+        m = re.search(r"(\d+(?:\.\d+)?)", answer)
+        if not m:
+            return False
+        t = float(m.group(1))
+        return any(
+            s - 2.0 <= t <= e + 2.0 for s, e, c, _ in truth["scenes"] if c == q["color"]
+        )
+    return q["label"] in answer
+
+
+# ---------------------------------------------------------------------------
+# Oracle model clients (deterministic; no ground-truth access)
+# ---------------------------------------------------------------------------
+
+
+class OracleVLM(ChatClient):
+    """Captions frames by their actual mean color; also stands in for the
+    Qwen summary endpoint."""
+
+    def caption_images(self, jpeg_batches: Sequence[bytes], prompt: str, max_workers: int = 8) -> List[str]:
+        from hippomm_tpu.media.io import jpeg_decode
+
+        out = []
+        for data in jpeg_batches:
+            try:
+                rgb = jpeg_decode(data)
+                out.append(
+                    f"A scene with a {nearest_color(rgb.mean(axis=(0, 1)))} background."
+                )
+            except Exception:
+                out.append("[Error processing image]")
+        return out
+
+    def generate(self, prompt: str, max_tokens: int = 512, **kw) -> str:
+        return "A synthetic palette video with scene-coded colors and tones."
+
+    def chat(self, messages, max_tokens: int = 512, temperature: float = 0.0) -> str:
+        return self.generate("")
+
+
+class OracleASR:
+    """Foundation-Whisper-surface ASR labeling each second by FFT dominant
+    frequency (rounded to 10 Hz)."""
+
+    def transcribe(self, audio, sample_rate: int = SAMPLE_RATE) -> List[Segment]:
+        pcm = np.asarray(audio, np.float32).reshape(-1)
+        segs: List[Segment] = []
+        for s0 in range(0, len(pcm), sample_rate):
+            win = pcm[s0 : s0 + sample_rate]
+            if len(win) < sample_rate // 4 or float(np.max(np.abs(win))) < 1e-4:
+                continue
+            spec = np.abs(np.fft.rfft(win))
+            freq = float(np.argmax(spec[1:]) + 1) * sample_rate / len(win)
+            segs.append(
+                Segment(s0 / sample_rate, min(len(pcm), s0 + sample_rate) / sample_rate,
+                        tone_label(freq))
+            )
+        return segs
+
+    def transcribe_batch(self, audios, sample_rate: int = SAMPLE_RATE):
+        return [self.transcribe(a, sample_rate) for a in audios]
+
+    def transcribe_async(self, audio, sample_rate: int = SAMPLE_RATE):
+        return None  # engine falls back to the synchronous path
+
+
+class OracleReasoning(ChatClient):
+    """Answers every reasoning prompt by parsing its own retrieved context —
+    if retrieval surfaced the wrong windows, the answer is wrong."""
+
+    def chat(self, messages, max_tokens: int = 512, temperature: float = 0.0) -> str:
+        text = messages[-1]["content"] if messages else ""
+        if not isinstance(text, str):
+            text = " ".join(x.get("text", "") for x in text if isinstance(x, dict))
+        lower = text.lower()
+        question = text.rsplit("Question:", 1)[-1] if "Question:" in text else text
+
+        if "classify this question" in lower:
+            return "AUDIO" if "tone" in question.lower() else "VIDEO"
+        if "primary modality" in lower:
+            # tones ride the transcript path: deterministic localization that
+            # doesn't depend on (random) audio-embedding similarities
+            return "speech"
+        if "do these two answers" in lower:
+            return "YES"
+        if "compress this question" in lower or "search query" in lower:
+            return " ".join(re.findall(r"[a-z]+", question.lower())[:4]) or "scene"
+        if "return the indices" in lower:
+            # caption-selection fallback: pick captions mentioning the color
+            color = next((c for c, _ in PALETTE if c in question.lower()), None)
+            idx = [
+                int(m.group(1))
+                for m in re.finditer(r"(?m)^(\d+): (.+)$", text)
+                if color and color in m.group(2)
+            ]
+            return json.dumps(idx[:5] if idx else [0])
+        if "json list" in lower and "time frames" in lower:
+            # speech localization: snippets "[s-e s] text" containing the tone
+            label = next(iter(re.findall(r"tone\d+hz", question)), None)
+            frames = [
+                {"start_time": float(m.group(1)), "end_time": float(m.group(2))}
+                for m in re.finditer(r"\[(\d+\.?\d*)-(\d+\.?\d*)s\] (.*)", text)
+                if label and label in m.group(3)
+            ]
+            return json.dumps(frames[:5])
+        if "using only the retrieved evidence" in lower:
+            color = next((c for c, _ in PALETTE if c in question.lower()), None)
+            if color:
+                times = [
+                    float(m.group(1))
+                    for m in re.finditer(r"\[(\d+\.?\d*)s\] (.*)", text)
+                    if color in m.group(2)
+                ]
+                if times:
+                    return f"ANSWER: {float(np.median(times)):.1f} seconds\nCONFIDENCE: 0.9"
+                return "ANSWER: not found\nCONFIDENCE: 0.2"
+            labels = sorted(set(re.findall(r"tone\d+hz", text.split("Question:")[0])))
+            if labels:
+                return "ANSWER: heard tones: " + ", ".join(labels) + "\nCONFIDENCE: 0.9"
+            return "ANSWER: no tones retrieved\nCONFIDENCE: 0.2"
+        if "confidence" in lower:
+            # direct fast-path probe: defer to detailed recall
+            return "ANSWER: unknown\nCONFIDENCE: 0.1"
+        if "summar" in lower:
+            return "A synthetic palette video."
+        return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+
+def run_harness(
+    work_dir: str,
+    duration: float = 3600.0,
+    scene_seconds: float = 30.0,
+    n_questions: int = 20,
+    imagebind_variant: str = "tiny",
+    fps: float = 2.0,
+    width: int = 320,
+    height: int = 180,
+    seed: int = 0,
+) -> Dict:
+    """Build the workload, ingest via the real batch pipeline, answer the QA
+    set via the real QARecallSystem, return accuracy + throughput + latency."""
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.core.batch_process import process_video_folder
+    from hippomm_tpu.memory.engine import HippocampalMemory
+    from hippomm_tpu.retrieval.qa import QARecallSystem
+
+    videos = os.path.join(work_dir, "videos")
+    os.makedirs(videos, exist_ok=True)
+    truth = write_palette_video(
+        os.path.join(videos, "palette.mp4"),
+        duration=duration, scene_seconds=scene_seconds,
+        fps=fps, width=width, height=height, seed=seed,
+    )
+    questions = build_questions(truth, n_questions, seed=seed)
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = imagebind_variant
+    cfg.models.imagebind_path = ""
+    cfg.models.whisper_variant = "stub"  # replaced by the injected OracleASR
+    cfg.storage.base_dir = os.path.join(work_dir, "store")
+    # RANDOM tower weights crowd distinct scenes above the 0.9 consolidation
+    # cosine gate (real ImageBind separates them); raise the gate so keyframe
+    # retention reflects the production behavior the harness is measuring
+    cfg.processing.keyframe_dedup_threshold = 0.999
+    mem = HippocampalMemory(
+        config=cfg,
+        models={"whisper": OracleASR(), "frame_client": OracleVLM(), "qwen": OracleVLM()},
+    )
+
+    t0 = time.perf_counter()
+    stats = process_video_folder(videos, cfg.storage.base_dir, config=cfg,
+                                 memory_system=mem, checkpoint_every=0)
+    ingest_wall = time.perf_counter() - t0
+    ingest_x = (stats["media_seconds"] or 1e-9) / ingest_wall
+
+    qa = QARecallSystem(mem, cfg, reasoning_client=OracleReasoning())
+    lat: List[float] = []
+    correct = 0
+    results = []
+    for q in questions:
+        t0 = time.perf_counter()
+        r = qa.answer_question(q["question"])
+        lat.append(time.perf_counter() - t0)
+        ok = score_answer(q, r.answer, truth)
+        correct += ok
+        results.append({"q": q["question"], "answer": r.answer, "correct": bool(ok)})
+
+    return {
+        "qa_accuracy": correct / max(1, len(questions)),
+        "n_questions": len(questions),
+        "ingest_x": round(ingest_x, 2),
+        "ingest_wall_s": round(ingest_wall, 2),
+        "media_s": stats["media_seconds"],
+        "recall_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 1),
+        "failed_videos": stats["failed"],
+        "results": results,
+    }

@@ -1,0 +1,50 @@
+"""Driver bench config #5: end-to-end QA accuracy + throughput over a
+ground-truthed synthetic store (reference surface: batch_process.py:749-826
+ingest then ask_question.py:50-65 across a QA set).
+
+Usage:
+  python scripts/qa_accuracy.py [--duration 3600] [--questions 20]
+                                [--variant tiny|huge] [--cpu]
+
+Prints one JSON line: {"qa_accuracy": ..., "ingest_x": ..., "recall_p50_ms": ...}.
+"""
+
+import argparse
+import json
+import sys
+import tempfile
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--duration", type=float, default=3600.0)
+    ap.add_argument("--questions", type=int, default=20)
+    ap.add_argument("--variant", default="tiny", choices=("tiny", "huge"))
+    ap.add_argument("--scene-seconds", type=float, default=30.0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from hippomm_tpu.benchmarks.qa_harness import run_harness
+
+    with tempfile.TemporaryDirectory(prefix="hippomm_qa_") as work:
+        out = run_harness(
+            work,
+            duration=args.duration,
+            scene_seconds=args.scene_seconds,
+            n_questions=args.questions,
+            imagebind_variant=args.variant,
+        )
+    detail = out.pop("results")
+    for r in detail:
+        print(("OK " if r["correct"] else "MISS ") + r["q"] + " -> " + r["answer"],
+              file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
