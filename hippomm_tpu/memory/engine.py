@@ -182,6 +182,39 @@ class HippocampalMemory:
         `base_time` offsets all produced timestamps — the reference's chunk
         offset for re-chunked long videos (hippocampal_memory.py:1134).
         """
+        with self._maybe_trace():
+            return self._process_sequence_impl(
+                video_id, frame_paths, frame_times, frames_rgb, audio_data,
+                sample_rate, video_duration, auto_consolidate, base_time,
+                frame_ssim, resume,
+            )
+
+    def _maybe_trace(self):
+        """jax.profiler trace around a whole ingest pass when
+        system.profile_dir is set (default off — traces are large)."""
+        d = getattr(self.config.system, "profile_dir", None)
+        if d:
+            import jax
+
+            return jax.profiler.trace(d)
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    def _process_sequence_impl(
+        self,
+        video_id: str,
+        frame_paths,
+        frame_times,
+        frames_rgb,
+        audio_data,
+        sample_rate: int,
+        video_duration,
+        auto_consolidate: bool,
+        base_time: float,
+        frame_ssim,
+        resume: bool,
+    ) -> List[ShortTermMemory]:
         # checkpoint fast-path (reference :1136-1150). Chunked long-video
         # ingest passes resume=False: chunk N+1 must not short-circuit on the
         # checkpoint chunk N just wrote.

@@ -230,3 +230,27 @@ def test_prefetch_asr_consumed_by_process_sequence(engine_factory):
     assert "pf" not in mem._asr_futures  # consumed
     assert any(s.transcription for s in stms)
     assert mem.long_term_store[-1].holistic_audio_transcription
+
+
+def test_profile_dir_writes_trace(engine_factory, tmp_path):
+    """system.profile_dir wraps process_sequence in jax.profiler.trace and
+    produces a loadable trace directory; default (None) writes nothing."""
+    import numpy as np
+
+    from hippomm_tpu.media.synth import SynthSpec, generate
+
+    mem = engine_factory("prof")
+    mem.config.system.profile_dir = str(tmp_path / "trace")
+    res = generate(SynthSpec(duration=12.0, fps=2.0, width=96, height=64, seed=11))
+    mem.add_video("vprof", "")
+    mem.process_sequence(
+        "vprof",
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+        auto_consolidate=False,
+    )
+    import glob
+
+    files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
+    assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in files), files
