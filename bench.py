@@ -177,7 +177,7 @@ def main() -> None:
     # through the same warm engine.
     run_multiples, run_walls = [], []
     media_s = 0.0
-    for r in range(2):
+    for r in range(3):
         vdir = os.path.join(work, f"videos_r{r}")
         os.makedirs(vdir)
         for name in ("vlog.mp4", "vlog2.mp4"):
@@ -238,10 +238,19 @@ def main() -> None:
     qa_cfg.processing.fast_path_confidence = 2.0  # force the detailed pathway
     qa = QARecallSystem(mem, qa_cfg)
     qa.answer_question("What is shown in the video?")  # warm (compiles text tower)
-    t0 = time.perf_counter()
-    r = qa.answer_question("What color is the moving square at the end?")
-    recall_e2e_ms = (time.perf_counter() - t0) * 1000
-    assert r.answer, "detailed recall produced no answer"
+    e2e = []
+    for qtext in (
+        "What color is the moving square at the end?",
+        "What does the background look like at the start?",
+        "What appears after the first scene change?",
+        "What is visible in the middle of the video?",
+        "What color dominates the final scene?",
+    ):
+        t0 = time.perf_counter()
+        r = qa.answer_question(qtext)
+        e2e.append((time.perf_counter() - t0) * 1000)
+        assert r.answer, "detailed recall produced no answer"
+    recall_e2e_ms = float(np.percentile(e2e, 50))
 
     # ---- detailed-recall p50 over a 1k-event store ---------------------------
     rng = np.random.default_rng(0)

@@ -281,14 +281,25 @@ class HashTokenizer:
 def load_tokenizer(
     model_dir: Optional[str] = None, vocab_size: int = 49408, context_length: int = 77
 ):
-    """CLIP BPE if the merges file is found under model_dir, else HashTokenizer."""
+    """CLIP BPE if the merges file is found, else HashTokenizer.
+
+    Search order: model_dir (and model_dir/bpe), the HIPPOMM_BPE_PATH env
+    var, then a copy vendored next to this module — drop the standard
+    `bpe_simple_vocab_16e6.txt.gz` in any of these and the real CLIP
+    tokenizer path activates everywhere (engine, QA, tests)."""
     candidates = []
     if model_dir:
         candidates += [
             os.path.join(model_dir, "bpe_simple_vocab_16e6.txt.gz"),
             os.path.join(model_dir, "bpe", "bpe_simple_vocab_16e6.txt.gz"),
         ]
+    env = os.environ.get("HIPPOMM_BPE_PATH")
+    if env:
+        candidates.append(env)
+    candidates.append(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bpe_simple_vocab_16e6.txt.gz")
+    )
     for c in candidates:
-        if os.path.exists(c):
+        if c and os.path.exists(c):
             return ClipTokenizer(c, context_length)
     return HashTokenizer(vocab_size, context_length)

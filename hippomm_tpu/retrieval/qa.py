@@ -390,7 +390,15 @@ class QARecallSystem:
         ev_frames.sort()
         kf_times = np.asarray([t for t, _ in ev_frames])
 
-        tol = 0.5 / fps
+        # a stored keyframe within one sample period covers the sample: the
+        # extractor already sampled ≥1 Hz candidates and kept every frame that
+        # differed (diff > 0.3) from the last kept one, so the mp4 holds only
+        # near-duplicates between keyframes — exactly what this pathway's own
+        # 0.3 dedup gate discards after decoding them. Embedding-hit windows
+        # (±1 s around a keyframe time) therefore resolve entirely from stored
+        # JPEGs; mp4 decode remains for windows without keyframe coverage
+        # (LLM speech-timeframe windows over sparse regions).
+        tol = 1.0 / fps
         plan: List[Tuple[float, str, object]] = []  # (time, kind, path-or-time)
         seen_src = set()
         for t in times:

