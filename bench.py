@@ -158,7 +158,10 @@ def main() -> None:
 
     mem = HippocampalMemory(config=cfg)
 
-    # ---- warmup (compile) ---------------------------------------------------
+    # ---- warmup (transport, then compile) -----------------------------------
+    from hippomm_tpu.utils.device import warm_transport
+
+    warm_transport()  # absorb early-process read wedges on throwaway buffers
     process_video_folder(warm, cfg.storage.base_dir, config=cfg, memory_system=mem,
                          checkpoint_every=0)
     # consolidation dedup-scan shape rungs the measured clips can hit (one
@@ -311,7 +314,7 @@ def main() -> None:
             "workload": "2x600s 640x360 H.264 mp4 + AAC folder batch "
                         "(cross-video pipelined), full pipeline incl. "
                         "distil-large-v3 ASR (random weights, shipped-default "
-                        "batched greedy); median of 2 runs",
+                        "batched greedy); median of 3 runs",
             "ingest_runs_x": [round(x, 3) for x in run_multiples],
             "ingest_wall_s": round(wall, 2),
             "media_s": media_s,

@@ -82,8 +82,38 @@ def _read_with_retry(x) -> np.ndarray:
 
                 _COPY = jax.jit(lambda a: a + 0)
             attempt = _COPY(attempt)
-            _wait_ready(attempt)
+            # bounded wait: when the whole transport (not just one read RPC)
+            # is briefly wedged, a 120 s readiness poll per attempt turns a
+            # transient stall into a multi-minute cascade — try the read
+            # after ~10 s regardless; an in-flight read blocks correctly
+            _wait_ready(attempt, timeout_s=10.0)
     return np.asarray(attempt)  # last resort: block
+
+
+def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
+    """Exercise tiny device→host reads until they are consistently fast.
+
+    The tunneled transport has been observed to wedge small reads for tens of
+    seconds during the first minutes of a process (BENCH r01/r02 warmups).
+    Paying that flakiness HERE — on throwaway buffers, before any measured
+    work — keeps it out of ingest pipelines and their retry cascades.
+    Returns True when `consecutive` reads in a row completed in <100 ms."""
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.monotonic() + max_seconds
+    fast = 0
+    i = 0
+    while time.monotonic() < deadline:
+        t0 = time.monotonic()
+        fetch(jnp.full((64,), i, jnp.float32) + 1)
+        dt = time.monotonic() - t0
+        fast = fast + 1 if dt < 0.1 else 0
+        if fast >= consecutive:
+            return True
+        i += 1
+    logger.warning("transport still slow after %.0fs of warm reads", max_seconds)
+    return False
 
 
 def fetch(x, dtype=None) -> np.ndarray:
