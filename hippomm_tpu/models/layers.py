@@ -28,12 +28,16 @@ def linear(p: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     return y
 
 
-def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+def layer_norm(p: Params, x: jax.Array, eps: float = 1e-6, out_dtype=None) -> jax.Array:
+    """Stats and affine always in fp32 (parity with the torch references);
+    out_dtype casts the WRITE — inside a bf16 block the fp32 LN output would
+    otherwise double the HBM traffic of the materialized activation."""
     x = x.astype(jnp.float32)
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
     y = (x - mu) * jax.lax.rsqrt(var + eps)
-    return y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    y = y * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y if out_dtype is None else y.astype(out_dtype)
 
 
 def gelu(x: jax.Array) -> jax.Array:
@@ -123,9 +127,19 @@ def encoder_block(
     eps: float = 1e-6,
     dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Pre-LN transformer block: x + attn(ln1(x)); x + mlp(ln2(x))."""
-    x = x + attention(p["attn"], layer_norm(p["norm_1"], x, eps), num_heads=num_heads, mask=mask, dtype=dtype)
-    x = x + mlp(p["mlp"], layer_norm(p["norm_2"], x, eps), dtype=dtype)
+    """Pre-LN transformer block: x + attn(ln1(x)); x + mlp(ln2(x)).
+
+    The residual STREAM is kept in `dtype` (AMP-style): with bf16 compute, an
+    fp32 stream was measured to halve effective matmul throughput on v5e —
+    every materialized activation (LN outputs, residual carries) pays double
+    HBM bytes. LN statistics still run fp32; dtype=fp32 is bit-identical to
+    the previous behavior (parity tests run fp32)."""
+    x = x.astype(dtype)
+    x = x + attention(
+        p["attn"], layer_norm(p["norm_1"], x, eps, out_dtype=dtype),
+        num_heads=num_heads, mask=mask, dtype=dtype,
+    ).astype(dtype)
+    x = x + mlp(p["mlp"], layer_norm(p["norm_2"], x, eps, out_dtype=dtype), dtype=dtype).astype(dtype)
     return x
 
 
@@ -152,7 +166,8 @@ def stacked_blocks(
         h = fn(pb, h, num_heads, mask, eps, dtype)
         return h, None
 
-    x, _ = jax.lax.scan(body, x, p_blocks)
+    # the scan carry must keep one dtype; blocks run the stream in `dtype`
+    x, _ = jax.lax.scan(body, x.astype(dtype), p_blocks)
     return x
 
 

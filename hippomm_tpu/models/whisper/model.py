@@ -153,18 +153,22 @@ def init_whisper(key: jax.Array, cfg: WhisperConfig) -> Dict:
 
 
 def _whisper_block(p, x, heads, eps, mask=None, dtype=jnp.bfloat16, cross_kv=None):
+    # residual stream kept in `dtype` (see layers.encoder_block: an fp32
+    # stream halves effective bf16 matmul throughput); LN stats stay fp32
+    x = x.astype(dtype)
     x = x + L.attention(
-        p["self_attn"], L.layer_norm(p["self_ln"], x, eps), num_heads=heads, mask=mask, dtype=dtype
-    )
+        p["self_attn"], L.layer_norm(p["self_ln"], x, eps, out_dtype=dtype),
+        num_heads=heads, mask=mask, dtype=dtype,
+    ).astype(dtype)
     if cross_kv is not None:
         x = x + L.attention(
             p["cross_attn"],
-            L.layer_norm(p["cross_ln"], x, eps),
+            L.layer_norm(p["cross_ln"], x, eps, out_dtype=dtype),
             x_kv=cross_kv,
             num_heads=heads,
             dtype=dtype,
-        )
-    x = x + L.mlp(p["mlp"], L.layer_norm(p["final_ln"], x, eps), dtype=dtype)
+        ).astype(dtype)
+    x = x + L.mlp(p["mlp"], L.layer_norm(p["final_ln"], x, eps, out_dtype=dtype), dtype=dtype).astype(dtype)
     return x
 
 
@@ -191,7 +195,8 @@ def encoder_forward(params: Dict, mel: jax.Array, cfg: WhisperConfig, dtype=jnp.
     def body(h, pb):
         return _whisper_block(pb, h, cfg.heads, cfg.eps, dtype=dtype), None
 
-    x, _ = jax.lax.scan(body, x, p["blocks"])
+    # carry dtype must be scan-invariant; blocks run the stream in `dtype`
+    x, _ = jax.lax.scan(body, x.astype(dtype), p["blocks"])
     return L.layer_norm(p["ln"], x, cfg.eps)
 
 
@@ -225,7 +230,7 @@ def decoder_forward(
             None,
         )
 
-    x, _ = jax.lax.scan(body, x, p["blocks"])
+    x, _ = jax.lax.scan(body, x.astype(dtype), p["blocks"])
     x = L.layer_norm(p["ln"], x, cfg.eps)
     return jnp.dot(
         x.astype(dtype), p["token_embedding"].T.astype(dtype), preferred_element_type=jnp.float32
