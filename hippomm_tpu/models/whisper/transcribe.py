@@ -174,7 +174,7 @@ class WhisperTranscriber:
         pcms: List[np.ndarray],
         sample_rate: int = SAMPLE_RATE,
         max_new_tokens: int = 224,
-        max_chunk_batch: int = 16,
+        max_chunk_batch: int = 32,
     ) -> List[List[Segment]]:
         """Batched long-form transcription: ALL 30 s windows of ALL inputs run
         as bucketized chunk batches — one batched mel, one encoder forward, one
@@ -192,7 +192,7 @@ class WhisperTranscriber:
         pcms: List[np.ndarray],
         sample_rate: int = SAMPLE_RATE,
         max_new_tokens: int = 224,
-        max_chunk_batch: int = 16,
+        max_chunk_batch: int = 32,
     ):
         """Dispatch every ASR device program NOW (jax dispatch is async) and
         return a zero-arg finisher that materializes + parses the tokens.
@@ -228,7 +228,11 @@ class WhisperTranscriber:
         for lo in range(0, len(chunks), max_chunk_batch):
             batch = chunks[lo : lo + max_chunk_batch]
             n = len(batch)
-            b = max_chunk_batch  # ONE compiled shape (encoder + decode loop)
+            # ONE compiled shape (encoder + decode loop). 32 wide: a 10-min
+            # track (20 chunks) rides a single serialized decode while_loop
+            # instead of two — the loop's 224 steps cost latency, not FLOPs,
+            # so fewer loops is directly less wall time per video.
+            b = max_chunk_batch
             if b > n:
                 batch = batch + [batch[-1]] * (b - n)
             stacked = self._shard_chunks(jnp.asarray(np.stack(batch)))

@@ -86,6 +86,9 @@ def main() -> None:
     # per program (transport pathology) — interleaving them with the streaming
     # chunk pipeline wedges device reads mid-ingest; a serial warmup absorbs
     # them all up front (same shape as bench.py's warmup).
+    from hippomm_tpu.utils.device import warm_transport
+
+    warm_transport()  # absorb early-process read wedges on throwaway buffers
     warm_dir = os.path.join(work, "warm")
     os.makedirs(warm_dir, exist_ok=True)
     write_synthetic_video(
