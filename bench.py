@@ -178,7 +178,10 @@ def main() -> None:
     # median of two 20-minute-media runs makes the committed headline robust
     # to one pathological run. Each run ingests fresh copies (fresh video_ids)
     # through the same warm engine.
-    run_multiples, run_walls = [], []
+    def _timer_totals():
+        return {k: v["total_s"] for k, v in mem.timers.summary().items()}
+
+    run_multiples, run_walls, run_stage_s = [], [], []
     media_s = 0.0
     for r in range(3):
         vdir = os.path.join(work, f"videos_r{r}")
@@ -187,10 +190,17 @@ def main() -> None:
             shutil.copyfile(
                 os.path.join(videos, name), os.path.join(vdir, f"r{r}_{name}")
             )
+        before = _timer_totals()
         t0 = time.perf_counter()
         stats = process_video_folder(vdir, cfg.storage.base_dir, config=cfg,
                                      memory_system=mem, checkpoint_every=0)
         wall = time.perf_counter() - t0
+        after = _timer_totals()
+        run_stage_s.append({
+            k: round(after[k] - before.get(k, 0.0), 2)
+            for k in after
+            if after[k] - before.get(k, 0.0) > 0.05
+        })
         media_s = stats["media_seconds"] or 1e-9
         run_multiples.append(media_s / wall)
         run_walls.append(round(wall, 2))
@@ -316,6 +326,7 @@ def main() -> None:
                         "distil-large-v3 ASR (random weights, shipped-default "
                         "batched greedy); median of 3 runs",
             "ingest_runs_x": [round(x, 3) for x in run_multiples],
+            "run_stage_s": run_stage_s,
             "ingest_wall_s": round(wall, 2),
             "media_s": media_s,
             "asr_beam5_realtime_x": round(asr5_realtime, 1),

@@ -87,7 +87,19 @@ def _read_with_retry(x) -> np.ndarray:
             # transient stall into a multi-minute cascade — try the read
             # after ~10 s regardless; an in-flight read blocks correctly
             _wait_ready(attempt, timeout_s=10.0)
-    return np.asarray(attempt)  # last resort: block
+    # last resort: ONE long bounded read, then raise. An unbounded block here
+    # would hang the whole pipeline forever on a dead transport (observed: the
+    # tunnel can wedge globally for 20+ minutes); raising instead lets the
+    # folder driver's per-video error handling record the failure and move on.
+    box: "queue_mod.Queue" = queue_mod.Queue()
+    threading.Thread(target=lambda: box.put(np.asarray(attempt)), daemon=True).start()
+    try:
+        return box.get(timeout=max(300.0, nbytes / 1e6))
+    except queue_mod.Empty:
+        raise TimeoutError(
+            f"device read permanently wedged (shape={getattr(x, 'shape', '?')}); "
+            "transport appears down"
+        ) from None
 
 
 def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
@@ -101,12 +113,27 @@ def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
     import jax
     import jax.numpy as jnp
 
+    import queue as queue_mod
+    import threading
+
     deadline = time.monotonic() + max_seconds
     fast = 0
     i = 0
     while time.monotonic() < deadline:
         t0 = time.monotonic()
-        fetch(jnp.full((64,), i, jnp.float32) + 1)
+        # bounded read on a throwaway buffer — NEVER the blocking fetch
+        # fallback here (a globally wedged transport would hang the warmup
+        # instead of the warmup absorbing it); abandoned reader threads are
+        # daemon + read-only
+        box: "queue_mod.Queue" = queue_mod.Queue()
+        arr = jnp.full((64,), i, jnp.float32) + 1
+        threading.Thread(target=lambda a=arr: box.put(np.asarray(a)), daemon=True).start()
+        try:
+            box.get(timeout=min(10.0, max(1.0, deadline - time.monotonic())))
+        except queue_mod.Empty:
+            fast = 0
+            i += 1
+            continue
         dt = time.monotonic() - t0
         fast = fast + 1 if dt < 0.1 else 0
         if fast >= consecutive:
