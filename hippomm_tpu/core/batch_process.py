@@ -266,7 +266,7 @@ def extract_frames_streaming(
 
     def _flush(entry):
         off, handle, blk = entry
-        mask = fetch(handle)
+        mask = handle.get()  # device read, or host recompute if it wedges
         js = np.nonzero(mask)[0]
         if len(js):
             cur_cand.extend(off + int(j) for j in js)

@@ -65,15 +65,73 @@ def _select_block(
     return saves.astype(jnp.int32), ref, cum, tlast, has_ref
 
 
+def _host_walk(grays: np.ndarray, times: np.ndarray, ref, cum: float, tlast: float,
+               thr: float, gap: float):
+    """Host-numpy continuation of the greedy walk over one block.
+
+    Same semantics as the device scan (and select_keyframes_greedy): gate by
+    time-since-save, diff vs the LAST-SAVED frame, cumulative trigger, no
+    accumulation for gated-out candidates. `ref=None` means nothing saved yet.
+    Returns (mask int32 (m,), ref', cum', tlast')."""
+    from hippomm_tpu.ops.ssim import ssim_pairs_host
+
+    m = len(grays)
+    mask = np.zeros(m, np.int32)
+    g = np.ascontiguousarray(grays, np.float32)
+    sims = None
+    for j in range(m):
+        t = float(times[j])
+        if ref is None:
+            mask[j] = 1
+            ref, tlast, cum, sims = g[j], t, 0.0, None
+            continue
+        if t - tlast < gap:
+            continue
+        if sims is None:  # one batched SSIM of the whole block vs current ref
+            sims = ssim_pairs_host(np.repeat(ref[None], m, axis=0), g)
+        diff = 1.0 - float(sims[j])
+        cum += diff
+        if diff > thr or cum > thr:
+            mask[j] = 1
+            ref, tlast, cum, sims = g[j], t, 0.0, None
+    return mask, ref, cum, tlast
+
+
+class _MaskHandle:
+    """Save-mask for one fed block: a device array until materialized, with a
+    transparent host recompute if the device read wedges."""
+
+    def __init__(self, scanner: "KeyframeScanner", idx: int, dev):
+        self._scanner = scanner
+        self._idx = idx
+        self._dev = dev
+        self._val: np.ndarray = None
+
+    def is_ready(self) -> bool:
+        if self._val is not None or self._dev is None:
+            return True
+        return bool(self._dev.is_ready()) if hasattr(self._dev, "is_ready") else True
+
+    def get(self) -> np.ndarray:
+        return self._scanner._materialize(self)
+
+
 class KeyframeScanner:
     """Streaming form of the greedy walk: feed fixed-size candidate blocks as
     they decode; each feed dispatches ONE async device scan and returns a
-    device handle for that block's save mask. The extraction loop decodes
-    block i+1 on host WHILE the device scans block i — materialize the handle
-    (np.asarray) only after the next block is in flight.
+    handle for that block's save mask. The extraction loop decodes block i+1
+    on host WHILE the device scans block i — call handle.get() only after the
+    next block is in flight.
 
     Carry (last-saved gray, cumulative diff, last-save time) chains on device
     between blocks; nothing syncs until a mask is materialized.
+
+    Resilience: the masks are SMALL device→host reads — precisely the class
+    of read the tunneled transport wedges (BENCH r01/r02). If a mask read
+    exceeds ~20 s of watchdog patience, the scanner replays the walk so far
+    on HOST numpy (the candidate luma was fed from host and is retained) and
+    scores every remaining block host-side — identical masks, zero further
+    transport exposure for this video.
     """
 
     def __init__(
@@ -83,29 +141,80 @@ class KeyframeScanner:
         max_diff_threshold: float = 0.3,
         min_interval_s: float = 1.0,
         block: int = BLOCK,
+        wedge_patience_s: float = 20.0,
     ):
         self.block = block
         self._ref = jnp.zeros((h, w), jnp.float32)
         self._cum = jnp.float32(0.0)
         self._tlast = jnp.float32(-1e9)
         self._has_ref = jnp.asarray(False)
-        self._thr = jnp.float32(max_diff_threshold)
-        self._gap = jnp.float32(min_interval_s)
+        self._thr = float(max_diff_threshold)
+        self._gap = float(min_interval_s)
+        self._thr_j = jnp.float32(max_diff_threshold)
+        self._gap_j = jnp.float32(min_interval_s)
+        self.wedge_patience_s = wedge_patience_s
+        self.host_mode = False
+        self._fed: List[Tuple[np.ndarray, np.ndarray]] = []  # (grays, times)
+        self._host_next = 0  # next block index the host carry has consumed
+        self._href = None
+        self._hcum = 0.0
+        self._htlast = -1e9
 
-    def feed(self, grays: np.ndarray, times) -> jax.Array:
-        """Score ≤block candidates; returns the (m,) save mask as a DEVICE
-        array (async — do not materialize until the next block is fed)."""
+    def feed(self, grays: np.ndarray, times) -> _MaskHandle:
+        """Score ≤block candidates; returns a mask handle (async device scan,
+        or an eager host mask once in host mode)."""
         m = len(grays)
         t = np.asarray(times, np.float32)
+        self._fed.append((np.asarray(grays), t))
+        idx = len(self._fed) - 1
+        if self.host_mode:
+            h = _MaskHandle(self, idx, None)
+            h._val = self._host_step(idx)
+            return h
         if m < self.block:
             grays = np.concatenate([grays, np.repeat(grays[-1:], self.block - m, axis=0)])
             t = np.concatenate([t, np.repeat(t[-1:], self.block - m)])
         valid = np.arange(self.block) < m
         saves, self._ref, self._cum, self._tlast, self._has_ref = _select_block(
             jnp.asarray(grays), jnp.asarray(t), jnp.asarray(valid),
-            self._ref, self._cum, self._tlast, self._has_ref, self._thr, self._gap,
+            self._ref, self._cum, self._tlast, self._has_ref, self._thr_j, self._gap_j,
         )
-        return saves[:m]
+        return _MaskHandle(self, idx, saves[:m])
+
+    def _host_step(self, idx: int) -> np.ndarray:
+        g, t = self._fed[idx]
+        mask, self._href, self._hcum, self._htlast = _host_walk(
+            g, t, self._href, self._hcum, self._htlast, self._thr, self._gap
+        )
+        self._host_next = idx + 1
+        return mask
+
+    def _materialize(self, h: _MaskHandle) -> np.ndarray:
+        if h._val is not None:
+            return h._val
+        if not self.host_mode:
+            try:
+                h._val = fetch(h._dev, give_up_s=self.wedge_patience_s)
+                h._dev = None
+                return h._val
+            except TimeoutError:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "keyframe mask read wedged >%.0fs — switching this video's "
+                    "scan to host scoring", self.wedge_patience_s,
+                )
+                self.host_mode = True
+        # replay (or continue) the host carry up to this block, in feed order
+        while self._host_next <= h._idx:
+            idx = self._host_next
+            mask = self._host_step(idx)
+            if idx == h._idx:
+                h._val = mask
+        return h._val
+
+    def close(self) -> None:
+        self._fed.clear()
 
 
 def select_keyframes_device(
@@ -128,5 +237,5 @@ def select_keyframes_device(
         scanner.feed(grays[b0 : min(n, b0 + block)], t_arr[b0 : min(n, b0 + block)])
         for b0 in range(0, n, block)
     ]
-    mask = np.concatenate([fetch(s) for s in handles])
+    mask = np.concatenate([s.get() for s in handles])
     return [int(i) for i in np.nonzero(mask)[0]]

@@ -46,7 +46,7 @@ def _wait_ready(x, timeout_s: float = 120.0) -> None:
 _COPY = None  # jitted identity: re-materializes a buffer for a retry read
 
 
-def _read_with_retry(x) -> np.ndarray:
+def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
     """np.asarray with a watchdog: the transport's read RPC has been observed
     to wedge for MINUTES on a ready buffer (one (256,) int32 read measured at
     722 s). Run the read on a daemon thread; if it exceeds a payload-scaled
@@ -57,8 +57,11 @@ def _read_with_retry(x) -> np.ndarray:
     import queue as queue_mod
     import threading
 
+    t_start = time.monotonic()
     attempt = x
     for i in range(6):
+        if give_up_s is not None and time.monotonic() - t_start > give_up_s:
+            break
         # small payloads (keyframe masks, top-k results) read in ~ms when the
         # transport is healthy — a wedged read should retry after ~3 s, not
         # sit out a generous bulk-transfer budget (r01 bench: eight ~8 s mask
@@ -90,16 +93,18 @@ def _read_with_retry(x) -> np.ndarray:
     # last resort: ONE long bounded read, then raise. An unbounded block here
     # would hang the whole pipeline forever on a dead transport (observed: the
     # tunnel can wedge globally for 20+ minutes); raising instead lets the
-    # folder driver's per-video error handling record the failure and move on.
-    box: "queue_mod.Queue" = queue_mod.Queue()
-    threading.Thread(target=lambda: box.put(np.asarray(attempt)), daemon=True).start()
-    try:
-        return box.get(timeout=max(300.0, nbytes / 1e6))
-    except queue_mod.Empty:
-        raise TimeoutError(
-            f"device read permanently wedged (shape={getattr(x, 'shape', '?')}); "
-            "transport appears down"
-        ) from None
+    # caller's fallback (host scoring, per-video error accounting) take over.
+    if give_up_s is None:
+        box = queue_mod.Queue()
+        threading.Thread(target=lambda: box.put(np.asarray(attempt)), daemon=True).start()
+        try:
+            return box.get(timeout=max(300.0, nbytes / 1e6))
+        except queue_mod.Empty:
+            pass
+    raise TimeoutError(
+        f"device read wedged (shape={getattr(x, 'shape', '?')}); "
+        "transport appears down"
+    )
 
 
 def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
@@ -143,8 +148,12 @@ def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
     return False
 
 
-def fetch(x, dtype=None) -> np.ndarray:
-    """Materialize a (possibly in-flight) jax array as numpy, safely."""
+def fetch(x, dtype=None, give_up_s: float = None) -> np.ndarray:
+    """Materialize a (possibly in-flight) jax array as numpy, safely.
+
+    give_up_s bounds the TOTAL time spent fighting a wedged read before
+    raising TimeoutError — for callers with a host-side fallback (e.g. the
+    keyframe scanner re-scores on host numpy)."""
     global _WIDEN
     if isinstance(x, np.ndarray):
         return x if dtype is None else np.asarray(x, dtype)
@@ -158,9 +167,9 @@ def fetch(x, dtype=None) -> np.ndarray:
             _WIDEN = jax.jit(lambda a: a.astype(jnp.int32))
         x = _WIDEN(x)
     t0 = time.monotonic()
-    _wait_ready(x)
+    _wait_ready(x, timeout_s=give_up_s if give_up_s is not None else 120.0)
     t1 = time.monotonic()
-    out = _read_with_retry(x)
+    out = _read_with_retry(x, give_up_s=give_up_s)
     t2 = time.monotonic()
     if t2 - t0 > _SLOW_S:
         logger.warning(

@@ -380,3 +380,40 @@ def test_audio_outlasting_video_clamps_and_recovers(tmp_path):
     fresh = LibavReader(p).read_rgb([2])
     assert np.array_equal(early, fresh)
     r.close()
+
+
+def test_keyframe_scanner_host_fallback_matches_device(monkeypatch):
+    """If a mask read wedges (TimeoutError), the scanner replays the walk on
+    host numpy and keeps scoring host-side — the selected keyframe set is
+    IDENTICAL to the device scan (the transport-resilience path for the
+    small-read wedge pathology, BENCH r01/r02)."""
+    import hippomm_tpu.ops.keyframe as kf
+
+    rng = np.random.default_rng(7)
+    n, h, w = 70, 90, 160
+    base = rng.integers(60, 200, size=(h, w)).astype(np.float32)
+    drift = rng.normal(0, 1, size=(h, w))
+    grays = np.empty((n, h, w), np.uint8)
+    for i in range(n):
+        grays[i] = np.clip(base + drift * i * 1.5 + 8 * np.sin(i / 4.0), 0, 255).astype(np.uint8)
+    times = np.arange(n, dtype=np.float32)
+
+    want = kf.select_keyframes_device(grays, times, 0.3, 1.0, block=32)
+
+    # same blocks, but every device mask read "wedges"
+    scanner = kf.KeyframeScanner(h, w, 0.3, 1.0, block=32)
+    handles = [scanner.feed(grays[b0 : b0 + 32], times[b0 : b0 + 32]) for b0 in range(0, n, 32)]
+
+    def wedged_fetch(x, dtype=None, give_up_s=None):
+        raise TimeoutError("synthetic wedge")
+
+    monkeypatch.setattr(kf, "fetch", wedged_fetch)
+    mask = np.concatenate([hd.get() for hd in handles])
+    assert scanner.host_mode
+    got = [int(i) for i in np.nonzero(mask)[0]]
+    assert got == want
+
+    # later feeds stay host-side (eager masks, no device dispatch consumed)
+    extra = scanner.feed(grays[:32], times[n - 1] + 1.0 + np.arange(32, dtype=np.float32))
+    assert extra._dev is None and extra.is_ready()
+    assert extra.get().shape == (32,)
