@@ -310,6 +310,24 @@ def main() -> None:
     except Exception as e:  # CPU fallback platforms have no Mosaic
         topk_ms = {"error": repr(e)[:120]}
 
+    # ---- bench config #5 (CI-sized): QA accuracy over a ground-truthed store
+    # (scripts/qa_accuracy.py) — runs on CPU in a subprocess so it cannot
+    # disturb or depend on the TPU tunnel
+    qa5 = {}
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "qa_accuracy.py"),
+             "--cpu", "--duration", "90", "--scene-seconds", "15", "--questions", "8"],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        qa5 = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        qa5 = {"error": repr(e)[:120]}
+
     shutil.rmtree(work, ignore_errors=True)
 
     print(json.dumps({
@@ -338,6 +356,7 @@ def main() -> None:
             "recall_p50_target_ms": 200.0,
             "vision_tower": mfu,
             "topk_200k": topk_ms,
+            "qa_accuracy_ci": qa5,
             "stage_timers": mem.timers.summary(),
         },
     }))

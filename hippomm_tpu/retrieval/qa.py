@@ -594,14 +594,25 @@ class QARecallSystem:
     # ----------------------------------------------------------- audio pathway
 
     def _gather_transcripts(self) -> List[Tuple[float, float, str, str]]:
-        """(start, end, text, video_id) snippets across all events."""
+        """(start, end, text, video_id) snippets across all events.
+
+        A snippet's span runs to the NEXT snippet's start (or the event end):
+        each stored transcription covers a whole 10-30 s segment, so the
+        reference's flat start+5s default (hippocampal_memory.py:2340-2345)
+        systematically truncates speech-window localization — content in the
+        back half of a segment would re-transcribe the wrong audio."""
         out = []
         for e in self.events:
             if e.audio_transcription:
                 n = len(e.audio_transcription)
-                times = list(e.audio_times[:n]) + [e.start_time] * max(0, n - len(e.audio_times))
-                for t, txt in zip(times, e.audio_transcription):
-                    out.append((float(t), float(t) + 5.0, txt, e.video_id))
+                times = [
+                    float(t)
+                    for t in list(e.audio_times[:n])
+                    + [e.start_time] * max(0, n - len(e.audio_times))
+                ]
+                ends = times[1:] + [max(float(e.end_time), times[-1] + 5.0)]
+                for t, end, txt in zip(times, ends, e.audio_transcription):
+                    out.append((t, max(end, t + 1.0), txt, e.video_id))
             elif e.holistic_audio_transcription:
                 out.append((e.start_time, e.end_time, e.holistic_audio_transcription, e.video_id))
         return sorted(out)
@@ -611,12 +622,15 @@ class QARecallSystem:
     ) -> str:
         """video_id of the transcript snippet best overlapping [start, end] —
         per-window attribution instead of blaming events[0] (multi-video
-        stores would otherwise re-transcribe the wrong video's audio)."""
-        best, best_ov = "", -1.0
+        stores would otherwise re-transcribe the wrong video's audio).
+        Overlap is normalized by snippet span: a tight snippet precisely at
+        the window beats a segment-length snippet that merely contains it."""
+        best, best_score = "", -1e18
         for s, e, _, vid in transcripts:
             ov = min(end, e) - max(start, s)
-            if ov > best_ov:
-                best, best_ov = vid, ov
+            score = ov / max(e - s, 1e-6) if ov > 0 else ov
+            if score > best_score:
+                best, best_score = vid, score
         return best or (self.events[0].video_id if self.events else "")
 
     def _speech_timeframes(self, question: str) -> List[Tuple[float, float, str]]:

@@ -11,8 +11,11 @@ Prints one JSON line: {"qa_accuracy": ..., "ingest_x": ..., "recall_p50_ms": ...
 
 import argparse
 import json
+import os
 import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
