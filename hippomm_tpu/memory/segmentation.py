@@ -14,9 +14,12 @@ segmentation semantics, ~zero marginal cost per window.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from hippomm_tpu.memory.schema import SequenceSegment
 from hippomm_tpu.utils.device import fetch
@@ -56,16 +59,46 @@ def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
         return np.zeros((0,), np.float32)
     CHUNK = 32
     sims: list = []
+    host_mode = False
     lo = 0
     while lo < t - 1:
         chunk = frames_rgb[lo : lo + CHUNK]
         m = len(chunk)
-        if m < CHUNK:  # pad by repeating the last frame (pad pairs → SSIM 1)
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
-        out = fetch(_FUSED_ADJ(jnp.asarray(chunk), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W))
-        sims.append(out[: m - 1])
+        if not host_mode:
+            padded = chunk
+            if m < CHUNK:  # pad by repeating the last frame (pad pairs → SSIM 1)
+                padded = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
+            try:
+                out = fetch(
+                    _FUSED_ADJ(jnp.asarray(padded), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W),
+                    give_up_s=20.0,
+                )
+                sims.append(out[: m - 1])
+                lo += CHUNK - 1
+                continue
+            except TimeoutError:
+                logger.warning(
+                    "adjacent-SSIM read wedged; scoring the rest on host numpy"
+                )
+                host_mode = True
+        sims.append(_adjacent_ssim_host_rgb(chunk))
         lo += CHUNK - 1  # overlap one frame: next chunk starts at this chunk's last
     return np.concatenate(sims)[: t - 1]
+
+
+def _adjacent_ssim_host_rgb(chunk: np.ndarray) -> np.ndarray:
+    """Host fallback for a wedged transport: downscale+luma+SSIM in numpy.
+    Resize kernels differ slightly from the device program (box vs bilinear),
+    which only nudges scores near the 0.95 boundary — an acceptable trade
+    against stalling ingest for minutes on a sick link."""
+    from hippomm_tpu.media.io import _luma_u8, downscale_rgb
+    from hippomm_tpu.ops.ssim import ssim_pairs_host
+
+    small = downscale_rgb(np.asarray(chunk), SSIM_DOWNSCALE_H, SSIM_DOWNSCALE_W)
+    gray = _luma_u8(small).astype(np.float32)
+    if len(gray) < 2:
+        return np.zeros((0,), np.float32)
+    return ssim_pairs_host(gray[:-1], gray[1:])
 
 
 def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
@@ -86,13 +119,30 @@ def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
         return np.zeros((0,), np.float32)
     CHUNK = 32
     sims: list = []
+    host_mode = False
     lo = 0
     while lo < t - 1:
         chunk = grays[lo : lo + CHUNK]
         m = len(chunk)
+        if host_mode:
+            from hippomm_tpu.ops.ssim import ssim_pairs_host
+
+            g = chunk.astype(np.float32)
+            sims.append(ssim_pairs_host(g[:-1], g[1:]) if m > 1 else np.zeros((0,), np.float32))
+            lo += CHUNK - 1
+            continue
+        padded = chunk
         if m < CHUNK:
-            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
-        out = fetch(adjacent_ssim(jnp.asarray(chunk)))
+            padded = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
+        try:
+            out = fetch(adjacent_ssim(jnp.asarray(padded)), give_up_s=20.0)
+        except TimeoutError:
+            # the luma is already host-resident; ssim_pairs_host is the exact
+            # numpy mirror of the device kernel — zero further transport
+            # exposure for this video's segmentation scoring
+            logger.warning("adjacent-SSIM (gray) read wedged; scoring on host")
+            host_mode = True
+            continue
         sims.append(out[: m - 1])
         lo += CHUNK - 1
     return np.concatenate(sims)[: t - 1]

@@ -84,3 +84,25 @@ def test_segment_sequence_end_to_end():
     assert abs(total - len(res.audio)) < 16000 // 2
     # frames partitioned, none lost
     assert sum(len(s.frames) for s in segs) == len(paths)
+
+
+def test_adjacent_ssim_host_fallback_close_to_device(monkeypatch, rng):
+    """A wedged adjacent-SSIM read falls back to the host numpy mirror with
+    scores matching the device kernel (gray path is the exact mirror)."""
+    import hippomm_tpu.memory.segmentation as seg
+
+    grays = rng.integers(0, 256, size=(40, 90, 160)).astype(np.uint8)
+    want = seg.adjacent_similarity_gray(grays)
+
+    calls = {"n": 0}
+    real_fetch = seg.fetch
+
+    def wedged_fetch(x, dtype=None, give_up_s=None):
+        calls["n"] += 1
+        raise TimeoutError("synthetic wedge")
+
+    monkeypatch.setattr(seg, "fetch", wedged_fetch)
+    got = seg.adjacent_similarity_gray(grays)
+    monkeypatch.setattr(seg, "fetch", real_fetch)
+    assert calls["n"] == 1  # switched to host after the first wedge
+    np.testing.assert_allclose(got, want, atol=1e-4)
