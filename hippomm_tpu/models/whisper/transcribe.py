@@ -203,6 +203,11 @@ class WhisperTranscriber:
         """
         if sample_rate != SAMPLE_RATE:
             raise ValueError("resample to 16 kHz first (media.load_audio_mono16k)")
+        if self.beam_size > 1:
+            # beam multiplies the decode rows (batch x beam) and their KV/cross
+            # caches; 32-wide chunks at beam-5 are 160 rows and measured SLOWER
+            # than two 80-row loops (cache bandwidth dominates the step)
+            max_chunk_batch = min(max_chunk_batch, 16)
         # ---- split every input into 30 s windows -----------------------------
         chunks: List[np.ndarray] = []
         owners: List[int] = []  # input index per chunk
