@@ -85,6 +85,8 @@ def _vision_mfu(mem, platform_peak: float) -> dict:
 def main() -> None:
     import jax
 
+    t_bench_start = time.perf_counter()
+
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -207,41 +209,11 @@ def main() -> None:
     realtime = float(np.median(run_multiples))
     wall = run_walls[int(np.argsort(run_multiples)[len(run_multiples) // 2])]
 
-    # ---- decode-realism ingest: 2 min @ 30 fps -------------------------------
-    t0 = time.perf_counter()
-    stats30 = process_video_folder(fast, cfg.storage.base_dir, config=cfg,
-                                   memory_system=mem, checkpoint_every=0)
-    wall30 = time.perf_counter() - t0
-    realtime30 = (stats30["media_seconds"] or 1e-9) / wall30
-
-    # ---- audio-only ingest: 5 min (driver config #2 shape: silence
-    # segmentation + ASR + ImageBind audio embeddings, no frame track) --------
-    from hippomm_tpu.media.io import write_wav
-    from hippomm_tpu.media.synth import generate
-
-    aud_dir = os.path.join(work, "audio_only")
-    os.makedirs(aud_dir)
-    res = generate(SynthSpec(duration=300.0, fps=1.0, width=32, height=32,
-                             silence_regions=((60.0, 62.0), (180.0, 183.0)), seed=4))
-    write_wav(os.path.join(aud_dir, "talk.wav"), res.audio, 16000)
-    t0 = time.perf_counter()
-    stats_a = process_video_folder(aud_dir, cfg.storage.base_dir, config=cfg,
-                                   memory_system=mem, checkpoint_every=0)
-    wall_a = time.perf_counter() - t0
-    realtime_audio = (stats_a["media_seconds"] or 1e-9) / wall_a
-
-    # ---- beam-5 ASR realtime (the reference's decode config, measured
-    # standalone so the headline can ship greedy with the tradeoff on record) --
-    from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
-
-    imp = mem.whisper._impl
-    tr5 = WhisperTranscriber(
-        imp.params, imp.cfg, imp.tokenizer, imp.dtype, beam_size=5, mesh=None
-    )
-    tr5.transcribe(res.audio[: 16000 * 30])  # compile + warm (persistent-cached)
-    t0 = time.perf_counter()
-    tr5.transcribe(res.audio)
-    asr5_realtime = (len(res.audio) / 16000.0) / (time.perf_counter() - t0)
+    # Extras run in priority order under a soft wall-clock budget: on a
+    # pathological transport session the headline + recall numbers must still
+    # reach the JSON line before any driver-side patience runs out.
+    def budget_left() -> bool:
+        return time.perf_counter() - t_bench_start < 1500.0
 
     # ---- e2e detailed recall over the INGESTED store (huge text tower + fused
     # top-k + frame re-decode + stub caption/answer) ---------------------------
@@ -286,47 +258,109 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1000)
 
+    # ---- decode-realism ingest: 2 min @ 30 fps -------------------------------
+    realtime30, wall30 = None, None
+    if budget_left():
+        try:
+            t0 = time.perf_counter()
+            stats30 = process_video_folder(fast, cfg.storage.base_dir, config=cfg,
+                                           memory_system=mem, checkpoint_every=0)
+            wall30 = round(time.perf_counter() - t0, 2)
+            realtime30 = round((stats30["media_seconds"] or 1e-9) / wall30, 3)
+        except Exception as e:
+            realtime30 = repr(e)[:80]
+
+    # ---- audio-only ingest: 5 min (driver config #2 shape: silence
+    # segmentation + ASR + ImageBind audio embeddings, no frame track) --------
+    from hippomm_tpu.media.io import write_wav
+    from hippomm_tpu.media.synth import generate
+
+    res = generate(SynthSpec(duration=300.0, fps=1.0, width=32, height=32,
+                             silence_regions=((60.0, 62.0), (180.0, 183.0)), seed=4))
+    realtime_audio = None
+    if budget_left():
+        try:
+            aud_dir = os.path.join(work, "audio_only")
+            os.makedirs(aud_dir)
+            write_wav(os.path.join(aud_dir, "talk.wav"), res.audio, 16000)
+            t0 = time.perf_counter()
+            stats_a = process_video_folder(aud_dir, cfg.storage.base_dir, config=cfg,
+                                           memory_system=mem, checkpoint_every=0)
+            realtime_audio = round(
+                (stats_a["media_seconds"] or 1e-9) / (time.perf_counter() - t0), 3
+            )
+        except Exception as e:
+            realtime_audio = repr(e)[:80]
+
+    # ---- beam-5 ASR realtime (the reference's decode config, measured
+    # standalone so the headline can ship greedy with the tradeoff on record) --
+    asr5_realtime = None
+    if budget_left():
+        try:
+            from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
+
+            imp = mem.whisper._impl
+            tr5 = WhisperTranscriber(
+                imp.params, imp.cfg, imp.tokenizer, imp.dtype, beam_size=5, mesh=None
+            )
+            tr5.transcribe(res.audio[: 16000 * 30])  # compile + warm (persistent-cached)
+            t0 = time.perf_counter()
+            tr5.transcribe(res.audio)
+            asr5_realtime = round(
+                (len(res.audio) / 16000.0) / (time.perf_counter() - t0), 1
+            )
+        except Exception as e:
+            asr5_realtime = repr(e)[:80]
+
     # ---- isolated vision-tower MFU -------------------------------------------
-    mfu = _vision_mfu(mem, peak)
+    mfu = {}
+    if budget_left():
+        try:
+            mfu = _vision_mfu(mem, peak)
+        except Exception as e:
+            mfu = {"error": repr(e)[:80]}
 
     # ---- pallas vs XLA top-k at store scale (2e5 rows, distinct queries) -----
     topk_ms = {}
-    try:
-        from hippomm_tpu.ops.pallas_topk import pallas_top_k_cosine
-        from hippomm_tpu.ops.similarity import top_k_cosine
+    if budget_left():
+        try:
+            from hippomm_tpu.ops.pallas_topk import pallas_top_k_cosine
+            from hippomm_tpu.ops.similarity import top_k_cosine
 
-        feats_d = jax.device_put(rng.normal(size=(200_000, 1024)).astype(np.float32))
-        qs = [jax.device_put(rng.normal(size=1024).astype(np.float32)) for _ in range(20)]
-        for name, fn in (
-            ("pallas_ms", lambda qq: pallas_top_k_cosine(qq, feats_d, 20)),
-            ("xla_ms", lambda qq: top_k_cosine(qq, feats_d, 20)),
-        ):
-            jax.block_until_ready(fn(qs[0]))
-            t0 = time.perf_counter()
-            outs = [fn(qq) for qq in qs]
-            jax.block_until_ready(outs)
-            topk_ms[name] = round((time.perf_counter() - t0) / len(qs) * 1000, 3)
-        topk_ms["rows"] = 200_000
-    except Exception as e:  # CPU fallback platforms have no Mosaic
-        topk_ms = {"error": repr(e)[:120]}
+            feats_d = jax.device_put(rng.normal(size=(200_000, 1024)).astype(np.float32))
+            qs = [jax.device_put(rng.normal(size=1024).astype(np.float32)) for _ in range(20)]
+            for name, fn in (
+                ("pallas_ms", lambda qq: pallas_top_k_cosine(qq, feats_d, 20)),
+                ("xla_ms", lambda qq: top_k_cosine(qq, feats_d, 20)),
+            ):
+                jax.block_until_ready(fn(qs[0]))
+                t0 = time.perf_counter()
+                outs = [fn(qq) for qq in qs]
+                jax.block_until_ready(outs)
+                topk_ms[name] = round((time.perf_counter() - t0) / len(qs) * 1000, 3)
+            topk_ms["rows"] = 200_000
+        except Exception as e:  # CPU fallback platforms have no Mosaic
+            topk_ms = {"error": repr(e)[:120]}
 
     # ---- bench config #5 (CI-sized): QA accuracy over a ground-truthed store
     # (scripts/qa_accuracy.py) — runs on CPU in a subprocess so it cannot
     # disturb or depend on the TPU tunnel
-    qa5 = {}
-    try:
-        import subprocess
+    if not budget_left():
+        qa5 = {"skipped": "bench over budget"}
+    else:
+        try:
+            import subprocess
 
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "qa_accuracy.py"),
-             "--cpu", "--duration", "90", "--scene-seconds", "15", "--questions", "8"],
-            capture_output=True, text=True, timeout=900,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
-        )
-        qa5 = json.loads(proc.stdout.strip().splitlines()[-1])
-    except Exception as e:
-        qa5 = {"error": repr(e)[:120]}
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "qa_accuracy.py"),
+                 "--cpu", "--duration", "90", "--scene-seconds", "15", "--questions", "8"],
+                capture_output=True, text=True, timeout=900,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            )
+            qa5 = json.loads(proc.stdout.strip().splitlines()[-1])
+        except Exception as e:
+            qa5 = {"error": repr(e)[:120]}
 
     shutil.rmtree(work, ignore_errors=True)
 
@@ -347,10 +381,10 @@ def main() -> None:
             "run_stage_s": run_stage_s,
             "ingest_wall_s": round(wall, 2),
             "media_s": media_s,
-            "asr_beam5_realtime_x": round(asr5_realtime, 1),
-            "ingest_30fps_realtime_x": round(realtime30, 3),
-            "ingest_30fps_wall_s": round(wall30, 2),
-            "ingest_audio_only_realtime_x": round(realtime_audio, 3),
+            "asr_beam5_realtime_x": asr5_realtime,
+            "ingest_30fps_realtime_x": realtime30,
+            "ingest_30fps_wall_s": wall30,
+            "ingest_audio_only_realtime_x": realtime_audio,
             "detailed_recall_p50_ms": round(p50_ms, 2),
             "recall_e2e_ms": round(recall_e2e_ms, 2),
             "recall_p50_target_ms": 200.0,

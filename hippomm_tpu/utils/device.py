@@ -98,7 +98,11 @@ def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
         box = queue_mod.Queue()
         threading.Thread(target=lambda: box.put(np.asarray(attempt)), daemon=True).start()
         try:
-            return box.get(timeout=max(300.0, nbytes / 1e6))
+            # fail-fast sizing: on a wedged transport, a sub-60 MB read that
+            # survived six copy-retries won't be saved by waiting 5 more
+            # minutes — fail the video (driver records it; skip-existing
+            # re-ingests later) instead of serializing minutes per fetch
+            return box.get(timeout=max(60.0, nbytes / 1e6))
         except queue_mod.Empty:
             pass
     raise TimeoutError(
