@@ -313,3 +313,47 @@ def test_single_file_skip_existing(tmp_path):
         ["--path", str(video), "--memory_store", store, "--config", str(cfg), "--no-skip-existing"]
     )
     assert s3["processed"] == 1
+
+
+def test_folder_driver_survives_wedged_video(tmp_path):
+    """A TimeoutError mid-engine (dead-transport read) fails THAT video,
+    cleans its pending ASR future + cached track, and the folder batch
+    continues to the next video."""
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.core.batch_process import process_video_folder
+    from hippomm_tpu.memory.engine import HippocampalMemory
+
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    for i in range(2):
+        write_synthetic_video(
+            str(videos / f"v{i}.avi"),
+            SynthSpec(duration=12.0, fps=4.0, width=160, height=120, seed=i),
+            audio_path=str(videos / f"v{i}.wav"),
+        )
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+
+    real = mem.imagebind.encode_vision
+    state = {"fired": False}
+
+    def flaky(frames):
+        if not state["fired"]:
+            state["fired"] = True
+            raise TimeoutError("device read wedged; transport appears down")
+        return real(frames)
+
+    mem.imagebind.encode_vision = flaky
+    stats = process_video_folder(
+        str(videos), cfg.storage.base_dir, config=cfg, memory_system=mem,
+        checkpoint_every=0, pipeline_lookahead=False,
+    )
+    assert stats["processed"] == 1
+    assert stats["failed"] == 1
+    assert len(stats["errors"]) == 1
+    assert not mem._asr_futures  # failed video's pending future was dropped
+    assert len(mem.long_term_store) == 1  # the healthy video produced its event
