@@ -143,13 +143,15 @@ def write_palette_video(
 
 
 def build_questions(truth: Dict, n: int, seed: int = 0) -> List[Dict]:
-    """Half video (color → time), half audio (tone presence) questions."""
+    """Cycle video (color → time), audio (tone presence), and multimodal
+    (tone → scene color, exercising the audio-first cross-modality chain)."""
     rng = np.random.default_rng(seed)
     scenes = truth["scenes"]
     qs: List[Dict] = []
     for qi in range(n):
         s, e, color, freq = scenes[int(rng.integers(len(scenes)))]
-        if qi % 2 == 0:
+        kind = ("video", "audio", "multimodal")[qi % 3]
+        if kind == "video":
             qs.append(
                 {
                     "question": (
@@ -160,12 +162,23 @@ def build_questions(truth: Dict, n: int, seed: int = 0) -> List[Dict]:
                     "color": color,
                 }
             )
-        else:
+        elif kind == "audio":
             qs.append(
                 {
                     "question": f"Is the audio tone {tone_label(freq)} heard in the video?",
                     "type": "audio",
                     "label": tone_label(freq),
+                }
+            )
+        else:
+            qs.append(
+                {
+                    "question": (
+                        f"What is the background color while tone {tone_label(freq)} "
+                        "is playing?"
+                    ),
+                    "type": "multimodal",
+                    "color": color,
                 }
             )
     return qs
@@ -180,6 +193,8 @@ def score_answer(q: Dict, answer: str, truth: Dict) -> bool:
         return any(
             s - 2.0 <= t <= e + 2.0 for s, e, c, _ in truth["scenes"] if c == q["color"]
         )
+    if q["type"] == "multimodal":
+        return q["color"] in answer.lower()
     return q["label"] in answer
 
 
@@ -251,7 +266,10 @@ class OracleReasoning(ChatClient):
         question = text.rsplit("Question:", 1)[-1] if "Question:" in text else text
 
         if "classify this question" in lower:
-            return "AUDIO" if "tone" in question.lower() else "VIDEO"
+            ql = question.lower()
+            if "tone" in ql and "color" in ql:
+                return "VIDEO+AUDIO"
+            return "AUDIO" if "tone" in ql else "VIDEO"
         if "primary modality" in lower:
             # tones ride the transcript path: deterministic localization that
             # doesn't depend on (random) audio-embedding similarities
@@ -279,6 +297,28 @@ class OracleReasoning(ChatClient):
             ]
             return json.dumps(frames[:5])
         if "using only the retrieved evidence" in lower:
+            ql = question.lower()
+            if "color" in ql and not any(c in ql for c in (c for c, _ in PALETTE)):
+                # asked FOR a color (multimodal): majority color among the
+                # retrieved caption entries — wrong windows give wrong colors.
+                # Tie-break by LATEST time: the ±2 s localization buffer
+                # (reference parity) bleeds backward into the prior scene at
+                # onset-aligned events, so the later evidence is in-window.
+                entries = [
+                    (float(m.group(1)), c)
+                    for m in re.finditer(r"\[(\d+\.?\d*)s\] (.*)", text)
+                    for c, _ in PALETTE
+                    if c in m.group(2)
+                ]
+                if entries:
+                    counts: Dict[str, int] = {}
+                    latest: Dict[str, float] = {}
+                    for t, c in entries:
+                        counts[c] = counts.get(c, 0) + 1
+                        latest[c] = max(latest.get(c, -1.0), t)
+                    best = max(counts, key=lambda c: (counts[c], latest[c]))
+                    return f"ANSWER: {best}\nCONFIDENCE: 0.9"
+                return "ANSWER: no frames retrieved\nCONFIDENCE: 0.2"
             color = next((c for c, _ in PALETTE if c in question.lower()), None)
             if color:
                 times = [

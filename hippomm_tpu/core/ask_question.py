@@ -43,7 +43,7 @@ def load_event(store: MemoryStore, event_id: str) -> None:
         print(f"  features[{k}]: {v.shape}")
     print(f"  {len(ev.frame_captions)} captions, {len(ev.audio_transcription)} transcript chunks")
     if ev.holistic_audio_transcription:
-        print(f"  holistic transcription: {ev.holistic_audio_transcription[:200]}")
+        print(f"  holistic transcription: {ev.holistic_text()[:200]}")
 
 
 def ask_question(question: str, config, event_id: Optional[str] = None):

@@ -639,7 +639,11 @@ class HippocampalMemory:
                 with self.timers.stage("holistic_transcribe"):
                     segs = self.whisper.transcribe(full_audio)
         if segs:
-            event.holistic_audio_transcription = " ".join(s.text for s in segs if s.text).strip()
+            event.holistic_audio_transcription = [
+                {"text": s.text, "start": float(s.start), "end": float(s.end)}
+                for s in segs
+                if s.text
+            ]
 
         self.store.save_theta_event(event)
         self.long_term_store.append(event)
@@ -692,7 +696,11 @@ class HippocampalMemory:
         if audio is None or len(audio) <= 1600:
             return event
         segs = self.whisper.transcribe(np.asarray(audio, np.float32))
-        event.holistic_audio_transcription = " ".join(s.text for s in segs if s.text).strip()
+        event.holistic_audio_transcription = [
+            {"text": s.text, "start": float(s.start), "end": float(s.end)}
+            for s in segs
+            if s.text
+        ]
         return event
 
     # ------------------------------------------------------------- persistence

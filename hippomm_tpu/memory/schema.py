@@ -112,7 +112,10 @@ class ThetaEvent:
     frame_captions: List[str] = dataclasses.field(default_factory=list)
     audio_times: List[float] = dataclasses.field(default_factory=list)
     audio_transcription: List[str] = dataclasses.field(default_factory=list)
-    holistic_audio_transcription: str = ""
+    # whole-track transcription as TIMESTAMPED entries {"text","start","end"}
+    # (reference field type, hippocampal_memory.py:105 — its speech
+    # localization iterates these with trans["start"], :2333-2345)
+    holistic_audio_transcription: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
     summary: str = ""
     start_time: float = 0.0
     end_time: float = 0.0
@@ -123,6 +126,20 @@ class ThetaEvent:
             self.features[k] = _validate_features(self.features[k], k)
         if not self.event_id and self.video_id:
             self.event_id = f"{self.video_id}_{int(self.start_time * 1000)}"
+        if isinstance(self.holistic_audio_transcription, str):
+            # legacy/convenience: a flat string becomes one whole-span entry
+            txt = self.holistic_audio_transcription.strip()
+            self.holistic_audio_transcription = (
+                [{"text": txt, "start": float(self.start_time), "end": float(self.end_time)}]
+                if txt
+                else []
+            )
+
+    def holistic_text(self) -> str:
+        """The whole-track transcription as one string (prompt assembly)."""
+        return " ".join(
+            t.get("text", "") for t in self.holistic_audio_transcription
+        ).strip()
 
     def to_dict(self) -> Dict[str, Any]:
         return {
@@ -138,7 +155,7 @@ class ThetaEvent:
             "frame_captions": list(self.frame_captions),
             "audio_times": list(map(float, self.audio_times)),
             "audio_transcription": list(self.audio_transcription),
-            "holistic_audio_transcription": self.holistic_audio_transcription,
+            "holistic_audio_transcription": list(self.holistic_audio_transcription),
             "summary": self.summary,
             "start_time": float(self.start_time),
             "end_time": float(self.end_time),
@@ -162,7 +179,7 @@ class ThetaEvent:
             frame_captions=list(d.get("frame_captions", [])),
             audio_times=list(d.get("audio_times", [])),
             audio_transcription=list(d.get("audio_transcription", [])),
-            holistic_audio_transcription=d.get("holistic_audio_transcription", ""),
+            holistic_audio_transcription=d.get("holistic_audio_transcription", []),
             summary=d.get("summary", ""),
             start_time=d.get("start_time", 0.0),
             end_time=d.get("end_time", 0.0),

@@ -232,9 +232,11 @@ class QARecallSystem:
         except Exception:
             logger.exception("classification failed; defaulting to VIDEO+AUDIO")
             return "VIDEO+AUDIO"
-        reply = reply.strip().upper()
-        for qt in QUESTION_TYPES:
-            if qt in reply.replace(" ", ""):
+        reply = reply.strip().upper().replace(" ", "")
+        # longest label first: a "VIDEO+AUDIO" reply contains the substring
+        # "VIDEO" and must not be swallowed by the single-modality label
+        for qt in sorted(QUESTION_TYPES, key=len, reverse=True):
+            if qt in reply:
                 return qt
         return "VIDEO+AUDIO"
 
@@ -256,7 +258,7 @@ class QARecallSystem:
                 )
         if qtype in ("AUDIO", "VIDEO+AUDIO", "SUMMARY"):
             transcript = " ".join(
-                e.holistic_audio_transcription or " ".join(e.audio_transcription) for e in events
+                e.holistic_text() or " ".join(e.audio_transcription) for e in events
             ).strip()
             if transcript:
                 details.append(
@@ -603,7 +605,17 @@ class QARecallSystem:
         back half of a segment would re-transcribe the wrong audio."""
         out = []
         for e in self.events:
-            if e.audio_transcription:
+            if e.holistic_audio_transcription:
+                # sentence-level whole-track entries carry REAL start/end —
+                # the finest localization available (reference prefers these,
+                # hippocampal_memory.py:2333-2345)
+                for tr in e.holistic_audio_transcription:
+                    st = float(tr.get("start", e.start_time))
+                    en = float(tr.get("end", st + 5.0))
+                    txt = tr.get("text", "")
+                    if txt:
+                        out.append((st, max(en, st + 0.5), txt, e.video_id))
+            elif e.audio_transcription:
                 n = len(e.audio_transcription)
                 times = [
                     float(t)
@@ -613,8 +625,6 @@ class QARecallSystem:
                 ends = times[1:] + [max(float(e.end_time), times[-1] + 5.0)]
                 for t, end, txt in zip(times, ends, e.audio_transcription):
                     out.append((t, max(end, t + 1.0), txt, e.video_id))
-            elif e.holistic_audio_transcription:
-                out.append((e.start_time, e.end_time, e.holistic_audio_transcription, e.video_id))
         return sorted(out)
 
     def _attribute_window(
@@ -852,7 +862,7 @@ class QARecallSystem:
         captions.sort()
         kept_caps, _ = evenly_distribute_items(captions, self.token_budget // 3, "- {}\n")
         transcript = " ".join(
-            e.holistic_audio_transcription or " ".join(e.audio_transcription) for e in events
+            e.holistic_text() or " ".join(e.audio_transcription) for e in events
         )
         answer, conf = self._final_answer(
             question,

@@ -310,3 +310,30 @@ def test_answer_questions_batched_matches_serial(qa_env):
         assert b.question_type == s.question_type
         assert b.answer == s.answer
         assert b.used_direct_answer == s.used_direct_answer
+
+
+def test_classifier_parses_compound_label(qa_env):
+    """An LLM reply of 'VIDEO+AUDIO' must classify as VIDEO+AUDIO — the
+    substring 'VIDEO' must not swallow it (bug found by the QA harness)."""
+    _, qa = qa_env
+
+    class Fixed:
+        def __init__(self, reply):
+            self.reply = reply
+
+        def chat(self, messages, max_tokens=8, **kw):
+            return self.reply
+
+    orig = qa.reasoning
+    try:
+        for reply, want in (
+            ("VIDEO+AUDIO", "VIDEO+AUDIO"),
+            ("video + audio", "VIDEO+AUDIO"),
+            ("VIDEO", "VIDEO"),
+            ("AUDIO", "AUDIO"),
+            ("SUMMARY", "SUMMARY"),
+        ):
+            qa.reasoning = Fixed(reply)
+            assert qa._classify_question_type("q?") == want, reply
+    finally:
+        qa.reasoning = orig
