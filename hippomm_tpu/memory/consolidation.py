@@ -83,7 +83,9 @@ def consolidate_short_term_memory(
                 aud_feats.append(f[i])
                 aud_times.append(stm.segment_info.get("start_time", stm.source_time))
         if stm.transcription:
-            transcripts.append(stm.transcription)
+            # per-ASR-segment entries carry their own timestamps; the merged
+            # event keeps them flat (reference extends, hippocampal_memory.py:893)
+            transcripts.extend(stm.transcription)
             if f is None or f.shape[0] == 0:
                 aud_times.append(stm.segment_info.get("start_time", stm.source_time))
     if aud_feats:

@@ -377,7 +377,7 @@ class HippocampalMemory:
         # the holistic transcription. _full_transcript accumulates GLOBAL-time
         # segments, so chunked long-video ingest (base_time flow) transcribes
         # each chunk exactly once and the holistic text still covers the video.
-        transcripts: Dict[int, str] = {}
+        transcripts: Dict[int, List[Dict]] = {}
         asr_segs = None
         fut = self._asr_futures.pop(video_id, None)
         if fut is not None:  # full-track pass dispatched earlier (global times)
@@ -406,11 +406,13 @@ class HippocampalMemory:
         if asr_segs is not None:
             for si, seg in enumerate(segments):
                 lo, hi = seg.start_time, seg.end_time  # global, like asr_segs
-                texts = [
-                    s.text for s in asr_segs if s.text and lo <= (s.start + s.end) / 2 < hi
+                entries = [
+                    {"text": s.text, "start": float(s.start), "end": float(s.end)}
+                    for s in asr_segs
+                    if s.text and lo <= (s.start + s.end) / 2 < hi
                 ]
-                if texts:
-                    transcripts[si] = " ".join(texts).strip()
+                if entries:
+                    transcripts[si] = entries
         else:  # no track audio (add_memory path): per-segment batched ASR
             asr_owner = [
                 si
@@ -423,7 +425,12 @@ class HippocampalMemory:
                         [segments[si].audio_data for si in asr_owner], sample_rate
                     )
                 for si, segs in zip(asr_owner, seg_results):
-                    transcripts[si] = " ".join(s.text for s in segs if s.text).strip()
+                    off = segments[si].start_time  # clip-local -> global times
+                    transcripts[si] = [
+                        {"text": s.text, "start": float(s.start + off), "end": float(s.end + off)}
+                        for s in segs
+                        if s.text
+                    ]
 
         # ---- assemble STMs ----
         stms: List[ShortTermMemory] = []
@@ -451,7 +458,7 @@ class HippocampalMemory:
                         "frames": list(seg.frames),
                         "frame_times": list(seg.frame_times),
                     },
-                    transcription=transcripts.get(si, ""),
+                    transcription=transcripts.get(si, []),
                 )
             )
         return stms
@@ -673,7 +680,8 @@ class HippocampalMemory:
             shown = captions if len(captions) <= 1000 else captions[:: max(1, len(captions) // 1000)]
             parts.append("Frame captions:\n" + "\n".join(f"- {c}" for c in shown))
         if transcripts:
-            parts.append("Audio transcription:\n" + " ".join(transcripts))
+            texts = [t.get("text", "") if isinstance(t, dict) else str(t) for t in transcripts]
+            parts.append("Audio transcription:\n" + " ".join(texts))
         if not parts:
             return ""
         prompt = (
@@ -683,7 +691,12 @@ class HippocampalMemory:
             return self.qwen.generate(prompt, max_tokens=128).strip()
         except Exception:
             logger.exception("summary generation failed")
-            return (captions[0] if captions else (transcripts[0] if transcripts else ""))
+            if captions:
+                return captions[0]
+            if transcripts:
+                t0 = transcripts[0]
+                return t0.get("text", "") if isinstance(t0, dict) else str(t0)
+            return ""
 
     def update_holistic_audio_transcription(
         self, event: ThetaEvent, audio: Optional[np.ndarray] = None

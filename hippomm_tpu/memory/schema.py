@@ -33,6 +33,23 @@ def _validate_features(feats: Optional[np.ndarray], name: str) -> Optional[np.nd
     return arr
 
 
+def _normalize_transcript_list(x, fallback_start: float = 0.0) -> List[Dict[str, Any]]:
+    """Coerce a transcription field to the reference's list-of-entries form:
+    strings (legacy events/checkpoints) wrap as single entries; entry dicts
+    pass through."""
+    if isinstance(x, str):
+        x = [x] if x.strip() else []
+    out: List[Dict[str, Any]] = []
+    for item in x or []:
+        if isinstance(item, dict):
+            out.append(item)
+        else:
+            txt = str(item).strip()
+            if txt:
+                out.append({"text": txt, "start": float(fallback_start)})
+    return out
+
+
 @dataclasses.dataclass
 class SequenceSegment:
     """One temporal segment produced by pattern separation
@@ -59,11 +76,19 @@ class ShortTermMemory:
     source_time: float = 0.0
     modalities: List[str] = dataclasses.field(default_factory=list)
     segment_info: Dict[str, Any] = dataclasses.field(default_factory=dict)
-    transcription: str = ""
+    # timestamped ASR entries {"text","start","end"} (reference field type,
+    # hippocampal_memory.py:54); a plain string normalizes to one entry
+    transcription: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
 
     def __post_init__(self):
         for k in list(self.features):
             self.features[k] = _validate_features(self.features[k], k)
+        self.transcription = _normalize_transcript_list(
+            self.transcription, self.source_time
+        )
+
+    def transcription_text(self) -> str:
+        return " ".join(t.get("text", "") for t in self.transcription).strip()
 
     def to_dict(self) -> Dict[str, Any]:
         return {
@@ -91,7 +116,7 @@ class ShortTermMemory:
             source_time=d.get("source_time", 0.0),
             modalities=list(d.get("modalities", [])),
             segment_info=d.get("segment_info", {}),
-            transcription=d.get("transcription", ""),
+            transcription=d.get("transcription", []),
         )
 
 
@@ -111,7 +136,10 @@ class ThetaEvent:
     frame_times: List[float] = dataclasses.field(default_factory=list)
     frame_captions: List[str] = dataclasses.field(default_factory=list)
     audio_times: List[float] = dataclasses.field(default_factory=list)
-    audio_transcription: List[str] = dataclasses.field(default_factory=list)
+    # per-ASR-segment timestamped entries {"text","start","end"} (reference
+    # field type, hippocampal_memory.py:104 — consolidation extends the STMs'
+    # entry lists, :893); legacy strings normalize to entries
+    audio_transcription: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
     # whole-track transcription as TIMESTAMPED entries {"text","start","end"}
     # (reference field type, hippocampal_memory.py:105 — its speech
     # localization iterates these with trans["start"], :2333-2345)
@@ -126,6 +154,9 @@ class ThetaEvent:
             self.features[k] = _validate_features(self.features[k], k)
         if not self.event_id and self.video_id:
             self.event_id = f"{self.video_id}_{int(self.start_time * 1000)}"
+        self.audio_transcription = _normalize_transcript_list(
+            self.audio_transcription, self.start_time
+        )
         if isinstance(self.holistic_audio_transcription, str):
             # legacy/convenience: a flat string becomes one whole-span entry
             txt = self.holistic_audio_transcription.strip()
@@ -134,6 +165,10 @@ class ThetaEvent:
                 if txt
                 else []
             )
+
+    def transcript_texts(self) -> List[str]:
+        """Per-segment transcription texts (prompt assembly)."""
+        return [t.get("text", "") for t in self.audio_transcription if t.get("text")]
 
     def holistic_text(self) -> str:
         """The whole-track transcription as one string (prompt assembly)."""

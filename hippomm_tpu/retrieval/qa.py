@@ -258,7 +258,7 @@ class QARecallSystem:
                 )
         if qtype in ("AUDIO", "VIDEO+AUDIO", "SUMMARY"):
             transcript = " ".join(
-                e.holistic_text() or " ".join(e.audio_transcription) for e in events
+                e.holistic_text() or " ".join(e.transcript_texts()) for e in events
             ).strip()
             if transcript:
                 details.append(
@@ -616,15 +616,15 @@ class QARecallSystem:
                     if txt:
                         out.append((st, max(en, st + 0.5), txt, e.video_id))
             elif e.audio_transcription:
-                n = len(e.audio_transcription)
-                times = [
-                    float(t)
-                    for t in list(e.audio_times[:n])
-                    + [e.start_time] * max(0, n - len(e.audio_times))
-                ]
-                ends = times[1:] + [max(float(e.end_time), times[-1] + 5.0)]
-                for t, end, txt in zip(times, ends, e.audio_transcription):
-                    out.append((t, max(end, t + 1.0), txt, e.video_id))
+                # per-ASR-segment entries carry real start/end; entries
+                # missing times fall back to the event span
+                for tr in e.audio_transcription:
+                    txt = tr.get("text", "")
+                    if not txt:
+                        continue
+                    st = float(tr.get("start", e.start_time))
+                    en = float(tr.get("end", st + 5.0))
+                    out.append((st, max(en, st + 0.5), txt, e.video_id))
         return sorted(out)
 
     def _attribute_window(
@@ -862,7 +862,7 @@ class QARecallSystem:
         captions.sort()
         kept_caps, _ = evenly_distribute_items(captions, self.token_budget // 3, "- {}\n")
         transcript = " ".join(
-            e.holistic_text() or " ".join(e.audio_transcription) for e in events
+            e.holistic_text() or " ".join(e.transcript_texts()) for e in events
         )
         answer, conf = self._final_answer(
             question,
