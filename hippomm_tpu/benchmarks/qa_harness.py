@@ -406,8 +406,19 @@ def run_harness(
         correct += ok
         results.append({"q": q["question"], "answer": r.answer, "correct": bool(ok)})
 
+    # the BATCHED serving path (answer_questions: pooled LLM stages + one
+    # fused multi-query top-k) must localize just as well
+    t0 = time.perf_counter()
+    batched = qa.answer_questions([q["question"] for q in questions])
+    batch_wall = time.perf_counter() - t0
+    batch_correct = sum(
+        score_answer(q, r.answer, truth) for q, r in zip(questions, batched)
+    )
+
     return {
         "qa_accuracy": correct / max(1, len(questions)),
+        "qa_accuracy_batched": batch_correct / max(1, len(questions)),
+        "batched_s_per_q": round(batch_wall / max(1, len(questions)), 3),
         "n_questions": len(questions),
         "ingest_x": round(ingest_x, 2),
         "ingest_wall_s": round(ingest_wall, 2),

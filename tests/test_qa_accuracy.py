@@ -29,6 +29,7 @@ def test_qa_harness_end_to_end(tmp_path):
     assert out["n_questions"] == 8
     # the oracle clients are deterministic; every question must localize
     assert out["qa_accuracy"] >= 0.85
+    assert out["qa_accuracy_batched"] >= 0.85  # batched serving path too
     assert out["ingest_x"] > 0
 
 
