@@ -87,6 +87,28 @@ def main() -> None:
 
     t_bench_start = time.perf_counter()
 
+    # self-watchdog: the tunneled TPU backend has been observed to go fully
+    # dark for 20+ minutes (even an 8-element read hangs). If the result line
+    # hasn't printed by 27 min, emit an honest failure JSON and exit — a
+    # recorded outage beats a silent hang against the driver's patience.
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(1620.0):
+            print(json.dumps({
+                "metric": "ingest_throughput_2x10min_vlog_mp4",
+                "value": 0.0,
+                "unit": "video-hours/hour/chip (x realtime)",
+                "vs_baseline": 0.0,
+                "extra": {"error": "bench watchdog fired: device backend "
+                          "unresponsive (transport outage)"},
+            }), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
@@ -364,6 +386,7 @@ def main() -> None:
 
     shutil.rmtree(work, ignore_errors=True)
 
+    done.set()  # result reached: disarm the watchdog
     print(json.dumps({
         "metric": "ingest_throughput_2x10min_vlog_mp4",
         "value": round(realtime, 3),
