@@ -94,17 +94,27 @@ def main() -> None:
     import threading
 
     done = threading.Event()
+    partial: dict = {}  # filled once the headline + recall numbers exist
 
     def _watchdog():
         if not done.wait(1620.0):
-            print(json.dumps({
-                "metric": "ingest_throughput_2x10min_vlog_mp4",
-                "value": 0.0,
-                "unit": "video-hours/hour/chip (x realtime)",
-                "vs_baseline": 0.0,
-                "extra": {"error": "bench watchdog fired: device backend "
-                          "unresponsive (transport outage)"},
-            }), flush=True)
+            if partial:
+                # the REQUIRED numbers were measured; only an extra hung —
+                # report them rather than a false outage
+                out = dict(partial)
+                out.setdefault("extra", {})["watchdog"] = (
+                    "fired during optional extras; headline/recall are real"
+                )
+                print(json.dumps(out), flush=True)
+            else:
+                print(json.dumps({
+                    "metric": "ingest_throughput_2x10min_vlog_mp4",
+                    "value": 0.0,
+                    "unit": "video-hours/hour/chip (x realtime)",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": "bench watchdog fired: device backend "
+                              "unresponsive (transport outage)"},
+                }), flush=True)
             os._exit(0)
 
     threading.Thread(target=_watchdog, daemon=True).start()
@@ -199,9 +209,8 @@ def main() -> None:
     # ---- measured ingest: 2x 10-min vlog, MEDIAN of 2 runs -------------------
     # a single run on this tunneled transport has been observed +-30% and once
     # lost 78 s to a read wedge (BENCH_r01 48.8x vs 66.7x same-day local); the
-    # median of two 20-minute-media runs makes the committed headline robust
-    # to one pathological run. Each run ingests fresh copies (fresh video_ids)
-    # through the same warm engine.
+    # median of THREE 20-minute-media runs absorbs one pathological run. Each
+    # run ingests fresh copies (fresh video_ids) through the same warm engine.
     def _timer_totals():
         return {k: v["total_s"] for k, v in mem.timers.summary().items()}
 
@@ -279,6 +288,18 @@ def main() -> None:
         index.search(rng.normal(size=1024).astype(np.float32), top_k_per_event=5, global_top_k=5)
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(lat, 50) * 1000)
+
+    partial.update({
+        "metric": "ingest_throughput_2x10min_vlog_mp4",
+        "value": round(realtime, 3),
+        "unit": "video-hours/hour/chip (x realtime)",
+        "vs_baseline": round(realtime / 50.0, 4),
+        "extra": {
+            "ingest_runs_x": [round(x, 3) for x in run_multiples],
+            "recall_e2e_ms": round(recall_e2e_ms, 2),
+            "detailed_recall_p50_ms": round(p50_ms, 2),
+        },
+    })
 
     # ---- decode-realism ingest: 2 min @ 30 fps -------------------------------
     realtime30, wall30 = None, None
@@ -373,11 +394,12 @@ def main() -> None:
         try:
             import subprocess
 
+            remaining = max(60.0, 1560.0 - (time.perf_counter() - t_bench_start))
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "qa_accuracy.py"),
                  "--cpu", "--duration", "90", "--scene-seconds", "15", "--questions", "8"],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=min(900.0, remaining),
                 env={**os.environ, "JAX_PLATFORMS": "cpu"},
             )
             qa5 = json.loads(proc.stdout.strip().splitlines()[-1])

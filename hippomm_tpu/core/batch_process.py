@@ -758,12 +758,17 @@ def process_video_folder(
             logger.exception("failed on %s", video_id)
             stats["failed"] += 1
             stats["errors"][video_id] = repr(e)
-            # drop the pending ASR future + cached track for the failed video:
-            # dispatch_asr registers them before process_sequence pops them, so
-            # a failure in between would retain device token buffers for the
-            # life of the engine (accumulating across a large failing folder)
+            # drop everything the failed video left in the engine: the
+            # pending ASR future + device token buffers (registered before
+            # process_sequence pops them), the cached waveform/transcript,
+            # and any encoded STMs/consolidated merge — replay never ran, so
+            # the post-replay eviction that keeps folder RSS flat never fired
             mem._asr_futures.pop(video_id, None)
             mem._full_audio.pop(video_id, None)
+            mem._full_transcript.pop(video_id, None)
+            mem._transcript_full_track.discard(video_id)
+            mem.short_term_buffer.pop(video_id, None)
+            mem.consolidated.pop(video_id, None)
         # cadence over the videos actually being processed (pos), not the
         # pre-filter enumerate index — skip-existing interleaving would
         # otherwise leave long stretches of processed videos uncheckpointed

@@ -668,8 +668,12 @@ class HippocampalMemory:
         # the cached 16 kHz track is ~38 MB per 10-minute video; detailed
         # recall re-slices from the persisted audio.npy when this is gone
         # (retrieval/qa._audio_for_windows), so a large folder ingest must
-        # not accumulate every video's waveform in host memory
+        # not accumulate every video's waveform in host memory. The full ASR
+        # segment list is likewise consumed (it became the event's holistic
+        # entries above) and must not accumulate either.
         self._full_audio.pop(video_id, None)
+        self._full_transcript.pop(video_id, None)
+        self._transcript_full_track.discard(video_id)
         return event
 
     def _summarize_event(

@@ -33,20 +33,27 @@ def _validate_features(feats: Optional[np.ndarray], name: str) -> Optional[np.nd
     return arr
 
 
-def _normalize_transcript_list(x, fallback_start: float = 0.0) -> List[Dict[str, Any]]:
+def _normalize_transcript_list(
+    x, fallback_start: float = 0.0, per_item_starts=None
+) -> List[Dict[str, Any]]:
     """Coerce a transcription field to the reference's list-of-entries form:
     strings (legacy events/checkpoints) wrap as single entries; entry dicts
-    pass through."""
+    pass through. per_item_starts supplies each legacy string's own start
+    time (events stored audio_times aligned 1:1 with the string list —
+    collapsing them to one fallback would break speech localization on old
+    stores)."""
     if isinstance(x, str):
         x = [x] if x.strip() else []
+    starts = list(per_item_starts or [])
     out: List[Dict[str, Any]] = []
-    for item in x or []:
+    for i, item in enumerate(x or []):
         if isinstance(item, dict):
             out.append(item)
         else:
             txt = str(item).strip()
             if txt:
-                out.append({"text": txt, "start": float(fallback_start)})
+                st = float(starts[i]) if i < len(starts) else float(fallback_start)
+                out.append({"text": txt, "start": st})
     return out
 
 
@@ -155,7 +162,7 @@ class ThetaEvent:
         if not self.event_id and self.video_id:
             self.event_id = f"{self.video_id}_{int(self.start_time * 1000)}"
         self.audio_transcription = _normalize_transcript_list(
-            self.audio_transcription, self.start_time
+            self.audio_transcription, self.start_time, per_item_starts=self.audio_times
         )
         if isinstance(self.holistic_audio_transcription, str):
             # legacy/convenience: a flat string becomes one whole-span entry

@@ -443,6 +443,7 @@ class QARecallSystem:
 
         frames_list: List[np.ndarray] = []
         kept_times: List[float] = []
+        used_kf = set()
         for t, kind, s in plan:
             if kind == "jpg":
                 try:
@@ -451,6 +452,21 @@ class QARecallSystem:
                     continue
             elif s in decoded:
                 frames_list.append(decoded[s])
+            elif len(kf_times):
+                # mp4 decode failed (source moved/corrupt): degrade to the
+                # nearest stored keyframe regardless of distance — approximate
+                # captions beat an empty retrieval
+                j = int(np.searchsorted(kf_times, t))
+                cands = [c for c in (j - 1, j) if 0 <= c < len(kf_times)]
+                best = min(cands, key=lambda c: abs(kf_times[c] - t))
+                if best in used_kf:
+                    continue
+                used_kf.add(best)
+                try:
+                    frames_list.append(read_jpeg(ev_frames[best][1]))
+                    t = float(kf_times[best])
+                except OSError:
+                    continue
             else:
                 continue
             kept_times.append(t)

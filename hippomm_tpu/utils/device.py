@@ -58,16 +58,24 @@ def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
     import threading
 
     t_start = time.monotonic()
+
+    def _left() -> float:
+        """Remaining give_up budget; inf when unbounded."""
+        if give_up_s is None:
+            return float("inf")
+        return give_up_s - (time.monotonic() - t_start)
+
     attempt = x
     for i in range(6):
-        if give_up_s is not None and time.monotonic() - t_start > give_up_s:
+        if _left() <= 0:
             break
         # small payloads (keyframe masks, top-k results) read in ~ms when the
         # transport is healthy — a wedged read should retry after ~3 s, not
         # sit out a generous bulk-transfer budget (r01 bench: eight ~8 s mask
         # wedges cost 30% of an ingest run). Escalate per attempt; bulk
-        # payloads keep the ~3 MB/s worst-case d2h allowance.
-        timeout = max(3.0 * (1.6**i), nbytes / 3e6)
+        # payloads keep the ~3 MB/s worst-case d2h allowance. Every wait is
+        # clipped to the remaining give_up budget so it bounds TOTAL time.
+        timeout = min(max(3.0 * (1.6**i), nbytes / 3e6), max(_left(), 0.2))
         box: "queue_mod.Queue" = queue_mod.Queue()
         t = threading.Thread(
             target=lambda a=attempt: box.put(np.asarray(a)), daemon=True
@@ -89,7 +97,7 @@ def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
             # is briefly wedged, a 120 s readiness poll per attempt turns a
             # transient stall into a multi-minute cascade — try the read
             # after ~10 s regardless; an in-flight read blocks correctly
-            _wait_ready(attempt, timeout_s=10.0)
+            _wait_ready(attempt, timeout_s=min(10.0, max(_left(), 0.2)))
     # last resort: ONE long bounded read, then raise. An unbounded block here
     # would hang the whole pipeline forever on a dead transport (observed: the
     # tunnel can wedge globally for 20+ minutes); raising instead lets the
@@ -155,9 +163,10 @@ def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
 def fetch(x, dtype=None, give_up_s: float = None) -> np.ndarray:
     """Materialize a (possibly in-flight) jax array as numpy, safely.
 
-    give_up_s bounds the TOTAL time spent fighting a wedged read before
-    raising TimeoutError — for callers with a host-side fallback (e.g. the
-    keyframe scanner re-scores on host numpy)."""
+    give_up_s bounds each phase — the readiness wait, then the read-retry
+    cascade — before raising TimeoutError, so worst-case total is ~2x
+    give_up_s. For callers with a host-side fallback (e.g. the keyframe
+    scanner re-scores on host numpy)."""
     global _WIDEN
     if isinstance(x, np.ndarray):
         return x if dtype is None else np.asarray(x, dtype)
