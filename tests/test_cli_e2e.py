@@ -357,3 +357,11 @@ def test_folder_driver_survives_wedged_video(tmp_path):
     assert len(stats["errors"]) == 1
     assert not mem._asr_futures  # failed video's pending future was dropped
     assert len(mem.long_term_store) == 1  # the healthy video produced its event
+    # NOTHING of either video lingers in the engine: the healthy one was
+    # evicted after replay, the failed one by the per-video error cleanup —
+    # folder-ingest RSS stays flat even across failures
+    assert not mem.short_term_buffer
+    assert not mem.consolidated
+    assert not mem._full_audio
+    assert not mem._full_transcript
+    assert not mem._transcript_full_track

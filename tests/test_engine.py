@@ -254,3 +254,28 @@ def test_profile_dir_writes_trace(engine_factory, tmp_path):
 
     files = glob.glob(str(tmp_path / "trace" / "**" / "*"), recursive=True)
     assert any("trace" in f or f.endswith(".pb") or f.endswith(".json.gz") for f in files), files
+
+
+def test_legacy_transcript_entries_keep_per_item_starts():
+    """Loading a legacy event (audio_transcription as a string list aligned
+    1:1 with audio_times) must keep each snippet's own start time — collapsing
+    them to event start would localize every speech question to the first
+    seconds of the event (reference stores times in audio_times,
+    hippocampal_memory.py:104)."""
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    ev = ThetaEvent(
+        video_id="leg", start_time=0.0, end_time=30.0,
+        audio_transcription=["first words", "later words"],
+        audio_times=[5.0, 20.0],
+    )
+    assert [e["start"] for e in ev.audio_transcription] == [5.0, 20.0]
+    assert [e["text"] for e in ev.audio_transcription] == [
+        "first words", "later words"]
+
+    # no audio_times recorded: fall back to event start
+    ev2 = ThetaEvent(
+        video_id="leg2", start_time=3.0, end_time=9.0,
+        audio_transcription=["only snippet"],
+    )
+    assert ev2.audio_transcription[0]["start"] == 3.0

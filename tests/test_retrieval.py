@@ -337,3 +337,40 @@ def test_classifier_parses_compound_label(qa_env):
             assert qa._classify_question_type("q?") == want, reply
     finally:
         qa.reasoning = orig
+
+
+def test_frames_fallback_to_stored_keyframes_on_decode_failure(tmp_path):
+    """If the source mp4 can no longer be decoded (moved/corrupt after
+    ingest), detailed-recall windows degrade to the nearest stored keyframe
+    instead of returning zero frames (approximate captions beat an empty
+    retrieval)."""
+    from hippomm_tpu.media.io import write_jpeg
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+
+    rng = np.random.default_rng(3)
+    kf_paths = []
+    for i in range(2):
+        p = str(tmp_path / f"kf_{i}.jpg")
+        write_jpeg(p, rng.integers(0, 255, size=(120, 160, 3)).astype(np.uint8))
+        kf_paths.append(p)
+    ev = ThetaEvent(
+        video_id="gone", start_time=0.0, end_time=30.0,
+        frames=kf_paths, frame_times=[0.0, 2.0],
+    )
+    mem.long_term_store = [ev]
+    # path registered at ingest time, but the file no longer exists
+    mem.store.add_video("gone", str(tmp_path / "moved_away.mp4"))
+    qa = QARecallSystem(mem, cfg)
+
+    # window far from any stored keyframe: samples plan as mp4 decodes,
+    # the decode fails, and the nearest keyframe (t=2.0) substitutes once
+    jpegs, times = qa._frames_for_windows("gone", [(10.0, 12.0)])
+    assert len(jpegs) == 1
+    assert times == [2.0]
