@@ -37,6 +37,13 @@ class SearchHit:
 class FeatureSearchIndex:
     """Packed on-device feature store for one modality across many events."""
 
+    #: above this row count the host matmul (~0.3 ms / 1k rows on one core)
+    #: costs more than any sane device round trip — start on device
+    HOST_PREFER_MAX_ROWS = 300_000
+    #: re-probe the slower backend every N queries so routing recovers when
+    #: the transport heals (or degrades)
+    PROBE_EVERY = 32
+
     def __init__(self, modality: str):
         self.modality = modality
         self._feats: Optional[np.ndarray] = None
@@ -45,6 +52,10 @@ class FeatureSearchIndex:
         self.videos: List[str] = []
         self.times: np.ndarray = np.zeros((0,), np.float64)
         self.in_event_idx: np.ndarray = np.zeros((0,), np.int64)
+        self._row_norms: Optional[np.ndarray] = None
+        # measured-latency router state (see _route)
+        self._lat: Dict[str, Optional[float]] = {"host": None, "device": None}
+        self._n_queries = 0
 
     @classmethod
     def build(cls, events: Sequence[ThetaEvent], modality: str) -> "FeatureSearchIndex":
@@ -79,10 +90,93 @@ class FeatureSearchIndex:
             self._device = jax.device_put(self._feats)
         return self._device
 
+    # -- measured adaptive host/device routing --------------------------------
+    #
+    # A single-query top-k over a product-scale store (10k-100k rows) is a
+    # mat-vec: ~40 MFLOP, ~3 ms on one host core — but ONE device dispatch +
+    # synchronizing read costs ~60 ms on a healthy tunneled link and 200 ms+
+    # on a degraded one (observed). Routing by MEASURED latency serves every
+    # environment at its own speed of light: direct-PCIe hosts converge to the
+    # device program (wins above ~200k rows or ~1 ms RTTs), tunneled/degraded
+    # links converge to host numpy, and the periodic re-probe follows the
+    # transport as it heals or wedges. HIPPOMM_TOPK_ROUTE=host|device pins it.
+
+    def _route(self) -> str:
+        import os
+
+        forced = os.environ.get("HIPPOMM_TOPK_ROUTE")
+        if forced in ("host", "device"):
+            return forced
+        if os.environ.get("HIPPOMM_PALLAS_TOPK") == "1":
+            return "device"
+        lh, ld = self._lat["host"], self._lat["device"]
+        if lh is None and ld is None:
+            return "host" if len(self) <= self.HOST_PREFER_MAX_ROWS else "device"
+        if lh is None:
+            return "host"
+        if ld is None:
+            # measure the device path once routing has host numbers, but not
+            # on the very first queries (its first run pays a compile)
+            return "device" if self._n_queries >= 8 else "host"
+        best = "host" if lh <= ld else "device"
+        if self._n_queries % self.PROBE_EVERY == 0:
+            return "device" if best == "host" else "host"
+        return best
+
+    def _note_latency(self, path: str, dt: float) -> None:
+        old = self._lat[path]
+        # improvements adopt immediately (first warm run after a compile),
+        # regressions damp (one wedged read shouldn't flip routing for long)
+        self._lat[path] = dt if old is None else min(dt, 0.7 * old + 0.3 * dt)
+
+    def _norms(self) -> np.ndarray:
+        if self._row_norms is None:
+            self._row_norms = np.maximum(
+                np.linalg.norm(self._feats, axis=1), 1e-8
+            ).astype(np.float32)
+        return self._row_norms
+
+    def _topk_host(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact cosine top-k on host numpy: raw-feature mat-vec divided by
+        precomputed row norms (no normalized second copy of the store)."""
+        q = fetch(q, np.float32).reshape(-1)  # device-resident queries read once
+        qn = q / max(float(np.linalg.norm(q)), 1e-8)
+        s = (self._feats @ qn) / self._norms()
+        k = min(k, s.shape[0])
+        part = np.argpartition(-s, k - 1)[:k]
+        order = part[np.argsort(-s[part], kind="stable")]
+        return s[order], order.astype(np.int64)
+
+    def _topk_batch_host(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        qn = queries / np.maximum(
+            np.linalg.norm(queries, axis=1, keepdims=True), 1e-8
+        )
+        s = (qn @ self._feats.T) / self._norms()[None, :]
+        k = min(k, s.shape[1])
+        part = np.argpartition(-s, k - 1, axis=1)[:, :k]
+        rows = np.arange(s.shape[0])[:, None]
+        order = np.argsort(-np.take_along_axis(s, part, 1), axis=1, kind="stable")
+        idx = np.take_along_axis(part, order, 1)
+        return np.take_along_axis(s, idx, 1), idx.astype(np.int64)
+
     def _topk(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """One fused normalize+matmul+top-k over the packed store; returns
-        host (k,) values + global row indices. Overridden by the sharded
-        backend (parallel/sharded_store.ShardedFeatureIndex)."""
+        host (k,) values + global row indices — on whichever backend the
+        measured-latency router picks. Overridden by the sharded backend
+        (parallel/sharded_store.ShardedFeatureIndex)."""
+        import time
+
+        self._n_queries += 1
+        path = self._route()
+        t0 = time.perf_counter()
+        if path == "host":
+            out = self._topk_host(q, k)
+        else:
+            out = self._topk_device(q, k)
+        self._note_latency(path, time.perf_counter() - t0)
+        return out
+
+    def _topk_device(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         import os
 
         if os.environ.get("HIPPOMM_PALLAS_TOPK") == "1":
@@ -104,7 +198,21 @@ class FeatureSearchIndex:
         return packed[0], packed[1].astype(np.int64)
 
     def _topk_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """(Q, D) queries → ((Q, k) values, (Q, k) global indices)."""
+        """(Q, D) queries → ((Q, k) values, (Q, k) global indices), routed
+        like _topk (one mat-MAT either way)."""
+        import time
+
+        self._n_queries += 1
+        path = self._route()
+        t0 = time.perf_counter()
+        if path == "host":
+            out = self._topk_batch_host(queries, k)
+        else:
+            out = self._topk_batch_device(queries, k)
+        self._note_latency(path, time.perf_counter() - t0)
+        return out
+
+    def _topk_batch_device(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         if len(self) >= 2**24:
             from hippomm_tpu.ops.similarity import top_k_cosine
 

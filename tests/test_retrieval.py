@@ -374,3 +374,69 @@ def test_frames_fallback_to_stored_keyframes_on_decode_failure(tmp_path):
     jpegs, times = qa._frames_for_windows("gone", [(10.0, 12.0)])
     assert len(jpegs) == 1
     assert times == [2.0]
+
+
+def test_topk_host_route_matches_device(rng=None):
+    """The measured-latency router's host path returns the same hits as the
+    device program (HIPPOMM_TOPK_ROUTE pins each)."""
+    import os
+
+    rng = np.random.default_rng(11)
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    events = [
+        ThetaEvent(
+            video_id=f"v{i}",
+            features={"vision": rng.normal(size=(20, 1024)).astype(np.float32)},
+            feature_times={"vision": list(np.arange(20.0))},
+            end_time=20.0,
+        )
+        for i in range(30)
+    ]
+    index = FeatureSearchIndex.build(events, "vision")
+    qs = rng.normal(size=(4, 1024)).astype(np.float32)
+    try:
+        os.environ["HIPPOMM_TOPK_ROUTE"] = "device"
+        dev = [index.search(q, top_k_per_event=5, global_top_k=5) for q in qs]
+        dev_b = index.search_batch(qs, top_k_per_event=5, global_top_k=5)
+        os.environ["HIPPOMM_TOPK_ROUTE"] = "host"
+        host = [index.search(q, top_k_per_event=5, global_top_k=5) for q in qs]
+        host_b = index.search_batch(qs, top_k_per_event=5, global_top_k=5)
+    finally:
+        del os.environ["HIPPOMM_TOPK_ROUTE"]
+    for a, b in zip(dev + dev_b, host + host_b):
+        assert [h.event_id for h in a] == [h.event_id for h in b]
+        assert [h.index_in_event for h in a] == [h.index_in_event for h in b]
+        np.testing.assert_allclose(
+            [h.similarity for h in a], [h.similarity for h in b], atol=1e-5
+        )
+
+
+def test_topk_router_adapts_to_measured_latency():
+    """Routing converges to the faster backend and periodically re-probes the
+    slower one so it can recover."""
+    rng = np.random.default_rng(12)
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    events = [
+        ThetaEvent(
+            video_id="v0",
+            features={"vision": rng.normal(size=(50, 1024)).astype(np.float32)},
+            feature_times={"vision": list(np.arange(50.0))},
+            end_time=50.0,
+        )
+    ]
+    index = FeatureSearchIndex.build(events, "vision")
+    # pretend the device path is pathologically slow (wedged transport)
+    index._lat = {"host": 0.003, "device": 5.0}
+    index._n_queries = 1
+    routes = []
+    for _ in range(FeatureSearchIndex.PROBE_EVERY + 2):
+        index._n_queries += 1
+        routes.append(index._route())
+    assert routes.count("host") >= FeatureSearchIndex.PROBE_EVERY - 1
+    assert "device" in routes  # the slower path still gets re-probed
+    # transport heals: a fast device probe flips routing immediately
+    index._note_latency("device", 0.0005)
+    index._n_queries += 1
+    assert index._route() == "device"
