@@ -15,8 +15,10 @@ vs the host implementation is oracle-tested (tests/test_libav.py).
 
 from __future__ import annotations
 
+import logging
+import time
 from functools import partial
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -110,6 +112,8 @@ class _MaskHandle:
     def is_ready(self) -> bool:
         if self._val is not None or self._dev is None:
             return True
+        if self._scanner.host_mode:
+            return True  # will materialize via the host walk, not the device
         return bool(self._dev.is_ready()) if hasattr(self._dev, "is_ready") else True
 
     def get(self) -> np.ndarray:
@@ -142,6 +146,7 @@ class KeyframeScanner:
         min_interval_s: float = 1.0,
         block: int = BLOCK,
         wedge_patience_s: float = 20.0,
+        slow_flip_s: float = 0.75,
     ):
         self.block = block
         self._ref = jnp.zeros((h, w), jnp.float32)
@@ -153,9 +158,20 @@ class KeyframeScanner:
         self._thr_j = jnp.float32(max_diff_threshold)
         self._gap_j = jnp.float32(min_interval_s)
         self.wedge_patience_s = wedge_patience_s
+        # a CHRONICALLY slow transport (every small read 2-4 s — observed on
+        # this tunnel) never trips the 20 s wedge patience but can still eat
+        # most of a 30 fps ingest: track an EMA of device mask-read latency
+        # and flip to host scoring once it exceeds slow_flip_s (host walk is
+        # ~5 ms/block and numerically identical)
+        self.slow_flip_s = slow_flip_s
+        self._dev_read_ema: float = 0.0
         self.host_mode = False
         self._fed: List[Tuple[np.ndarray, np.ndarray]] = []  # (grays, times)
         self._host_next = 0  # next block index the host carry has consumed
+        # catch-up masks computed for blocks whose handles haven't been
+        # materialized yet (handles may lag feeds by the pipeline's hold depth)
+        self._host_masks: Dict[int, np.ndarray] = {}
+        self._delivered: set = set()  # block indices whose mask already went out
         self._href = None
         self._hcum = 0.0
         self._htlast = -1e9
@@ -169,7 +185,7 @@ class KeyframeScanner:
         idx = len(self._fed) - 1
         if self.host_mode:
             h = _MaskHandle(self, idx, None)
-            h._val = self._host_step(idx)
+            h._val = self._host_mask(idx)
             return h
         if m < self.block:
             grays = np.concatenate([grays, np.repeat(grays[-1:], self.block - m, axis=0)])
@@ -181,40 +197,62 @@ class KeyframeScanner:
         )
         return _MaskHandle(self, idx, saves[:m])
 
-    def _host_step(self, idx: int) -> np.ndarray:
-        g, t = self._fed[idx]
-        mask, self._href, self._hcum, self._htlast = _host_walk(
-            g, t, self._href, self._hcum, self._htlast, self._thr, self._gap
-        )
-        self._host_next = idx + 1
-        return mask
+    def _host_mask(self, idx: int) -> np.ndarray:
+        """Host mask for block `idx`, advancing the host carry through every
+        not-yet-consumed earlier block first (feeds and materializations can
+        interleave arbitrarily after a mid-stream flip — the carry must walk
+        blocks strictly in feed order regardless of who asks first)."""
+        while self._host_next <= idx:
+            i = self._host_next
+            g, t = self._fed[i]
+            mask, self._href, self._hcum, self._htlast = _host_walk(
+                g, t, self._href, self._hcum, self._htlast, self._thr, self._gap
+            )
+            if i not in self._delivered:  # device-served blocks need no cache
+                self._host_masks[i] = mask
+            self._host_next = i + 1
+        self._delivered.add(idx)
+        return self._host_masks.pop(idx)
 
     def _materialize(self, h: _MaskHandle) -> np.ndarray:
         if h._val is not None:
             return h._val
         if not self.host_mode:
             try:
+                t0 = time.perf_counter()
                 h._val = fetch(h._dev, give_up_s=self.wedge_patience_s)
+                dt = time.perf_counter() - t0
+                # improvements adopt immediately, spikes damp (mirrors
+                # retrieval/search's router); the first read of a video often
+                # includes program-queue warmup and shouldn't flip alone
+                self._dev_read_ema = (
+                    dt if self._dev_read_ema == 0.0
+                    else min(dt, 0.6 * self._dev_read_ema + 0.4 * dt)
+                )
+                if self._dev_read_ema > self.slow_flip_s and h._idx >= 1:
+                    logging.getLogger(__name__).warning(
+                        "keyframe mask reads averaging %.1fs (> %.2fs) — "
+                        "switching this scan to host scoring",
+                        self._dev_read_ema, self.slow_flip_s,
+                    )
+                    self.host_mode = True
                 h._dev = None
+                self._delivered.add(h._idx)
                 return h._val
             except TimeoutError:
-                import logging
-
                 logging.getLogger(__name__).warning(
                     "keyframe mask read wedged >%.0fs — switching this video's "
                     "scan to host scoring", self.wedge_patience_s,
                 )
                 self.host_mode = True
-        # replay (or continue) the host carry up to this block, in feed order
-        while self._host_next <= h._idx:
-            idx = self._host_next
-            mask = self._host_step(idx)
-            if idx == h._idx:
-                h._val = mask
+        h._val = self._host_mask(h._idx)
+        h._dev = None
         return h._val
 
     def close(self) -> None:
         self._fed.clear()
+        self._host_masks.clear()
+        self._delivered.clear()
 
 
 def select_keyframes_device(

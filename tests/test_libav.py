@@ -417,3 +417,53 @@ def test_keyframe_scanner_host_fallback_matches_device(monkeypatch):
     extra = scanner.feed(grays[:32], times[n - 1] + 1.0 + np.arange(32, dtype=np.float32))
     assert extra._dev is None and extra.is_ready()
     assert extra.get().shape == (32,)
+
+
+def test_keyframe_scanner_slow_transport_flip_with_pending_handles(monkeypatch):
+    """A chronically SLOW (but not wedged) transport flips the scanner to host
+    scoring via the read-latency EMA — and the flip is correct even when later
+    blocks were already fed (device handles pending) and feeds/materializations
+    interleave out of order afterwards, as the streaming pipeline does."""
+    import hippomm_tpu.ops.keyframe as kf
+
+    rng = np.random.default_rng(11)
+    n, h, w = 160, 72, 128
+    base = rng.integers(60, 200, size=(h, w)).astype(np.float32)
+    drift = rng.normal(0, 1, size=(h, w))
+    grays = np.empty((n, h, w), np.uint8)
+    for i in range(n):
+        grays[i] = np.clip(base + drift * i * 1.3 + 9 * np.sin(i / 3.0), 0, 255).astype(np.uint8)
+    times = np.arange(n, dtype=np.float32)
+
+    want = kf.select_keyframes_device(grays, times, 0.3, 1.0, block=32)
+
+    real_fetch = kf.fetch
+
+    def slow_fetch(x, dtype=None, give_up_s=None):
+        slow_fetch.calls += 1
+        out = real_fetch(x, give_up_s=give_up_s)
+        # simulate a 2 s read without sleeping: inflate the measured latency
+        import time as _t
+        t0 = _t.perf_counter
+        monkeypatch.setattr(_t, "perf_counter", lambda: t0() + slow_fetch.calls * 2.0)
+        return out
+
+    slow_fetch.calls = 0
+
+    scanner = kf.KeyframeScanner(h, w, 0.3, 1.0, block=32, slow_flip_s=0.75)
+    # feed blocks 0..2 before materializing anything (pipeline hold depth 3)
+    handles = [scanner.feed(grays[b0 : b0 + 32], times[b0 : b0 + 32]) for b0 in (0, 32, 64)]
+    monkeypatch.setattr(kf, "fetch", slow_fetch)
+    m0 = handles[0].get()  # first read: EMA seeds but no flip (idx 0)
+    assert not scanner.host_mode
+    m1 = handles[1].get()  # second slow read: EMA > threshold -> flip
+    assert scanner.host_mode
+    # feed blocks 3 and 4 AFTER the flip, with handle 2 still pending
+    h3 = scanner.feed(grays[96:128], times[96:128])
+    h4 = scanner.feed(grays[128:160], times[128:160])
+    assert handles[2].is_ready()  # host mode: no device wait needed
+    m2 = handles[2].get()  # host replay must have walked block 2 before 3
+    mask = np.concatenate([m0, m1, m2, h3.get(), h4.get()])
+    got = [int(i) for i in np.nonzero(mask)[0]]
+    assert got == want
+    assert scanner._host_masks == {}  # catch-up cache fully drained
