@@ -180,11 +180,10 @@ def _l2norm(x: jax.Array) -> jax.Array:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
 
 
-@partial(jax.jit, static_argnames=("cfg", "dtype"))
-def vision_forward(
+def vision_embed(
     params: Dict, images: jax.Array, cfg: ImageBindConfig, dtype=jnp.bfloat16
 ) -> jax.Array:
-    """images: (B, 3, S, S) normalized fp32 -> (B, 1024) L2-normalized.
+    """Patchify + CLS + pos-embed + pre-LN: (B, 3, S, S) -> (B, N, W) fp32.
 
     ImageBind pads images to a 2-frame clip (repeat) before the Conv3d
     patchify; with stride T=2 that collapses back to one temporal slot, so the
@@ -206,11 +205,28 @@ def vision_forward(
     x = x.reshape(b, cfg.vision.width, -1).transpose(0, 2, 1)  # (B, N, W)
     cls = jnp.broadcast_to(p["cls_token"], (b, 1, cfg.vision.width)).astype(jnp.float32)
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(jnp.float32)
-    x = L.layer_norm(p["pre_ln"], x, cfg.vision.eps)
-    x = L.stacked_blocks(p["blocks"], x, cfg.vision.heads, eps=cfg.vision.eps, dtype=dtype)
-    x = L.layer_norm(p["head_ln"], x[:, 0], cfg.vision.eps)
+    return L.layer_norm(p["pre_ln"], x, cfg.vision.eps)
+
+
+def vision_head(
+    params: Dict, cls_tok: jax.Array, cfg: ImageBindConfig, dtype=jnp.bfloat16
+) -> jax.Array:
+    """Final LN + projection on the CLS token: (B, W) -> (B, 1024) unit-norm."""
+    p = params["vision"]
+    x = L.layer_norm(p["head_ln"], cls_tok, cfg.vision.eps)
     x = jnp.dot(x.astype(dtype), p["head_proj"]["weight"].T.astype(dtype), preferred_element_type=jnp.float32)
     return _l2norm(x)
+
+
+@partial(jax.jit, static_argnames=("cfg", "dtype"))
+def vision_forward(
+    params: Dict, images: jax.Array, cfg: ImageBindConfig, dtype=jnp.bfloat16
+) -> jax.Array:
+    """images: (B, 3, S, S) normalized fp32 -> (B, 1024) L2-normalized."""
+    p = params["vision"]
+    x = vision_embed(params, images, cfg, dtype)
+    x = L.stacked_blocks(p["blocks"], x, cfg.vision.heads, eps=cfg.vision.eps, dtype=dtype)
+    return vision_head(params, x[:, 0], cfg, dtype)
 
 
 @partial(jax.jit, static_argnames=("cfg", "dtype"))

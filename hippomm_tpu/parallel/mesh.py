@@ -26,17 +26,31 @@ def make_mesh(
     n_devices: Optional[int] = None,
     model_parallel: int = 1,
     devices: Optional[Sequence] = None,
+    pipeline_parallel: int = 1,
 ) -> Mesh:
-    """("data", "model") mesh over the local devices.
+    """("data", "model") mesh over the local devices — or, with
+    pipeline_parallel > 1, a ("data", "pipe", "model") mesh for the GPipe
+    path (parallel/megatron.py).
 
-    model_parallel must divide the device count; data gets the rest.
+    model_parallel (× pipeline_parallel) must divide the device count; data
+    gets the rest. Axis order puts "model" innermost so tensor-parallel
+    collectives ride the fastest ICI links, with pipe point-to-point
+    (ppermute) on the next ring out.
     """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
-    if n % model_parallel != 0:
-        raise ValueError(f"model_parallel={model_parallel} must divide device count {n}")
+    if n % (model_parallel * pipeline_parallel) != 0:
+        raise ValueError(
+            f"model_parallel={model_parallel} x pipeline_parallel="
+            f"{pipeline_parallel} must divide device count {n}"
+        )
+    if pipeline_parallel > 1:
+        arr = np.asarray(devs).reshape(
+            n // (model_parallel * pipeline_parallel), pipeline_parallel, model_parallel
+        )
+        return Mesh(arr, ("data", "pipe", "model"))
     arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, ("data", "model"))
 

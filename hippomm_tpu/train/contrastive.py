@@ -67,6 +67,91 @@ def init_train_state(
     return params, opt_state, tx, shardings
 
 
+def init_train_state_pp(
+    key: jax.Array,
+    cfg: ImageBindConfig,
+    mesh,
+    learning_rate: float = 1e-5,
+    weight_decay: float = 0.01,
+):
+    """Train state for the dp×pp×tp×sp step on a ("data","pipe","model") mesh.
+
+    The vision block stack moves into the pipeline layout
+    (parallel/megatron.py: (S, L/S, ...) leaves, qkv split for head-sharding)
+    and is stage-sharded over "pipe" / head-sharded over "model"; everything
+    else (patchify, heads, text tower) keeps the GSPMD TP rules. Returns
+    (state_params, opt_state, tx, shardings) where state_params =
+    {"base": params-without-vision-blocks, "blocks": staged pipeline leaves}.
+    """
+    from hippomm_tpu.parallel.megatron import (
+        add_stage_axis,
+        place_tp_params,
+        tp_block_layout,
+    )
+
+    params = init_imagebind(key, cfg)
+    staged = add_stage_axis(
+        tp_block_layout(params["vision"]["blocks"]), mesh.shape["pipe"]
+    )
+    staged = place_tp_params(staged, mesh, staged=True)
+    base = {k: (dict(v) if isinstance(v, dict) else v) for k, v in params.items()}
+    del base["vision"]["blocks"]
+    base_sh = param_shardings(base, mesh)
+    base = jax.device_put(base, base_sh)
+    state_params = {"base": base, "blocks": staged}
+    shardings = {
+        "base": base_sh,
+        "blocks": jax.tree.map(lambda x: x.sharding, staged),
+    }
+    tx = optax.adamw(learning_rate, weight_decay=weight_decay)
+    opt_state = tx.init(state_params)
+    return state_params, opt_state, tx, shardings
+
+
+def make_train_step_pp(
+    cfg: ImageBindConfig,
+    mesh,
+    tx,
+    shardings,
+    n_micro: int = 2,
+    dtype=jnp.bfloat16,
+    remat: bool = False,
+):
+    """Contrastive train step where the vision tower runs as a GPipe pipeline
+    (dp × pp × tp × sp, parallel/megatron.py) and the text tower under GSPMD
+    TP. Differentiates straight through ppermute/all_gather/psum_scatter."""
+    from hippomm_tpu.parallel.megatron import vision_forward_pp
+
+    def loss_fn(sp, images, tokens):
+        v = vision_forward_pp(
+            sp["base"], sp["blocks"], images, cfg, mesh,
+            n_micro=n_micro, dtype=dtype, remat=remat,
+        )
+        t = text_forward(sp["base"], tokens, cfg, dtype)
+        logits = jnp.dot(v, t.T, preferred_element_type=jnp.float32)
+        labels = jnp.arange(logits.shape[0])
+        loss_v2t = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        loss_t2v = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+        loss = 0.5 * (loss_v2t + loss_t2v)
+        acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+        return loss, {"loss": loss, "accuracy": acc}
+
+    def step(sp, opt_state, images, tokens):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            sp, images, tokens
+        )
+        updates, opt_state = tx.update(grads, opt_state, sp)
+        sp = optax.apply_updates(sp, updates)
+        return sp, opt_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(shardings, None, data_sharding(mesh, 4), data_sharding(mesh, 2)),
+        out_shardings=(shardings, None, None),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_train_step(cfg: ImageBindConfig, mesh, tx, shardings, dtype=jnp.bfloat16):
     """Jitted pjit train step: (params, opt_state, images, tokens) → updated."""
 
