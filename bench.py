@@ -206,7 +206,7 @@ def main() -> None:
 
     warm_keyframe_buckets(max_n=128)
 
-    # ---- measured ingest: 2x 10-min vlog, MEDIAN of 2 runs -------------------
+    # ---- measured ingest: 2x 10-min vlog, MEDIAN of 3 runs -------------------
     # a single run on this tunneled transport has been observed +-30% and once
     # lost 78 s to a read wedge (BENCH_r01 48.8x vs 66.7x same-day local); the
     # median of THREE 20-minute-media runs absorbs one pathological run. Each

@@ -337,6 +337,7 @@ def extract_frames_streaming(
         for _, _, blk in pending:
             blk.close()
         pending.clear()
+        scanner.close()  # drop retained luma / host-walk caches
         reader.close()
         if not completed:
             jpeg_pool.shutdown(wait=False)

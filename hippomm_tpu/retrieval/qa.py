@@ -392,15 +392,15 @@ class QARecallSystem:
         ev_frames.sort()
         kf_times = np.asarray([t for t, _ in ev_frames])
 
-        # a stored keyframe within one sample period covers the sample: the
-        # extractor already sampled ≥1 Hz candidates and kept every frame that
-        # differed (diff > 0.3) from the last kept one, so the mp4 holds only
-        # near-duplicates between keyframes — exactly what this pathway's own
-        # 0.3 dedup gate discards after decoding them. Embedding-hit windows
-        # (±1 s around a keyframe time) therefore resolve entirely from stored
-        # JPEGs; mp4 decode remains for windows without keyframe coverage
-        # (LLM speech-timeframe windows over sparse regions).
-        tol = 1.0 / fps
+        # a stored keyframe within HALF a sample period covers the sample:
+        # embedding-hit windows are ±1 s around a keyframe time, so their
+        # samples land ON keyframes and resolve entirely from stored JPEGs;
+        # mp4 decode remains for windows without keyframe coverage (LLM
+        # speech-timeframe windows over sparse regions). Half a period — not
+        # a full one — because the extractor's ≥1 s save spacing can mask a
+        # scene cut: a keyframe ~1 s before the sample may sit on the wrong
+        # side of a cut whose own candidate was spacing-suppressed.
+        tol = 0.5 / fps
         plan: List[Tuple[float, str, object]] = []  # (time, kind, path-or-time)
         seen_src = set()
         for t in times:
@@ -619,28 +619,44 @@ class QARecallSystem:
         reference's flat start+5s default (hippocampal_memory.py:2340-2345)
         systematically truncates speech-window localization — content in the
         back half of a segment would re-transcribe the wrong audio."""
+        def spans(entries, event):
+            """(start, end, text) per entry; a missing 'end' (legacy string
+            lists normalize to text+start only) runs to the NEXT entry's
+            start, or the event end — never a flat +5 s."""
+            es = [
+                (float(tr.get("start", event.start_time)), tr)
+                for tr in entries
+                if tr.get("text")
+            ]
+            es.sort(key=lambda p: p[0])
+            res = []
+            for i, (st, tr) in enumerate(es):
+                if "end" in tr:
+                    en = float(tr["end"])
+                else:
+                    en = es[i + 1][0] if i + 1 < len(es) else float(event.end_time)
+                res.append((st, max(en, st + 0.5), tr["text"]))
+            return res
+
         out = []
         for e in self.events:
-            if e.holistic_audio_transcription:
+            entries = e.holistic_audio_transcription
+            if entries and len(entries) == 1 and e.audio_transcription:
+                # a single whole-event-span holistic entry is a normalized
+                # LEGACY flat string — the per-segment entries (which old
+                # stores always also carry) localize strictly better
+                st = float(entries[0].get("start", e.start_time))
+                en = float(entries[0].get("end", e.end_time))
+                if st <= e.start_time + 1e-6 and en >= e.end_time - 1e-6:
+                    entries = e.audio_transcription
+            if not entries:
                 # sentence-level whole-track entries carry REAL start/end —
                 # the finest localization available (reference prefers these,
-                # hippocampal_memory.py:2333-2345)
-                for tr in e.holistic_audio_transcription:
-                    st = float(tr.get("start", e.start_time))
-                    en = float(tr.get("end", st + 5.0))
-                    txt = tr.get("text", "")
-                    if txt:
-                        out.append((st, max(en, st + 0.5), txt, e.video_id))
-            elif e.audio_transcription:
-                # per-ASR-segment entries carry real start/end; entries
-                # missing times fall back to the event span
-                for tr in e.audio_transcription:
-                    txt = tr.get("text", "")
-                    if not txt:
-                        continue
-                    st = float(tr.get("start", e.start_time))
-                    en = float(tr.get("end", st + 5.0))
-                    out.append((st, max(en, st + 0.5), txt, e.video_id))
+                # hippocampal_memory.py:2333-2345); fall back to the
+                # per-ASR-segment entries
+                entries = e.audio_transcription
+            for st, en, txt in spans(entries, e):
+                out.append((st, en, txt, e.video_id))
         return sorted(out)
 
     def _attribute_window(

@@ -138,8 +138,13 @@ class FeatureSearchIndex:
 
     def _topk_host(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """Exact cosine top-k on host numpy: raw-feature mat-vec divided by
-        precomputed row norms (no normalized second copy of the store)."""
-        q = fetch(q, np.float32).reshape(-1)  # device-resident queries read once
+        precomputed row norms (no normalized second copy of the store).
+
+        Device-resident queries (the text-tower embedding) are read once with
+        the probe bound: if even that tiny read wedges, the transport is dead
+        and the TimeoutError should fail this query loudly rather than sit in
+        the unbounded retry cascade."""
+        q = fetch(q, np.float32, give_up_s=self.DEVICE_PROBE_GIVE_UP_S).reshape(-1)
         qn = q / max(float(np.linalg.norm(q)), 1e-8)
         s = (self._feats @ qn) / self._norms()
         k = min(k, s.shape[0])
@@ -159,6 +164,10 @@ class FeatureSearchIndex:
         idx = np.take_along_axis(part, order, 1)
         return np.take_along_axis(s, idx, 1), idx.astype(np.int64)
 
+    #: bound on a routed/probed device read when host numpy can serve instead
+    #: (a wedged-transport probe must cost seconds, not the full retry cascade)
+    DEVICE_PROBE_GIVE_UP_S = 15.0
+
     def _topk(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """One fused normalize+matmul+top-k over the packed store; returns
         host (k,) values + global row indices — on whichever backend the
@@ -172,18 +181,29 @@ class FeatureSearchIndex:
         if path == "host":
             out = self._topk_host(q, k)
         else:
-            out = self._topk_device(q, k)
+            try:
+                out = self._topk_device(q, k)
+            except TimeoutError:
+                # wedged transport on a routed/probe query: serve from host;
+                # a timeout means AT LEAST the probe bound was burned — record
+                # that so routing pins to host until a successful re-probe
+                self._note_latency(
+                    "device",
+                    max(time.perf_counter() - t0, self.DEVICE_PROBE_GIVE_UP_S),
+                )
+                return self._topk_host(q, k)
         self._note_latency(path, time.perf_counter() - t0)
         return out
 
     def _topk_device(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         import os
 
+        bound = self.DEVICE_PROBE_GIVE_UP_S
         if os.environ.get("HIPPOMM_PALLAS_TOPK") == "1":
             from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
 
             vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
-            return fetch(vals), fetch(idx)
+            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound)
         if len(self) >= 2**24:
             # the packed single-read path encodes row indices as float32,
             # exact only up to 2^24 — beyond that fall back to the two-read
@@ -191,10 +211,10 @@ class FeatureSearchIndex:
             from hippomm_tpu.ops.similarity import top_k_cosine
 
             vals, idx = top_k_cosine(q, self._device_feats(), k)
-            return fetch(vals), fetch(idx).astype(np.int64)
+            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
         from hippomm_tpu.ops.similarity import top_k_cosine_packed
 
-        packed = fetch(top_k_cosine_packed(q, self._device_feats(), k))
+        packed = fetch(top_k_cosine_packed(q, self._device_feats(), k), give_up_s=bound)
         return packed[0], packed[1].astype(np.int64)
 
     def _topk_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -208,19 +228,27 @@ class FeatureSearchIndex:
         if path == "host":
             out = self._topk_batch_host(queries, k)
         else:
-            out = self._topk_batch_device(queries, k)
+            try:
+                out = self._topk_batch_device(queries, k)
+            except TimeoutError:
+                self._note_latency(
+                    "device",
+                    max(time.perf_counter() - t0, self.DEVICE_PROBE_GIVE_UP_S),
+                )
+                return self._topk_batch_host(queries, k)
         self._note_latency(path, time.perf_counter() - t0)
         return out
 
     def _topk_batch_device(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        bound = self.DEVICE_PROBE_GIVE_UP_S
         if len(self) >= 2**24:
             from hippomm_tpu.ops.similarity import top_k_cosine
 
             vals, idx = top_k_cosine(queries, self._device_feats(), k)
-            return fetch(vals), fetch(idx).astype(np.int64)
+            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
         from hippomm_tpu.ops.similarity import top_k_cosine_packed
 
-        packed = fetch(top_k_cosine_packed(queries, self._device_feats(), k))
+        packed = fetch(top_k_cosine_packed(queries, self._device_feats(), k), give_up_s=bound)
         return packed[0], packed[1].astype(np.int64)
 
     def search(

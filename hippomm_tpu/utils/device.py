@@ -46,16 +46,42 @@ def _wait_ready(x, timeout_s: float = 120.0) -> None:
 _COPY = None  # jitted identity: re-materializes a buffer for a retry read
 
 
+def _bounded_read(arr, timeout_s: float):
+    """np.asarray on a daemon thread with a timeout. Returns the array, or
+    None when the read is still blocked after timeout_s (the abandoned reader
+    thread is daemon + read-only). An exception raised INSIDE the read (bad
+    buffer, backend error) re-raises here instead of masquerading as a wedge
+    — retrying a genuinely-failing read via device copies would just raise
+    TimeoutError minutes later with the real cause lost."""
+    import queue as queue_mod
+    import threading
+
+    box: "queue_mod.Queue" = queue_mod.Queue()
+
+    def _reader(a=arr):
+        try:
+            box.put((True, np.asarray(a)))
+        except BaseException as e:  # noqa: BLE001 — relayed to the caller
+            box.put((False, e))
+
+    threading.Thread(target=_reader, daemon=True).start()
+    try:
+        ok, payload = box.get(timeout=timeout_s)
+    except queue_mod.Empty:
+        return None
+    if not ok:
+        raise payload
+    return payload
+
+
 def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
     """np.asarray with a watchdog: the transport's read RPC has been observed
     to wedge for MINUTES on a ready buffer (one (256,) int32 read measured at
     722 s). Run the read on a daemon thread; if it exceeds a payload-scaled
     timeout, dispatch a device-side copy (fresh buffer → fresh RPC) and read
-    that instead. The wedged reader thread is abandoned (daemon, read-only)."""
+    that instead."""
     global _COPY
     nbytes = int(getattr(x, "nbytes", 0) or 0)
-    import queue as queue_mod
-    import threading
 
     t_start = time.monotonic()
 
@@ -76,43 +102,35 @@ def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
         # payloads keep the ~3 MB/s worst-case d2h allowance. Every wait is
         # clipped to the remaining give_up budget so it bounds TOTAL time.
         timeout = min(max(3.0 * (1.6**i), nbytes / 3e6), max(_left(), 0.2))
-        box: "queue_mod.Queue" = queue_mod.Queue()
-        t = threading.Thread(
-            target=lambda a=attempt: box.put(np.asarray(a)), daemon=True
+        out = _bounded_read(attempt, timeout)
+        if out is not None:
+            return out
+        logger.warning(
+            "device read wedged (>%.0fs, shape=%s attempt %d) — retrying "
+            "via device-side copy", timeout, getattr(x, "shape", "?"), i + 1,
         )
-        t.start()
-        try:
-            return box.get(timeout=timeout)
-        except queue_mod.Empty:
-            logger.warning(
-                "device read wedged (>%.0fs, shape=%s attempt %d) — retrying "
-                "via device-side copy", timeout, getattr(x, "shape", "?"), i + 1,
-            )
-            if _COPY is None:
-                import jax
+        if _COPY is None:
+            import jax
 
-                _COPY = jax.jit(lambda a: a + 0)
-            attempt = _COPY(attempt)
-            # bounded wait: when the whole transport (not just one read RPC)
-            # is briefly wedged, a 120 s readiness poll per attempt turns a
-            # transient stall into a multi-minute cascade — try the read
-            # after ~10 s regardless; an in-flight read blocks correctly
-            _wait_ready(attempt, timeout_s=min(10.0, max(_left(), 0.2)))
+            _COPY = jax.jit(lambda a: a + 0)
+        attempt = _COPY(attempt)
+        # bounded wait: when the whole transport (not just one read RPC)
+        # is briefly wedged, a 120 s readiness poll per attempt turns a
+        # transient stall into a multi-minute cascade — try the read
+        # after ~10 s regardless; an in-flight read blocks correctly
+        _wait_ready(attempt, timeout_s=min(10.0, max(_left(), 0.2)))
     # last resort: ONE long bounded read, then raise. An unbounded block here
     # would hang the whole pipeline forever on a dead transport (observed: the
     # tunnel can wedge globally for 20+ minutes); raising instead lets the
     # caller's fallback (host scoring, per-video error accounting) take over.
     if give_up_s is None:
-        box = queue_mod.Queue()
-        threading.Thread(target=lambda: box.put(np.asarray(attempt)), daemon=True).start()
-        try:
-            # fail-fast sizing: on a wedged transport, a sub-60 MB read that
-            # survived six copy-retries won't be saved by waiting 5 more
-            # minutes — fail the video (driver records it; skip-existing
-            # re-ingests later) instead of serializing minutes per fetch
-            return box.get(timeout=max(60.0, nbytes / 1e6))
-        except queue_mod.Empty:
-            pass
+        # fail-fast sizing: on a wedged transport, a sub-60 MB read that
+        # survived six copy-retries won't be saved by waiting 5 more
+        # minutes — fail the video (driver records it; skip-existing
+        # re-ingests later) instead of serializing minutes per fetch
+        out = _bounded_read(attempt, max(60.0, nbytes / 1e6))
+        if out is not None:
+            return out
     raise TimeoutError(
         f"device read wedged (shape={getattr(x, 'shape', '?')}); "
         "transport appears down"
@@ -127,11 +145,7 @@ def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
     Paying that flakiness HERE — on throwaway buffers, before any measured
     work — keeps it out of ingest pipelines and their retry cascades.
     Returns True when `consecutive` reads in a row completed in <100 ms."""
-    import jax
     import jax.numpy as jnp
-
-    import queue as queue_mod
-    import threading
 
     deadline = time.monotonic() + max_seconds
     fast = 0
@@ -140,14 +154,10 @@ def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
         t0 = time.monotonic()
         # bounded read on a throwaway buffer — NEVER the blocking fetch
         # fallback here (a globally wedged transport would hang the warmup
-        # instead of the warmup absorbing it); abandoned reader threads are
-        # daemon + read-only
-        box: "queue_mod.Queue" = queue_mod.Queue()
+        # instead of the warmup absorbing it)
         arr = jnp.full((64,), i, jnp.float32) + 1
-        threading.Thread(target=lambda a=arr: box.put(np.asarray(a)), daemon=True).start()
-        try:
-            box.get(timeout=min(10.0, max(1.0, deadline - time.monotonic())))
-        except queue_mod.Empty:
+        out = _bounded_read(arr, min(10.0, max(1.0, deadline - time.monotonic())))
+        if out is None:
             fast = 0
             i += 1
             continue

@@ -440,3 +440,86 @@ def test_topk_router_adapts_to_measured_latency():
     index._note_latency("device", 0.0005)
     index._n_queries += 1
     assert index._route() == "device"
+
+
+def test_topk_device_timeout_falls_back_to_host(monkeypatch):
+    """A wedged-transport TimeoutError on the routed/probed device path serves
+    the query from host numpy and records the giant device latency, instead of
+    crashing the question (review finding r2)."""
+    rng = np.random.default_rng(13)
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    events = [
+        ThetaEvent(
+            video_id="v0",
+            features={"vision": rng.normal(size=(40, 1024)).astype(np.float32)},
+            feature_times={"vision": list(np.arange(40.0))},
+            end_time=40.0,
+        )
+    ]
+    index = FeatureSearchIndex.build(events, "vision")
+    host_hits = index.search(rng.normal(size=1024).astype(np.float32), global_top_k=3)
+    assert host_hits
+
+    def wedge(self, q, k):
+        raise TimeoutError("transport down")
+
+    monkeypatch.setattr(FeatureSearchIndex, "_topk_device", wedge)
+    monkeypatch.setattr(
+        FeatureSearchIndex, "_topk_batch_device", lambda self, q, k: wedge(self, q, k)
+    )
+    # force routing onto the (wedged) device path
+    index._lat = {"host": 0.003, "device": 0.0001}
+    q = rng.normal(size=1024).astype(np.float32)
+    hits = index.search(q, global_top_k=3)
+    assert hits and all(np.isfinite(h.similarity) for h in hits)
+    bhits = index.search_batch(np.stack([q, q]), global_top_k=3)
+    assert len(bhits) == 2 and all(bhits)
+    # the timeout was recorded as a (huge) device latency -> routing flips back
+    assert index._lat["device"] > index._lat["host"]
+
+
+def test_gather_transcripts_legacy_store_spans(tmp_path):
+    """Legacy events (flat holistic string + per-segment string-list
+    transcriptions) localize speech via the per-segment entries, with missing
+    ends running to the next snippet's start / event end (review findings r2)."""
+    from hippomm_tpu.memory.schema import ThetaEvent
+    from hippomm_tpu.retrieval.qa import QARecallSystem
+
+    ev = ThetaEvent(
+        video_id="legacy",
+        features={},
+        audio_transcription=["first part", "second part", "third part"],
+        audio_times=[0.0, 12.0, 25.0],
+        holistic_audio_transcription="first part second part third part",
+        start_time=0.0,
+        end_time=30.0,
+    )
+    class _Mem:
+        long_term_store = [ev]
+
+    qa = QARecallSystem.__new__(QARecallSystem)
+    qa.memory = _Mem()
+    snippets = qa._gather_transcripts()
+    # per-segment entries win over the single whole-span legacy holistic entry
+    assert [s[2] for s in snippets] == ["first part", "second part", "third part"]
+    # ends run to the next snippet / the event end — not start+5
+    assert [(s[0], s[1]) for s in snippets] == [(0.0, 12.0), (12.0, 25.0), (25.0, 30.0)]
+
+    # a NEW-format store (sentence-level holistic entries with real times)
+    # still prefers holistic — the finest granularity
+    ev2 = ThetaEvent(
+        video_id="new",
+        features={},
+        audio_transcription=[{"text": "whole segment", "start": 0.0, "end": 28.0}],
+        holistic_audio_transcription=[
+            {"text": "hello", "start": 1.0, "end": 3.0},
+            {"text": "world", "start": 9.0, "end": 11.5},
+        ],
+        start_time=0.0,
+        end_time=28.0,
+    )
+    qa.memory.long_term_store = [ev2]
+    snippets = qa._gather_transcripts()
+    assert [s[2] for s in snippets] == ["hello", "world"]
+    assert snippets[0][:2] == (1.0, 3.0) and snippets[1][:2] == (9.0, 11.5)
