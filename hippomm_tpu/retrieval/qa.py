@@ -364,11 +364,11 @@ class QARecallSystem:
         the source mp4 around every hit).
 
         Fast path: hit times ARE stored-keyframe times (the feature rows the
-        search matched), so a sample landing within half a sample period of a
-        persisted keyframe reads that JPEG (~1 ms libjpeg) instead of paying an
-        H.264 keyframe-seek + decode-forward; only samples with no nearby
-        stored keyframe touch the mp4. Cuts detailed-recall e2e ~3x on
-        keyframe-dense stores (VERDICT r1: <200 ms target)."""
+        search matched), so samples covered by a persisted keyframe (see the
+        direction-aware rule below) read that JPEG (~1 ms libjpeg) instead of
+        paying an H.264 keyframe-seek + decode-forward; only uncovered samples
+        touch the mp4. Cuts detailed-recall e2e ~3x on keyframe-dense stores
+        (VERDICT r1: <200 ms target)."""
         from hippomm_tpu.media.io import jpeg_encode, open_video, probe_video, read_jpeg
 
         path = None
@@ -392,24 +392,32 @@ class QARecallSystem:
         ev_frames.sort()
         kf_times = np.asarray([t for t, _ in ev_frames])
 
-        # a stored keyframe within HALF a sample period covers the sample:
-        # embedding-hit windows are ±1 s around a keyframe time, so their
-        # samples land ON keyframes and resolve entirely from stored JPEGs;
-        # mp4 decode remains for windows without keyframe coverage (LLM
-        # speech-timeframe windows over sparse regions). Half a period — not
-        # a full one — because the extractor's ≥1 s save spacing can mask a
-        # scene cut: a keyframe ~1 s before the sample may sit on the wrong
-        # side of a cut whose own candidate was spacing-suppressed.
-        tol = 0.5 / fps
+        # Direction-aware keyframe substitution. The extractor saves a frame
+        # at every content change, so the LATEST keyframe at-or-before t
+        # covers t for a full sample period (content persisted — the next
+        # save is still ahead). A LATER keyframe covers t only within half a
+        # period (grid jitter: t is essentially ON it) — substituting it
+        # further back would show post-cut content for a pre-cut sample,
+        # since a later save often marks exactly that cut. Samples covered
+        # by neither decode from the mp4 (LLM speech-timeframe windows over
+        # keyframe-sparse regions; pre-hit samples across a cut).
+        fwd_tol = 1.0 / fps + 1e-6
+        back_tol = 0.5 / fps
         plan: List[Tuple[float, str, object]] = []  # (time, kind, path-or-time)
         seen_src = set()
         for t in times:
             src = None
             if len(kf_times):
-                j = int(np.searchsorted(kf_times, t))
-                cands = [c for c in (j - 1, j) if 0 <= c < len(kf_times)]
-                best = min(cands, key=lambda c: abs(kf_times[c] - t))
-                if abs(kf_times[best] - t) <= tol or path is None:
+                j = int(np.searchsorted(kf_times, t, side="right")) - 1
+                best = None
+                if j >= 0 and t - kf_times[j] <= fwd_tol:
+                    best = j
+                elif j + 1 < len(kf_times) and kf_times[j + 1] - t <= back_tol:
+                    best = j + 1
+                elif path is None:  # degraded store: nearest JPEG beats nothing
+                    cands = [c for c in (j, j + 1) if 0 <= c < len(kf_times)]
+                    best = min(cands, key=lambda c: abs(kf_times[c] - t))
+                if best is not None:
                     src = ("jpg", ev_frames[best][1], float(kf_times[best]))
             if src is None and path is not None:
                 src = ("vid", t, t)

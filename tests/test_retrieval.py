@@ -523,3 +523,60 @@ def test_gather_transcripts_legacy_store_spans(tmp_path):
     snippets = qa._gather_transcripts()
     assert [s[2] for s in snippets] == ["hello", "world"]
     assert snippets[0][:2] == (1.0, 3.0) and snippets[1][:2] == (9.0, 11.5)
+
+
+def test_keyframe_substitution_is_direction_aware(tmp_path):
+    """A keyframe at-or-before the sample covers it for a full sample period
+    (content persists until the next save); a LATER keyframe — which often
+    marks a cut — only covers grid jitter (half a period). The pre-cut sample
+    must decode from the mp4, not reuse the post-cut keyframe JPEG."""
+    from hippomm_tpu.media.io import jpeg_decode, write_jpeg
+    from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+
+    # video with a hard cut at t=5 (scene colors differ either side)
+    vid = str(tmp_path / "cut.mp4")
+    write_synthetic_video(
+        vid, SynthSpec(duration=10.0, fps=2.0, width=160, height=120,
+                       scene_changes=(5.0,), seed=7)
+    )
+    # stored keyframes: t=0 (pre-cut) and t=5 (the cut frame)
+    from hippomm_tpu.media.io import open_video
+
+    r = open_video(vid)
+    f0 = r.read_rgb([0])[0]
+    f5 = r.read_rgb([10])[0]
+    r.close()
+    p0, p5 = str(tmp_path / "kf0.jpg"), str(tmp_path / "kf5.jpg")
+    write_jpeg(p0, f0)
+    write_jpeg(p5, f5)
+    ev = ThetaEvent(
+        video_id="cut", start_time=0.0, end_time=10.0,
+        frames=[p0, p5], frame_times=[0.0, 5.0],
+    )
+    mem.long_term_store = [ev]
+    mem.store.add_video("cut", vid)
+    qa = QARecallSystem(mem, cfg)
+
+    jpegs, times = qa._frames_for_windows("cut", [(4.0, 6.0)])
+    by_t = {round(t): jpeg_decode(j) for j, t in zip(jpegs, times)}
+    # the pre-cut sample must be present (the old backward substitution
+    # collapsed it into the post-cut keyframe, losing t=4 entirely)
+    assert 4 in by_t, sorted(by_t)
+    # and it must show PRE-cut content: recall frames are 320x180 resizes,
+    # so compare scene signatures (per-channel means) against either side
+    def sig(a):
+        return a.reshape(-1, 3).mean(axis=0)
+
+    d_pre = np.abs(sig(by_t[4]) - sig(f0)).mean()
+    d_post = np.abs(sig(by_t[4]) - sig(f5)).mean()
+    assert d_pre < d_post, (d_pre, d_post)
+    if 5 in by_t:  # post-cut sample rides the stored keyframe (may dedup away)
+        assert np.abs(sig(by_t[5]) - sig(f5)).mean() < 3.0
