@@ -237,6 +237,20 @@ def main() -> None:
         media_s = stats["media_seconds"] or 1e-9
         run_multiples.append(media_s / wall)
         run_walls.append(round(wall, 2))
+        # publish the median-so-far immediately: if a LATER section (store
+        # build, recall, extras) wedges the transport and the watchdog fires,
+        # the already-measured ingest runs must reach the JSON line instead of
+        # being reported as a total outage
+        partial.update({
+            "metric": "ingest_throughput_2x10min_vlog_mp4",
+            "value": round(float(np.median(run_multiples)), 3),
+            "unit": "video-hours/hour/chip (x realtime)",
+            "vs_baseline": round(float(np.median(run_multiples)) / 50.0, 4),
+            "extra": {
+                "ingest_runs_x": [round(x, 3) for x in run_multiples],
+                "headline_runs_completed": r + 1,
+            },
+        })
     realtime = float(np.median(run_multiples))
     wall = run_walls[int(np.argsort(run_multiples)[len(run_multiples) // 2])]
 

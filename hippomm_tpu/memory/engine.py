@@ -230,6 +230,21 @@ class HippocampalMemory:
                     self.replay(video_id)
                 return stms
 
+        # A fresh whole-video ingest (base_time 0, resume semantics, no
+        # checkpoint short-circuit above) must not extend() onto STMs left by
+        # a FAILED earlier attempt — a successful attempt's STMs are evicted
+        # by replay, so anything still buffered here is stale and would
+        # duplicate every surviving segment in the final ThetaEvent. The
+        # chunked streaming path clears its own state (resume=False, caller
+        # purge in process_single_video_streaming); this guards direct
+        # process_sequence / process_single_video retries.
+        if resume and base_time == 0 and self.short_term_buffer.get(video_id):
+            logger.warning(
+                "%s: discarding %d stale STMs from a previous failed attempt",
+                video_id, len(self.short_term_buffer[video_id]),
+            )
+            self.short_term_buffer[video_id] = []
+
         frame_paths = list(frame_paths) if frame_paths is not None else []
         frame_times = list(frame_times) if frame_times is not None else []
         if frames_rgb is None and frame_paths:

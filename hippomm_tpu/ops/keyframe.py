@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hippomm_tpu.ops.ssim import ssim_pairs
-from hippomm_tpu.utils.device import fetch
+from hippomm_tpu.utils.device import damped_min_ema, fetch
 
 BLOCK = 256
 
@@ -222,13 +222,10 @@ class KeyframeScanner:
                 t0 = time.perf_counter()
                 h._val = fetch(h._dev, give_up_s=self.wedge_patience_s)
                 dt = time.perf_counter() - t0
-                # improvements adopt immediately, spikes damp (mirrors
-                # retrieval/search's router); the first read of a video often
-                # includes program-queue warmup and shouldn't flip alone
-                self._dev_read_ema = (
-                    dt if self._dev_read_ema == 0.0
-                    else min(dt, 0.6 * self._dev_read_ema + 0.4 * dt)
-                )
+                # shared router EMA (utils/device.damped_min_ema); the first
+                # read of a video often includes program-queue warmup and
+                # shouldn't flip alone
+                self._dev_read_ema = damped_min_ema(self._dev_read_ema, dt, keep=0.6)
                 if self._dev_read_ema > self.slow_flip_s and h._idx >= 1:
                     logging.getLogger(__name__).warning(
                         "keyframe mask reads averaging %.1fs (> %.2fs) — "

@@ -451,7 +451,15 @@ class QARecallSystem:
 
         frames_list: List[np.ndarray] = []
         kept_times: List[float] = []
-        used_kf = set()
+        # keyframes already consumed by 'jpg' plan entries: the decode-failure
+        # fallback must not re-emit one of them as a second (identically
+        # timestamped) frame — downstream SSIM dedup only compares against the
+        # LAST kept frame, so an intervening distinct frame would let the
+        # duplicate survive into a wasted VLM caption call
+        kf_idx_by_path = {p: i for i, (_, p) in enumerate(ev_frames)}
+        used_kf = {
+            kf_idx_by_path[p] for _, kind, p in plan if kind == "jpg" and p in kf_idx_by_path
+        }
         for t, kind, s in plan:
             if kind == "jpg":
                 try:

@@ -43,6 +43,10 @@ class FeatureSearchIndex:
     #: re-probe the slower backend every N queries so routing recovers when
     #: the transport heals (or degrades)
     PROBE_EVERY = 32
+    #: device-probe interval ceiling under exponential backoff (a probe that
+    #: TIMES OUT costs DEVICE_PROBE_GIVE_UP_S of real latency — during an
+    #: extended outage a fixed cadence would stall every 32nd query for ~15 s)
+    PROBE_BACKOFF_MAX = 4096
 
     def __init__(self, modality: str):
         self.modality = modality
@@ -56,6 +60,7 @@ class FeatureSearchIndex:
         # measured-latency router state (see _route)
         self._lat: Dict[str, Optional[float]] = {"host": None, "device": None}
         self._n_queries = 0
+        self._device_probe_every = self.PROBE_EVERY
 
     @classmethod
     def build(cls, events: Sequence[ThetaEvent], modality: str) -> "FeatureSearchIndex":
@@ -119,15 +124,19 @@ class FeatureSearchIndex:
             # on the very first queries (its first run pays a compile)
             return "device" if self._n_queries >= 8 else "host"
         best = "host" if lh <= ld else "device"
-        if self._n_queries % self.PROBE_EVERY == 0:
+        # host probes stay on the fixed cadence (they cost milliseconds);
+        # device probes back off while the transport keeps timing out
+        probe_every = self._device_probe_every if best == "host" else self.PROBE_EVERY
+        if self._n_queries % probe_every == 0:
             return "device" if best == "host" else "host"
         return best
 
     def _note_latency(self, path: str, dt: float) -> None:
-        old = self._lat[path]
+        from hippomm_tpu.utils.device import damped_min_ema
+
         # improvements adopt immediately (first warm run after a compile),
         # regressions damp (one wedged read shouldn't flip routing for long)
-        self._lat[path] = dt if old is None else min(dt, 0.7 * old + 0.3 * dt)
+        self._lat[path] = damped_min_ema(self._lat[path], dt, keep=0.7)
 
     def _norms(self) -> np.ndarray:
         if self._row_norms is None:
@@ -159,7 +168,6 @@ class FeatureSearchIndex:
         s = (qn @ self._feats.T) / self._norms()[None, :]
         k = min(k, s.shape[1])
         part = np.argpartition(-s, k - 1, axis=1)[:, :k]
-        rows = np.arange(s.shape[0])[:, None]
         order = np.argsort(-np.take_along_axis(s, part, 1), axis=1, kind="stable")
         idx = np.take_along_axis(part, order, 1)
         return np.take_along_axis(s, idx, 1), idx.astype(np.int64)
@@ -186,12 +194,18 @@ class FeatureSearchIndex:
             except TimeoutError:
                 # wedged transport on a routed/probe query: serve from host;
                 # a timeout means AT LEAST the probe bound was burned — record
-                # that so routing pins to host until a successful re-probe
+                # that so routing pins to host until a successful re-probe,
+                # and back the probe cadence off (each failed probe costs
+                # DEVICE_PROBE_GIVE_UP_S of real query latency)
                 self._note_latency(
                     "device",
                     max(time.perf_counter() - t0, self.DEVICE_PROBE_GIVE_UP_S),
                 )
+                self._device_probe_every = min(
+                    self._device_probe_every * 2, self.PROBE_BACKOFF_MAX
+                )
                 return self._topk_host(q, k)
+            self._device_probe_every = self.PROBE_EVERY
         self._note_latency(path, time.perf_counter() - t0)
         return out
 
@@ -235,7 +249,11 @@ class FeatureSearchIndex:
                     "device",
                     max(time.perf_counter() - t0, self.DEVICE_PROBE_GIVE_UP_S),
                 )
+                self._device_probe_every = min(
+                    self._device_probe_every * 2, self.PROBE_BACKOFF_MAX
+                )
                 return self._topk_batch_host(queries, k)
+            self._device_probe_every = self.PROBE_EVERY
         self._note_latency(path, time.perf_counter() - t0)
         return out
 
@@ -283,6 +301,10 @@ class FeatureSearchIndex:
             if len(hits) >= global_top_k or k >= n:
                 return hits
             k = min(n, k * 4)
+            if hasattr(q, "is_ready"):
+                # widening repeats _topk: a device-resident query would pay a
+                # synchronizing ~4 KB read per host-routed round — read it once
+                q = fetch(q, np.float32, give_up_s=self.DEVICE_PROBE_GIVE_UP_S)
 
     def search_batch(
         self,

@@ -204,3 +204,14 @@ def fetch(x, dtype=None, give_up_s: float = None) -> np.ndarray:
     elif dtype is not None:
         out = np.asarray(out, dtype)
     return out
+
+
+def damped_min_ema(old, dt: float, keep: float = 0.7) -> float:
+    """Latency-router EMA shared by retrieval/search's host-device router and
+    ops/keyframe's host-flip: improvements adopt IMMEDIATELY (the first warm
+    run after a compile should flip routing at once), regressions damp (one
+    wedged read shouldn't dominate for long). `old` of None/0.0 means unset.
+    """
+    if not old:
+        return dt
+    return min(dt, keep * old + (1.0 - keep) * dt)

@@ -279,3 +279,34 @@ def test_legacy_transcript_entries_keep_per_item_starts():
         audio_transcription=["only snippet"],
     )
     assert ev2.audio_transcription[0]["start"] == 3.0
+
+
+def test_retry_after_failed_attempt_does_not_duplicate_stms(engine_factory):
+    """A same-process retry of a video whose first attempt failed before its
+    checkpoint was written must not extend() onto the stale buffered STMs —
+    the ThetaEvent would duplicate every segment (review finding r2: the
+    streaming path cleared stale state but direct process_sequence retries
+    did not)."""
+    mem = engine_factory("staleretry")
+    spec = SynthSpec(duration=24.0, fps=2.0, width=160, height=120, seed=7)
+    res = generate(spec)
+    mem.add_video("vret", "vret.y4m")
+    kwargs = dict(
+        frame_paths=[f"frames/vret/f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+        auto_consolidate=False,
+    )
+    first = mem.process_sequence("vret", **kwargs)
+    assert mem.short_term_buffer["vret"] == first
+    # simulate: the first attempt died before (or while) writing its
+    # checkpoint — stale STMs in the buffer, nothing resumable on disk
+    mem.store.delete_checkpoint("vret")
+    retry = mem.process_sequence("vret", **kwargs)
+    assert len(mem.short_term_buffer["vret"]) == len(retry) == len(first)
+    mem.consolidate("vret")
+    mem.replay("vret")
+    ev = mem.long_term_store[-1]
+    n_times = len(ev.feature_times["vision"])
+    assert n_times <= len(res.frames)  # duplicated segments would double this

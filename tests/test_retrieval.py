@@ -580,3 +580,80 @@ def test_keyframe_substitution_is_direction_aware(tmp_path):
     assert d_pre < d_post, (d_pre, d_post)
     if 5 in by_t:  # post-cut sample rides the stored keyframe (may dedup away)
         assert np.abs(sig(by_t[5]) - sig(f5)).mean() < 3.0
+
+
+def test_device_probe_backoff_during_outage():
+    """Each device probe that times out doubles the probe interval (a failed
+    probe costs DEVICE_PROBE_GIVE_UP_S of real query latency — a fixed cadence
+    would stall every 32nd query for ~15 s through a whole outage), and one
+    successful device run resets the cadence."""
+    rng = np.random.default_rng(21)
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    events = [
+        ThetaEvent(
+            video_id="v0",
+            features={"vision": rng.normal(size=(30, 1024)).astype(np.float32)},
+            feature_times={"vision": list(np.arange(30.0))},
+            end_time=30.0,
+        )
+    ]
+    index = FeatureSearchIndex.build(events, "vision")
+    index._lat = {"host": 0.003, "device": 20.0}  # routed host, device wedged
+    calls = {"n": 0}
+
+    def wedge(q, k):
+        calls["n"] += 1
+        raise TimeoutError("transport down")
+
+    index._topk_device = wedge
+    q = rng.normal(size=1024).astype(np.float32)
+    base = FeatureSearchIndex.PROBE_EVERY
+    # run enough queries for several fixed-cadence probe points; with backoff
+    # only log2-many actually hit the device
+    index._n_queries = 0
+    for _ in range(base * 8):
+        index._topk(q, 5)
+    assert calls["n"] <= 4  # fixed cadence would have probed 8 times
+    assert index._device_probe_every > base
+    # transport heals: next probe succeeds and resets the cadence
+    index._topk_device = lambda q, k: index._topk_host(q, k)
+    index._n_queries = index._device_probe_every - 1
+    index._topk(q, 5)  # this one probes the device path and succeeds
+    assert index._device_probe_every == base
+
+
+def test_fallback_keyframe_not_duplicated_with_jpg_plan(tmp_path):
+    """When one window sample is served from a stored keyframe JPEG and a
+    later sample's mp4 decode fails, the decode-failure fallback must not
+    re-emit that same keyframe as a second identically-timestamped frame."""
+    from hippomm_tpu.media.io import write_jpeg
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+
+    rng = np.random.default_rng(9)
+    kf_paths = []
+    for i in range(2):
+        p = str(tmp_path / f"kf_{i}.jpg")
+        write_jpeg(p, rng.integers(0, 255, size=(120, 160, 3)).astype(np.uint8))
+        kf_paths.append(p)
+    ev = ThetaEvent(
+        video_id="gone2", start_time=0.0, end_time=30.0,
+        frames=kf_paths, frame_times=[2.0, 20.0],
+    )
+    mem.long_term_store = [ev]
+    mem.store.add_video("gone2", str(tmp_path / "moved_away.mp4"))
+    qa = QARecallSystem(mem, cfg)
+
+    # sample at 2.0 is jpg-planned from kf_0; samples at 5-6 plan as mp4
+    # decodes, the decode fails, and their nearest keyframe IS kf_0 again —
+    # it must be skipped (already consumed), leaving kf_1 for nothing
+    jpegs, times = qa._frames_for_windows("gone2", [(2.0, 2.0), (5.0, 6.0)])
+    assert times == [2.0]
+    assert len(jpegs) == 1
