@@ -94,16 +94,24 @@ def main() -> None:
     import threading
 
     done = threading.Event()
-    partial: dict = {}  # filled once the headline + recall numbers exist
+    # progressively filled: ingest medians as each headline run lands, then
+    # recall/extras — so a late wedge reports everything measured so far
+    partial: dict = {}
 
     def _watchdog():
         if not done.wait(1620.0):
             if partial:
-                # the REQUIRED numbers were measured; only an extra hung —
-                # report them rather than a false outage
+                # SOME numbers were measured before the hang — report them,
+                # labeled by exactly how far the bench got (the headline may
+                # be a median of fewer runs than planned, recall may be
+                # missing entirely; don't claim more than partial holds)
                 out = dict(partial)
-                out.setdefault("extra", {})["watchdog"] = (
-                    "fired during optional extras; headline/recall are real"
+                extra = out.setdefault("extra", {})
+                runs = extra.get("headline_runs_completed")
+                extra["watchdog"] = (
+                    "fired mid-bench: reporting measured sections only — "
+                    f"headline over {runs if runs is not None else '?'} run(s)"
+                    f"{', recall measured' if 'recall_e2e_ms' in extra else ', recall NOT measured'}"
                 )
                 print(json.dumps(out), flush=True)
             else:
@@ -310,6 +318,7 @@ def main() -> None:
         "vs_baseline": round(realtime / 50.0, 4),
         "extra": {
             "ingest_runs_x": [round(x, 3) for x in run_multiples],
+            "headline_runs_completed": len(run_multiples),
             "recall_e2e_ms": round(recall_e2e_ms, 2),
             "detailed_recall_p50_ms": round(p50_ms, 2),
         },

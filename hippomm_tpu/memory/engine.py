@@ -146,6 +146,11 @@ class HippocampalMemory:
         self._full_transcript: Dict[str, List] = {}  # video_id -> [Segment]
         self._transcript_full_track: set = set()  # _full_transcript covers whole video
         self._asr_futures: Dict[str, object] = {}  # video_id -> Future[[Segment]]
+        # videos whose process_sequence buffered STMs but never finished its
+        # checkpoint — the marker that distinguishes a FAILED attempt's
+        # leftovers (safe to discard on retry) from STMs legitimately buffered
+        # via add_memory / add_single_frame (which must be kept)
+        self._inflight_ingests: set = set()
 
         self.store = MemoryStore(
             self.config.storage.base_dir,
@@ -233,12 +238,20 @@ class HippocampalMemory:
         # A fresh whole-video ingest (base_time 0, resume semantics, no
         # checkpoint short-circuit above) must not extend() onto STMs left by
         # a FAILED earlier attempt — a successful attempt's STMs are evicted
-        # by replay, so anything still buffered here is stale and would
-        # duplicate every surviving segment in the final ThetaEvent. The
-        # chunked streaming path clears its own state (resume=False, caller
-        # purge in process_single_video_streaming); this guards direct
+        # by replay, so anything buffered by a still-inflight attempt is
+        # stale and would duplicate every surviving segment in the final
+        # ThetaEvent. Gated on the inflight marker: STMs buffered via the
+        # incremental APIs (add_memory, add_single_frame) are NOT stale and
+        # must be extended onto, exactly like the reference. The chunked
+        # streaming path clears its own state (resume=False, caller purge in
+        # process_single_video_streaming); this guards direct
         # process_sequence / process_single_video retries.
-        if resume and base_time == 0 and self.short_term_buffer.get(video_id):
+        if (
+            resume
+            and base_time == 0
+            and video_id in self._inflight_ingests
+            and self.short_term_buffer.get(video_id)
+        ):
             logger.warning(
                 "%s: discarding %d stale STMs from a previous failed attempt",
                 video_id, len(self.short_term_buffer[video_id]),
@@ -288,10 +301,14 @@ class HippocampalMemory:
             video_id, segments, frames_rgb, frame_times, sample_rate,
             base_time=base_time, call_audio=audio_data,
         )
+        self._inflight_ingests.add(video_id)
         self.short_term_buffer.setdefault(video_id, []).extend(stms)
 
         with self.timers.stage("checkpoint"):
             self.store.save_checkpoint(video_id, self.short_term_buffer[video_id])
+        # buffered state is now durably checkpointed: a crash from here on
+        # resumes via the checkpoint fast-path, not a fresh re-encode
+        self._inflight_ingests.discard(video_id)
 
         if auto_consolidate:
             self.consolidate(video_id)

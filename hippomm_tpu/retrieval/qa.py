@@ -410,9 +410,21 @@ class QARecallSystem:
             if len(kf_times):
                 j = int(np.searchsorted(kf_times, t, side="right")) - 1
                 best = None
-                if j >= 0 and t - kf_times[j] <= fwd_tol:
+                fwd_ok = j >= 0 and t - kf_times[j] <= fwd_tol
+                back_ok = j + 1 < len(kf_times) and kf_times[j + 1] - t <= back_tol
+                if fwd_ok and back_ok:
+                    # both cover t: the keyframes are within 1.5 periods of
+                    # each other, so any (spacing-suppressed) cut between them
+                    # lies inside the last candidate gap before the later
+                    # save — its position is unknowable from save times alone
+                    # and the NEARER keyframe is the best guess (a nearer
+                    # save is on t's side of a uniformly-placed cut more
+                    # often). Fixes post-cut samples riding a stale pre-cut
+                    # JPEG when a fresher post-cut save sits right ahead.
+                    best = j if t - kf_times[j] <= kf_times[j + 1] - t else j + 1
+                elif fwd_ok:
                     best = j
-                elif j + 1 < len(kf_times) and kf_times[j + 1] - t <= back_tol:
+                elif back_ok:
                     best = j + 1
                 elif path is None:  # degraded store: nearest JPEG beats nothing
                     cands = [c for c in (j, j + 1) if 0 <= c < len(kf_times)]

@@ -18,7 +18,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from hippomm_tpu.utils.device import fetch
+from hippomm_tpu.utils.device import damped_min_ema, fetch
 
 from hippomm_tpu.memory.schema import ThetaEvent
 from hippomm_tpu.ops.similarity import top_k_cosine
@@ -132,8 +132,6 @@ class FeatureSearchIndex:
         return best
 
     def _note_latency(self, path: str, dt: float) -> None:
-        from hippomm_tpu.utils.device import damped_min_ema
-
         # improvements adopt immediately (first warm run after a compile),
         # regressions damp (one wedged read shouldn't flip routing for long)
         self._lat[path] = damped_min_ema(self._lat[path], dt, keep=0.7)

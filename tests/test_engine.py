@@ -298,11 +298,15 @@ def test_retry_after_failed_attempt_does_not_duplicate_stms(engine_factory):
         audio_data=res.audio,
         auto_consolidate=False,
     )
-    first = mem.process_sequence("vret", **kwargs)
-    assert mem.short_term_buffer["vret"] == first
-    # simulate: the first attempt died before (or while) writing its
-    # checkpoint — stale STMs in the buffer, nothing resumable on disk
-    mem.store.delete_checkpoint("vret")
+    # first attempt dies WHILE writing its checkpoint: STMs are buffered
+    # (inflight), nothing resumable on disk
+    real_save = mem.store.save_checkpoint
+    mem.store.save_checkpoint = lambda *a, **k: (_ for _ in ()).throw(OSError("disk"))
+    with pytest.raises(OSError):
+        mem.process_sequence("vret", **kwargs)
+    first = list(mem.short_term_buffer["vret"])
+    assert first and not mem.store.has_checkpoint("vret")
+    mem.store.save_checkpoint = real_save
     retry = mem.process_sequence("vret", **kwargs)
     assert len(mem.short_term_buffer["vret"]) == len(retry) == len(first)
     mem.consolidate("vret")
@@ -310,3 +314,44 @@ def test_retry_after_failed_attempt_does_not_duplicate_stms(engine_factory):
     ev = mem.long_term_store[-1]
     n_times = len(ev.feature_times["vision"])
     assert n_times <= len(res.frames)  # duplicated segments would double this
+
+
+def test_process_sequence_extends_incremental_api_stms(engine_factory):
+    """STMs legitimately buffered through the incremental APIs (add_memory /
+    add_single_frame) are NOT 'stale' — a later process_sequence must extend
+    onto them (reference behavior), not discard them as a failed attempt's
+    leftovers. Pins the inflight-marker gate (review r2: the first guard
+    keyed on any non-empty buffer and wiped these)."""
+    from hippomm_tpu.media.io import write_jpeg
+
+    mem = engine_factory("incrkeep")
+    spec = SynthSpec(duration=12.0, fps=2.0, width=160, height=120, seed=11)
+    res = generate(spec)
+    mem.add_video("vinc", "vinc.y4m")
+    half = len(res.frames) // 2
+    # first half arrives via the reference-compat incremental API (paths)
+    jdir = os.path.join(mem.store.base_dir, "incr")
+    os.makedirs(jdir, exist_ok=True)
+    paths = []
+    for i in range(half):
+        p = os.path.join(jdir, f"f_{i}.jpg")
+        write_jpeg(p, res.frames[i])
+        paths.append(p)
+    mem.add_memory(
+        "vinc",
+        video_frames=paths,
+        frame_times=list(res.frame_times[:half]),
+        start_time=0.0,
+        end_time=float(res.frame_times[half - 1]),
+    )
+    n_incremental = len(mem.short_term_buffer["vinc"])
+    assert n_incremental >= 1
+    # rest of the video through process_sequence with default resume=True
+    stms = mem.process_sequence(
+        "vinc",
+        frame_paths=[f"frames/vinc/f_{i}.jpg" for i in range(half, len(res.frames))],
+        frame_times=res.frame_times[half:],
+        frames_rgb=res.frames[half:],
+        auto_consolidate=False,
+    )
+    assert len(mem.short_term_buffer["vinc"]) == n_incremental + len(stms)

@@ -657,3 +657,48 @@ def test_fallback_keyframe_not_duplicated_with_jpg_plan(tmp_path):
     jpegs, times = qa._frames_for_windows("gone2", [(2.0, 2.0), (5.0, 6.0)])
     assert times == [2.0]
     assert len(jpegs) == 1
+
+
+def test_keyframe_substitution_nearest_wins_in_overlap(tmp_path):
+    """When a sample is covered by BOTH the at-or-before keyframe (full-period
+    tolerance) and a later one (half-period tolerance), the NEARER keyframe
+    wins: a spacing-suppressed cut between two saves ~1 period apart can sit
+    anywhere between them, and a sample 0.1s before the later save is on its
+    side of the cut far more often than on the earlier save's (review r2: the
+    forward branch unconditionally rode the stale pre-cut JPEG)."""
+    from hippomm_tpu.media.io import jpeg_decode, write_jpeg
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+
+    red = np.zeros((120, 160, 3), np.uint8); red[..., 0] = 200
+    blue = np.zeros((120, 160, 3), np.uint8); blue[..., 2] = 200
+    pa, pb = str(tmp_path / "a.jpg"), str(tmp_path / "b.jpg")
+    write_jpeg(pa, red)
+    write_jpeg(pb, blue)
+    ev = ThetaEvent(
+        video_id="ovl", start_time=0.0, end_time=20.0,
+        frames=[pa, pb], frame_times=[10.0, 11.0],
+    )
+    mem.long_term_store = [ev]
+    # no source mp4 on disk is irrelevant here: both samples are jpg-planned
+    mem.store.add_video("ovl", str(tmp_path / "missing.mp4"))
+    qa = QARecallSystem(mem, cfg)
+
+    # sample at 10.9: covered by a@10.0 (0.9 <= fwd_tol 1.0) AND b@11.0
+    # (0.1 <= back_tol 0.5) — must ride the NEARER post-save b (blue)
+    jpegs, times = qa._frames_for_windows("ovl", [(10.9, 10.9)])
+    assert len(jpegs) == 1
+    img = jpeg_decode(jpegs[0])
+    assert img[..., 2].mean() > img[..., 0].mean(), "picked the stale pre-cut JPEG"
+
+    # sample at 10.2: both qualify? b is 0.8 ahead (> back_tol) — forward-only
+    # coverage still rides a (red), unchanged semantics
+    jpegs2, _ = qa._frames_for_windows("ovl", [(10.2, 10.2)])
+    img2 = jpeg_decode(jpegs2[0])
+    assert img2[..., 0].mean() > img2[..., 2].mean()
