@@ -465,4 +465,33 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BaseException as e:  # noqa: BLE001
+        if isinstance(e, SystemExit):
+            raise
+        import traceback
+
+        traceback.print_exc()
+        # backend-init failures during a transport outage can clear within
+        # minutes, but JAX caches the failed platform for the process's life —
+        # a retry needs a FRESH process. Re-exec up to twice before giving up.
+        if "nable to initialize backend" in str(e):
+            n = int(os.environ.get("HIPPOMM_BENCH_REEXEC", "0"))
+            if n < 2:
+                os.environ["HIPPOMM_BENCH_REEXEC"] = str(n + 1)
+                print(f"backend init failed; re-exec attempt {n + 1} in 90s",
+                      file=sys.stderr, flush=True)
+                time.sleep(90.0)
+                os.execv(sys.executable, [sys.executable] + sys.argv)
+        # the result line is the contract: an exhausted outage (observed:
+        # jax.devices() hung 25 min then raised Unavailable) or any other
+        # crash must still produce one honest JSON line, not a bare traceback
+        print(json.dumps({
+            "metric": "ingest_throughput_2x10min_vlog_mp4",
+            "value": 0.0,
+            "unit": "video-hours/hour/chip (x realtime)",
+            "vs_baseline": 0.0,
+            "extra": {"error": f"bench crashed: {type(e).__name__}: {e}"},
+        }), flush=True)
+        sys.exit(0)

@@ -29,9 +29,17 @@ from hippomm_tpu.memory.schema import ThetaEvent
 from hippomm_tpu.retrieval.search import FeatureSearchIndex
 
 
+def _normalize_rows(feats: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows once on host (fp32) so the per-query device
+    program is a bare matmul + top-k; zero rows stay zero (sim 0)."""
+    return feats / np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-8)
+
+
 @partial(jax.jit, static_argnames=("k", "mesh"))
 def _sharded_topk(feats: jax.Array, valid: jax.Array, query: jax.Array, k: int, mesh: Mesh):
-    """feats (N, D) sharded over 'data'; query (D,) replicated.
+    """feats (N, D) sharded over 'data', rows PRE-NORMALIZED at build (see
+    _normalize_rows — renormalizing the whole shard per query would cost an
+    O(N·D) pass comparable to the matmul itself); query (D,) replicated.
 
     Returns (values (k,), global indices (k,)).
     """
@@ -44,10 +52,9 @@ def _sharded_topk(feats: jax.Array, valid: jax.Array, query: jax.Array, k: int, 
     k_local = min(k, per)
 
     def local(f, v, q):
-        # f: (per, D) local shard
-        fn = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
+        # f: (per, D) local shard, rows unit-norm
         qn = q / jnp.maximum(jnp.linalg.norm(q), 1e-8)
-        sims = jnp.where(v, fn @ qn, -jnp.inf)  # (per,)
+        sims = jnp.where(v, f @ qn, -jnp.inf)  # (per,)
         lv, li = jax.lax.top_k(sims, k_local)
         shard = jax.lax.axis_index("data")
         gi = li + shard * per
@@ -68,7 +75,8 @@ def _sharded_topk(feats: jax.Array, valid: jax.Array, query: jax.Array, k: int, 
 
 @partial(jax.jit, static_argnames=("k", "mesh"))
 def _sharded_topk_batch(feats: jax.Array, valid: jax.Array, queries: jax.Array, k: int, mesh: Mesh):
-    """feats (N, D) sharded over 'data'; queries (Q, D) replicated.
+    """feats (N, D) sharded over 'data', rows PRE-NORMALIZED at build;
+    queries (Q, D) replicated.
 
     Per shard: one (Q, D) @ (D, Nᵢ) mat-MAT (feeds the MXU) + local top-k,
     then all_gather of the (Q, n_shards·k) candidate pool over ICI and a
@@ -83,9 +91,8 @@ def _sharded_topk_batch(feats: jax.Array, valid: jax.Array, queries: jax.Array, 
     k_local = min(k, per)
 
     def local(f, v, q):
-        fn = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-8)
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
-        sims = jnp.where(v[None, :], qn @ fn.T, -jnp.inf)  # (Q, per)
+        sims = jnp.where(v[None, :], qn @ f.T, -jnp.inf)  # (Q, per)
         lv, li = jax.lax.top_k(sims, k_local)
         shard = jax.lax.axis_index("data")
         gi = li + shard * per
@@ -131,7 +138,7 @@ class ShardedFeatureIndex(FeatureSearchIndex):
         self.videos = packed.videos
         self.times = packed.times
         self.in_event_idx = packed.in_event_idx
-        feats = packed._feats
+        feats = _normalize_rows(packed._feats)
         n = feats.shape[0]
         n_data = mesh.shape["data"]
         pad = (-n) % n_data
@@ -191,7 +198,7 @@ class ShardedFeatureStore:
                 times.append(t[i] if i < len(t) else ev.start_time)
         if not rows:
             return self
-        feats = np.stack(rows).astype(np.float32)
+        feats = _normalize_rows(np.stack(rows).astype(np.float32))
         n = feats.shape[0]
         n_data = mesh.shape["data"]
         pad = (-n) % n_data
