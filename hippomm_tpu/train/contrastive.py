@@ -152,6 +152,80 @@ def make_train_step_pp(
     )
 
 
+def init_moe_adapter_state(
+    key: jax.Array,
+    cfg: ImageBindConfig,
+    mesh,
+    n_experts: int,
+    hidden: Optional[int] = None,
+    learning_rate: float = 1e-4,
+):
+    """Train state for the expert-parallel adapter (parallel/moe.py): a
+    residual Switch-MoE FFN over the FROZEN towers' embeddings — capacity
+    scales with experts (sharded over "model") while per-chip FLOPs/memory
+    stay constant. Returns (moe_params, opt_state, tx)."""
+    from hippomm_tpu.parallel.moe import init_moe_params, place_moe_params
+
+    d = cfg.embed_dim
+    moe = place_moe_params(
+        init_moe_params(key, d, hidden or 2 * d, n_experts), mesh
+    )
+    tx = optax.adamw(learning_rate)
+    return moe, tx.init(moe), tx
+
+
+def make_train_step_moe(
+    frozen_params: Dict,
+    cfg: ImageBindConfig,
+    mesh,
+    tx,
+    balance_coef: float = 0.01,
+    dtype=jnp.bfloat16,
+):
+    """Contrastive train step for the MoE adapter: towers run frozen
+    (no tower grads), vision embeddings pass through the residual
+    expert-parallel FFN, and only the adapter trains (dp × ep).
+
+    Each embedding is one routing token; the (B, D) batch reshapes to
+    (B/mp, mp, D) so tokens partition across the WHOLE mesh (batch over
+    "data", the mp-token axis over "model" — no duplicated routing work).
+    Requires B % (dp·mp) == 0. The Switch load-balance aux joins the loss.
+    """
+    from hippomm_tpu.parallel.moe import moe_block
+
+    mp = mesh.shape["model"]
+
+    def loss_fn(moe_params, images, tokens):
+        v = jax.lax.stop_gradient(vision_forward(frozen_params, images, cfg, dtype))
+        t = jax.lax.stop_gradient(text_forward(frozen_params, tokens, cfg, dtype))
+        b, d = v.shape
+        x = v.reshape(b // mp, mp, d)
+        y, aux = moe_block(moe_params, x, mesh, dtype=dtype)
+        v2 = v + y.reshape(b, d)
+        v2 = v2 / jnp.maximum(jnp.linalg.norm(v2, axis=-1, keepdims=True), 1e-8)
+        logits = jnp.dot(v2, t.T, preferred_element_type=jnp.float32)
+        labels = jnp.arange(logits.shape[0])
+        loss_v2t = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        loss_t2v = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels).mean()
+        loss = 0.5 * (loss_v2t + loss_t2v) + balance_coef * aux
+        acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
+        return loss, {"loss": loss, "accuracy": acc, "balance": aux}
+
+    def step(moe_params, opt_state, images, tokens):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            moe_params, images, tokens
+        )
+        updates, opt_state = tx.update(grads, opt_state, moe_params)
+        moe_params = optax.apply_updates(moe_params, updates)
+        return moe_params, opt_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(None, None, data_sharding(mesh, 4), data_sharding(mesh, 2)),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_train_step(cfg: ImageBindConfig, mesh, tx, shardings, dtype=jnp.bfloat16):
     """Jitted pjit train step: (params, opt_state, images, tokens) → updated."""
 

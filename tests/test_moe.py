@@ -139,3 +139,36 @@ def test_moe_validates_divisibility(mesh):
     x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, D), jnp.float32)
     with pytest.raises(ValueError):
         moe_block(place_moe_params(_params(), mesh) | {"router_w": p5["router_w"]}, x, mesh)
+
+
+def test_moe_adapter_trains_on_frozen_towers(mesh):
+    """dp x ep adapter fine-tuning: frozen tiny towers, residual MoE over the
+    embeddings, a few steps reduce the InfoNCE+balance loss; tower params
+    receive no gradient by construction (stop_gradient)."""
+    from hippomm_tpu.models.imagebind.model import init_imagebind, tiny_config
+    from hippomm_tpu.train.contrastive import (
+        init_moe_adapter_state,
+        make_train_step_moe,
+    )
+
+    cfg = tiny_config()
+    frozen = init_imagebind(jax.random.PRNGKey(0), cfg)
+    moe, opt, tx = init_moe_adapter_state(
+        jax.random.PRNGKey(1), cfg, mesh, n_experts=8, learning_rate=3e-3
+    )
+    step = make_train_step_moe(frozen, cfg, mesh, tx, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    b = mesh.shape["data"] * mesh.shape["model"] * 2
+    images = jnp.asarray(
+        rng.normal(size=(b, 3, cfg.image_size, cfg.image_size)), jnp.float32
+    )
+    tokens = jnp.asarray(
+        rng.integers(1, cfg.vocab_size - 2, size=(b, cfg.context_length)), jnp.int32
+    )
+    tokens = tokens.at[:, -1].set(cfg.vocab_size - 1)
+    losses = []
+    for _ in range(6):
+        moe, opt, metrics = step(moe, opt, images, tokens)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0]
