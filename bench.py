@@ -351,6 +351,28 @@ def main() -> None:
         except Exception as e:
             realtime30 = repr(e)[:80]
 
+    # ---- single 30 s clip (driver config #1 shape): post-warm, so the number
+    # is steady-state per-clip latency, not compile time ----------------------
+    realtime_clip30 = None
+    if budget_left():
+        try:
+            clip_dir = os.path.join(work, "clip30")
+            os.makedirs(clip_dir)
+            write_synthetic_video(
+                os.path.join(clip_dir, "clip.mp4"),
+                SynthSpec(duration=30.0, fps=2.0, width=640, height=360,
+                          scene_changes=(14.0,), silence_regions=((13.0, 15.0),),
+                          seed=5),
+            )
+            t0 = time.perf_counter()
+            stats_c = process_video_folder(clip_dir, cfg.storage.base_dir, config=cfg,
+                                           memory_system=mem, checkpoint_every=0)
+            realtime_clip30 = round(
+                (stats_c["media_seconds"] or 1e-9) / (time.perf_counter() - t0), 3
+            )
+        except Exception as e:
+            realtime_clip30 = repr(e)[:80]
+
     # ---- audio-only ingest: 5 min (driver config #2 shape: silence
     # segmentation + ASR + ImageBind audio embeddings, no frame track) --------
     from hippomm_tpu.media.io import write_wav
@@ -467,6 +489,7 @@ def main() -> None:
             "asr_beam5_realtime_x": asr5_realtime,
             "ingest_30fps_realtime_x": realtime30,
             "ingest_30fps_wall_s": wall30,
+            "ingest_single_30s_clip_realtime_x": realtime_clip30,
             "ingest_audio_only_realtime_x": realtime_audio,
             "detailed_recall_p50_ms": round(p50_ms, 2),
             "recall_e2e_ms": round(recall_e2e_ms, 2),
