@@ -27,32 +27,47 @@ def make_mesh(
     model_parallel: int = 1,
     devices: Optional[Sequence] = None,
     pipeline_parallel: int = 1,
+    dcn_replicas: int = 1,
 ) -> Mesh:
     """("data", "model") mesh over the local devices — or, with
     pipeline_parallel > 1, a ("data", "pipe", "model") mesh for the GPipe
-    path (parallel/megatron.py).
+    path (parallel/megatron.py), or, with dcn_replicas > 1, a leading
+    "replica" axis for multi-slice deployments.
 
-    model_parallel (× pipeline_parallel) must divide the device count; data
-    gets the rest. Axis order puts "model" innermost so tensor-parallel
-    collectives ride the fastest ICI links, with pipe point-to-point
-    (ppermute) on the next ring out.
+    model_parallel (× pipeline_parallel × dcn_replicas) must divide the
+    device count; data gets the rest. Axis order puts "model" innermost so
+    tensor-parallel collectives ride the fastest ICI links, with pipe
+    point-to-point (ppermute) on the next ring out, and "replica" OUTERMOST:
+    jax.devices() orders multi-slice fleets slice-major, so the replica axis
+    falls on slice boundaries and its only collective (the gradient psum of
+    pure data parallelism) is the one that rides DCN — params replicate
+    across it (param_shardings never names it), activations batch-shard over
+    ("replica", "data") via data_sharding.
     """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
         devs = devs[:n_devices]
     n = len(devs)
-    if n % (model_parallel * pipeline_parallel) != 0:
+    if n % (model_parallel * pipeline_parallel * dcn_replicas) != 0:
         raise ValueError(
             f"model_parallel={model_parallel} x pipeline_parallel="
-            f"{pipeline_parallel} must divide device count {n}"
+            f"{pipeline_parallel} x dcn_replicas={dcn_replicas} "
+            f"must divide device count {n}"
         )
+    inner = n // dcn_replicas
     if pipeline_parallel > 1:
-        arr = np.asarray(devs).reshape(
-            n // (model_parallel * pipeline_parallel), pipeline_parallel, model_parallel
+        shape = (inner // (model_parallel * pipeline_parallel),
+                 pipeline_parallel, model_parallel)
+        names = ("data", "pipe", "model")
+    else:
+        shape = (inner // model_parallel, model_parallel)
+        names = ("data", "model")
+    if dcn_replicas > 1:
+        return Mesh(
+            np.asarray(devs).reshape((dcn_replicas,) + shape),
+            ("replica",) + names,
         )
-        return Mesh(arr, ("data", "pipe", "model"))
-    arr = np.asarray(devs).reshape(n // model_parallel, model_parallel)
-    return Mesh(arr, ("data", "model"))
+    return Mesh(np.asarray(devs).reshape(shape), names)
 
 
 # ---------------------------------------------------------------------------
@@ -109,8 +124,11 @@ def param_shardings(params, mesh: Mesh):
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Batch-sharded activation: leading axis over "data"."""
-    return NamedSharding(mesh, P(*(("data",) + (None,) * (ndim - 1))))
+    """Batch-sharded activation: leading axis over "data" — and over
+    ("replica", "data") on a multi-slice mesh, so each slice takes a batch
+    slab and the gradient psum is the only cross-slice (DCN) collective."""
+    lead = ("replica", "data") if "replica" in mesh.axis_names else ("data",)
+    return NamedSharding(mesh, P(*((lead,) + (None,) * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

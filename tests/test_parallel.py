@@ -275,3 +275,34 @@ def test_sharded_whisper_greedy_matches_single(mesh8):
     a = single.transcribe_many(clips, max_new_tokens=6, max_chunk_batch=8)
     b = sharded.transcribe_many(clips, max_new_tokens=6, max_chunk_batch=8)
     assert [(s.start, s.end) for s in a[0]] == [(s.start, s.end) for s in b[0]]
+
+
+def test_replica_mesh_matches_dp_tp(rng):
+    """Multi-slice layout: a ("replica","data","model") mesh (replica = DCN
+    data parallelism, params replicated across it) reproduces the dp×tp
+    mesh's loss trajectory step for step — the replica axis only changes
+    WHERE the gradient psum runs, not the math."""
+    from hippomm_tpu.models.imagebind.model import tiny_config
+    from hippomm_tpu.train.contrastive import init_train_state, make_train_step
+
+    cfg = tiny_config()
+    images = rng.normal(size=(8, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    tokens = rng.integers(1, cfg.vocab_size - 2, size=(8, cfg.context_length)).astype(np.int32)
+    tokens[:, -1] = cfg.vocab_size - 1
+
+    def run(mesh):
+        params, opt_state, tx, shardings = init_train_state(
+            jax.random.PRNGKey(0), cfg, mesh, learning_rate=1e-3
+        )
+        step = make_train_step(cfg, mesh, tx, shardings, dtype=jnp.float32)
+        out = []
+        for _ in range(3):
+            params, opt_state, metrics = step(params, opt_state, images, tokens)
+            out.append(float(metrics["loss"]))
+        return out
+
+    mesh_r = make_mesh(8, model_parallel=2, dcn_replicas=2)
+    assert mesh_r.shape == {"replica": 2, "data": 2, "model": 2}
+    losses_r = run(mesh_r)
+    losses = run(make_mesh(8, model_parallel=2))
+    np.testing.assert_allclose(losses_r, losses, rtol=1e-5)
