@@ -28,6 +28,9 @@ class SystemConfig:
     # mesh axis sizes; None = use all local devices data-parallel
     mesh_data: Optional[int] = None
     mesh_model: int = 1
+    # multi-slice: leading replica axis on slice boundaries (params replicate,
+    # batch shards over it; keeps TP collectives inside a slice / off DCN)
+    mesh_replicas: int = 1
     # when set, each process_sequence runs under jax.profiler.trace writing a
     # TensorBoard-loadable trace into this directory (SURVEY §5: stage timers
     # + optional trace hooks; timers are always on, this is the trace half)

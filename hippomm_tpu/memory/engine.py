@@ -103,15 +103,22 @@ class HippocampalMemory:
 
             sys_cfg = self.config.system
             n_dev = len(jax.devices())
-            data = sys_cfg.mesh_data or (n_dev // max(1, sys_cfg.mesh_model))
-            total = data * max(1, sys_cfg.mesh_model)
+            reps = max(1, getattr(sys_cfg, "mesh_replicas", 1))
+            data = sys_cfg.mesh_data or (
+                n_dev // (max(1, sys_cfg.mesh_model) * reps)
+            )
+            total = data * max(1, sys_cfg.mesh_model) * reps
             if total > 1 and total <= n_dev:
-                self.mesh = make_mesh(total, model_parallel=max(1, sys_cfg.mesh_model))
+                self.mesh = make_mesh(
+                    total,
+                    model_parallel=max(1, sys_cfg.mesh_model),
+                    dcn_replicas=reps,
+                )
             elif total > n_dev:
                 logger.warning(
-                    "configured mesh %dx%d needs %d devices but only %d are "
+                    "configured mesh %dx%dx%d needs %d devices but only %d are "
                     "available — running single-device",
-                    data, max(1, sys_cfg.mesh_model), total, n_dev,
+                    reps, data, max(1, sys_cfg.mesh_model), total, n_dev,
                 )
         except Exception:
             logger.exception("mesh setup failed; running single-device")

@@ -306,3 +306,53 @@ def test_replica_mesh_matches_dp_tp(rng):
     losses_r = run(mesh_r)
     losses = run(make_mesh(8, model_parallel=2))
     np.testing.assert_allclose(losses_r, losses, rtol=1e-5)
+
+
+def test_engine_replica_mesh_end_to_end(tmp_path):
+    """mesh_replicas=2 (multi-slice layout) through the PRODUCT path: the
+    engine builds a ("replica","data","model") mesh, ingest produces the same
+    event features as a single-device engine, and the QA index still selects
+    the sharded backend and finds the right rows."""
+    import numpy as np
+
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.media.synth import SynthSpec, generate
+    from hippomm_tpu.memory.engine import HippocampalMemory
+    from hippomm_tpu.retrieval.qa import QARecallSystem
+
+    def build(tag, replicas, model):
+        cfg = Config()
+        cfg.api.mode = "stub"
+        cfg.models.imagebind_variant = "tiny"
+        cfg.models.whisper_variant = "stub"
+        cfg.system.mesh_replicas = replicas
+        cfg.system.mesh_model = model
+        cfg.storage.base_dir = str(tmp_path / f"store_{tag}")
+        mem = HippocampalMemory(config=cfg)
+        res = generate(SynthSpec(duration=24.0, fps=2.0, width=160, height=120, seed=6))
+        mem.add_video("vid", "")
+        mem.process_sequence(
+            "vid",
+            frame_paths=[f"f_{i}.jpg" for i in range(len(res.frames))],
+            frame_times=res.frame_times,
+            frames_rgb=res.frames,
+            audio_data=res.audio,
+        )
+        return cfg, mem
+
+    cfg_r, mem_r = build("rep", replicas=2, model=2)
+    assert dict(mem_r.mesh.shape) == {"replica": 2, "data": 2, "model": 2}
+    cfg_1, mem_1 = build("one", replicas=1, model=1)
+
+    ev_r = mem_r.long_term_store[0]
+    ev_1 = mem_1.long_term_store[0]
+    np.testing.assert_allclose(
+        ev_r.features["vision"], ev_1.features["vision"], atol=5e-4
+    )
+
+    qa = QARecallSystem(mem_r, cfg_r)
+    idx = qa._index("vision")
+    assert type(idx).__name__ == "ShardedFeatureIndex"
+    q = np.asarray(ev_r.features["vision"][0], np.float32)
+    hits = idx.search(q, top_k_per_event=3, global_top_k=3)
+    assert hits and hits[0].similarity > 0.999
