@@ -1,0 +1,108 @@
+"""QA serving layer (core/serve.py): warm engine behind HTTP, hermetic.
+
+Builds a tiny store from a synthetic clip, serves it on an ephemeral port,
+and drives every endpoint — including /ingest refreshing the resident store
+so later questions see the new events without a restart.
+"""
+
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+from hippomm_tpu.config import Config
+from hippomm_tpu.core.batch_process import process_video_folder
+from hippomm_tpu.core.serve import QAService, make_server
+from hippomm_tpu.media.synth import SynthSpec, write_synthetic_video
+
+
+def _cfg(store_dir: str) -> Config:
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = store_dir
+    return cfg
+
+
+def _req(port: int, path: str, payload=None):
+    url = f"http://127.0.0.1:{port}{path}"
+    if payload is None:
+        r = urllib.request.urlopen(url, timeout=120)
+    else:
+        data = json.dumps(payload).encode()
+        req = urllib.request.Request(
+            url, data=data, headers={"Content-Type": "application/json"}
+        )
+        r = urllib.request.urlopen(req, timeout=300)
+    return r.status, json.loads(r.read())
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serve")
+    videos = tmp / "videos"
+    videos.mkdir()
+    write_synthetic_video(
+        str(videos / "clip.mp4"),
+        SynthSpec(duration=20.0, fps=2.0, width=160, height=120,
+                  scene_changes=(9.0,), seed=11),
+    )
+    cfg = _cfg(str(tmp / "store"))
+    process_video_folder(str(videos), cfg.storage.base_dir, config=cfg)
+
+    service = QAService(cfg)
+    server = make_server(service, port=0)  # ephemeral port
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield service, server.server_address[1], str(tmp)
+    server.shutdown()
+
+
+def test_healthz_and_events(served):
+    service, port, _ = served
+    status, h = _req(port, "/healthz")
+    assert status == 200 and h["status"] == "ok" and h["events"] == 1
+    status, ev = _req(port, "/events")
+    assert status == 200 and len(ev["events"]) == 1
+
+
+def test_ask_and_batch(served):
+    service, port, _ = served
+    status, r = _req(port, "/ask", {"question": "What is shown in the video?"})
+    assert status == 200 and r["answer"] and 0.0 <= r["confidence"] <= 1.0
+    status, rb = _req(
+        port, "/ask_batch",
+        {"questions": ["What is shown?", "What sound plays?"]},
+    )
+    assert status == 200 and len(rb["results"]) == 2
+    assert all(x["answer"] for x in rb["results"])
+
+
+def test_bad_requests(served):
+    service, port, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(port, "/ask", {})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(port, "/nope")
+    assert e.value.code == 404
+
+
+def test_ingest_refreshes_resident_store(served):
+    service, port, tmp = served
+    more = os.path.join(tmp, "more_videos")
+    os.makedirs(more, exist_ok=True)
+    write_synthetic_video(
+        os.path.join(more, "clip2.mp4"),
+        SynthSpec(duration=16.0, fps=2.0, width=160, height=120, seed=12),
+    )
+    status, stats = _req(port, "/ingest", {"path": more})
+    assert status == 200 and stats["processed"] == 1 and stats["failed"] == 0
+    status, h = _req(port, "/healthz")
+    assert h["events"] == 2
+    # the new event is immediately searchable through the warm QA system
+    status, r = _req(port, "/ask", {"question": "What is in the newest clip?"})
+    assert status == 200 and r["answer"]
