@@ -854,6 +854,58 @@ def process_memory_sync(
 # ---------------------------------------------------------------------------
 
 
+def ingest_single_file(
+    path: str,
+    memory_store_dir: str,
+    config: Optional[Config] = None,
+    memory_system=None,
+    skip_existing: bool = True,
+) -> Dict:
+    """Single-video ingest (reference :784-804) — shared by the CLI's
+    single-file mode and the serving layer's /ingest (which passes its
+    resident engine so new events are immediately searchable)."""
+    from hippomm_tpu.memory.engine import HippocampalMemory
+
+    config = config or load_config(None)
+    config.storage.base_dir = memory_store_dir
+    mem = memory_system or HippocampalMemory(config=config)
+    video_id = os.path.splitext(os.path.basename(path))[0]
+    if (
+        skip_existing
+        and mem.store.has_video(video_id)
+        and mem.store.events_for_video(video_id)
+    ):
+        logger.info("skipping %s (already ingested)", video_id)
+        return {
+            "total": 1, "processed": 0, "skipped": 1, "failed": 0, "errors": {},
+            "video_id": video_id, "wall_seconds": 0.0, "media_seconds": 0.0,
+            "engine": mem.get_stats(),
+        }
+    t0 = time.perf_counter()
+    extracted = process_single_video(
+        path, memory_store_dir, video_id, timers=mem.timers, memory_system=mem
+    )
+    mem.add_video(video_id, path)
+    frames, audio = extracted["frames"], extracted["audio"]
+    mem.process_sequence(
+        video_id,
+        frame_paths=frames.get("frame_paths", []),
+        frame_times=frames.get("frame_times", []),
+        frames_rgb=frames.get("frames_rgb"),
+        audio_data=audio.get("audio"),
+        video_duration=frames.get("duration"),
+        auto_consolidate=True,
+    )
+    wall = time.perf_counter() - t0
+    return {
+        "total": 1, "processed": 1, "skipped": 0, "failed": 0, "errors": {},
+        "video_id": video_id,
+        "wall_seconds": wall,
+        "media_seconds": float(frames.get("duration") or 0.0),
+        "engine": mem.get_stats(),
+    }
+
+
 def main(argv: Optional[Sequence[str]] = None) -> Dict:
     """(reference: batch_process.py:749-826 — same flag surface: --path takes a
     single video file OR a folder; --skip-existing / --checkpoint-interval /
@@ -885,45 +937,10 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
     config.storage.base_dir = args.memory_store
 
     if os.path.isfile(args.path):
-        # single-video mode (reference :784-804)
-        from hippomm_tpu.memory.engine import HippocampalMemory
-
-        mem = HippocampalMemory(config=config)
-        video_id = os.path.splitext(os.path.basename(args.path))[0]
-        if (
-            args.skip_existing
-            and mem.store.has_video(video_id)
-            and mem.store.events_for_video(video_id)
-        ):
-            logger.info("skipping %s (already ingested)", video_id)
-            return {
-                "total": 1, "processed": 0, "skipped": 1, "failed": 0, "errors": {},
-                "video_id": video_id, "wall_seconds": 0.0, "media_seconds": 0.0,
-                "engine": mem.get_stats(),
-            }
-        t0 = time.perf_counter()
-        extracted = process_single_video(
-            args.path, args.memory_store, video_id, timers=mem.timers, memory_system=mem
+        return ingest_single_file(
+            args.path, args.memory_store, config=config,
+            skip_existing=args.skip_existing,
         )
-        mem.add_video(video_id, args.path)
-        frames, audio = extracted["frames"], extracted["audio"]
-        mem.process_sequence(
-            video_id,
-            frame_paths=frames.get("frame_paths", []),
-            frame_times=frames.get("frame_times", []),
-            frames_rgb=frames.get("frames_rgb"),
-            audio_data=audio.get("audio"),
-            video_duration=frames.get("duration"),
-            auto_consolidate=True,
-        )
-        wall = time.perf_counter() - t0
-        return {
-            "total": 1, "processed": 1, "skipped": 0, "failed": 0, "errors": {},
-            "video_id": video_id,
-            "wall_seconds": wall,
-            "media_seconds": float(frames.get("duration") or 0.0),
-            "engine": mem.get_stats(),
-        }
 
     return process_video_folder(
         args.path,

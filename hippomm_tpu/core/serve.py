@@ -47,7 +47,7 @@ class QAService:
     """The warm engine + recall system behind the HTTP handlers (directly
     usable in-process too; the HTTP layer is a thin shell around it)."""
 
-    def __init__(self, config, event_id: Optional[str] = None):
+    def __init__(self, config, event_id: Optional[str] = None, warm: bool = True):
         from hippomm_tpu.memory.engine import HippocampalMemory
         from hippomm_tpu.retrieval.qa import QARecallSystem
 
@@ -59,6 +59,13 @@ class QAService:
         else:
             self.memory.load_all_events()
         self.qa = QARecallSystem(self.memory, config)
+        if warm and self.memory.long_term_store:
+            # pay the text-tower/top-k compiles at startup, not on the first
+            # client request (minutes on cold tunneled devices)
+            try:
+                self.qa.answer_question("What is shown?")
+            except Exception:  # noqa: BLE001 — warm best-effort
+                logger.exception("startup warmup failed (serving anyway)")
 
     # ---- handlers (each serializes on the engine lock) ----------------------
 
@@ -82,15 +89,28 @@ class QAService:
         return {"results": [_result_dict(r) for r in results]}
 
     def ingest(self, path: str) -> Dict[str, Any]:
-        from hippomm_tpu.core.batch_process import process_video_folder
+        import os
+
+        from hippomm_tpu.core.batch_process import (
+            ingest_single_file,
+            process_video_folder,
+        )
 
         with self.lock:
-            stats = process_video_folder(
-                path,
-                self.config.storage.base_dir,
-                config=self.config,
-                memory_system=self.memory,
-            )
+            if os.path.isfile(path):
+                stats = ingest_single_file(
+                    path,
+                    self.config.storage.base_dir,
+                    config=self.config,
+                    memory_system=self.memory,
+                )
+            else:
+                stats = process_video_folder(
+                    path,
+                    self.config.storage.base_dir,
+                    config=self.config,
+                    memory_system=self.memory,
+                )
             # resident store already holds the new events (same engine);
             # just refresh the QA index caches
             self.qa._index_cache.clear()

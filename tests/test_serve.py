@@ -106,3 +106,20 @@ def test_ingest_refreshes_resident_store(served):
     # the new event is immediately searchable through the warm QA system
     status, r = _req(port, "/ask", {"question": "What is in the newest clip?"})
     assert status == 200 and r["answer"]
+
+
+def test_ingest_single_file(served):
+    """/ingest also takes ONE video file (shared ingest_single_file helper,
+    resident engine passed through — CLI single-file mode and server agree)."""
+    service, port, tmp = served
+    clip = os.path.join(tmp, "solo.mp4")
+    write_synthetic_video(
+        clip, SynthSpec(duration=12.0, fps=2.0, width=160, height=120, seed=13)
+    )
+    before = _req(port, "/healthz")[1]["events"]
+    status, stats = _req(port, "/ingest", {"path": clip})
+    assert status == 200 and stats["processed"] == 1 and stats["video_id"] == "solo"
+    # idempotent: same file again skips
+    status, stats2 = _req(port, "/ingest", {"path": clip})
+    assert stats2["skipped"] == 1
+    assert _req(port, "/healthz")[1]["events"] == before + 1
