@@ -30,6 +30,7 @@ import dataclasses
 import json
 import logging
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Sequence
 
@@ -53,6 +54,8 @@ class QAService:
 
         self.config = config
         self.lock = threading.Lock()
+        self._lat_lock = threading.Lock()
+        self._latencies: Dict[str, list] = {}
         self.memory = HippocampalMemory(config=config)
         if event_id:
             self.memory.load_theta_event(event_id)
@@ -74,18 +77,52 @@ class QAService:
             "status": "ok",
             "events": len(self.memory.long_term_store),
             "videos": len(self.memory.store.video_index),
+            "latency_ms": self.latency_stats(),
         }
+
+    def latency_stats(self) -> Dict[str, Dict[str, float]]:
+        """Per-endpoint latency histogram (SURVEY §7.6 observability): p50/p95
+        /max/count over a bounded window of recent requests."""
+        out = {}
+        with self._lat_lock:
+            for name, window in self._latencies.items():
+                if not window:
+                    continue
+                arr = sorted(window)
+                n = len(arr)
+                out[name] = {
+                    "p50": round(arr[n // 2], 1),
+                    "p95": round(arr[min(n - 1, int(n * 0.95))], 1),
+                    "max": round(arr[-1], 1),
+                    "count": n,
+                }
+        return out
+
+    def _record(self, name: str, dt_ms: float) -> None:
+        with self._lat_lock:
+            window = self._latencies.setdefault(name, [])
+            window.append(dt_ms)
+            if len(window) > 512:
+                del window[: len(window) - 512]
 
     def events(self) -> Dict[str, Any]:
         return {"events": self.memory.store.list_events()}
 
     def ask(self, question: str) -> Dict[str, Any]:
+        t0 = time.perf_counter()
         with self.lock:
-            return _result_dict(self.qa.answer_question(question))
+            out = _result_dict(self.qa.answer_question(question))
+        self._record("ask", (time.perf_counter() - t0) * 1000)
+        return out
 
     def ask_batch(self, questions: Sequence[str]) -> Dict[str, Any]:
+        t0 = time.perf_counter()
         with self.lock:
             results = self.qa.answer_questions(list(questions))
+        self._record(
+            "ask_batch_per_q",
+            (time.perf_counter() - t0) * 1000 / max(1, len(questions)),
+        )
         return {"results": [_result_dict(r) for r in results]}
 
     def ingest(self, path: str) -> Dict[str, Any]:

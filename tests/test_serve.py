@@ -123,3 +123,22 @@ def test_ingest_single_file(served):
     status, stats2 = _req(port, "/ingest", {"path": clip})
     assert stats2["skipped"] == 1
     assert _req(port, "/healthz")[1]["events"] == before + 1
+
+
+def test_latency_histogram_and_concurrent_asks(served):
+    """Concurrent /ask requests serialize safely on the engine lock; the
+    latency histogram in /healthz records them (SURVEY §7.6 observability)."""
+    import concurrent.futures
+
+    service, port, _ = served
+    with concurrent.futures.ThreadPoolExecutor(4) as pool:
+        futs = [
+            pool.submit(_req, port, "/ask", {"question": f"What happens at {i}s?"})
+            for i in range(4)
+        ]
+        for f in futs:
+            status, r = f.result()
+            assert status == 200 and r["answer"]
+    status, h = _req(port, "/healthz")
+    lat = h["latency_ms"]["ask"]
+    assert lat["count"] >= 4 and lat["p50"] > 0 and lat["p95"] >= lat["p50"]
