@@ -882,20 +882,35 @@ def ingest_single_file(
             "engine": mem.get_stats(),
         }
     t0 = time.perf_counter()
-    extracted = process_single_video(
-        path, memory_store_dir, video_id, timers=mem.timers, memory_system=mem
-    )
-    mem.add_video(video_id, path)
-    frames, audio = extracted["frames"], extracted["audio"]
-    mem.process_sequence(
-        video_id,
-        frame_paths=frames.get("frame_paths", []),
-        frame_times=frames.get("frame_times", []),
-        frames_rgb=frames.get("frames_rgb"),
-        audio_data=audio.get("audio"),
-        video_duration=frames.get("duration"),
-        auto_consolidate=True,
-    )
+    try:
+        extracted = process_single_video(
+            path, memory_store_dir, video_id, timers=mem.timers, memory_system=mem
+        )
+        mem.add_video(video_id, path)
+        frames, audio = extracted["frames"], extracted["audio"]
+        fssim = frames.get("frame_ssim")
+        mem.process_sequence(
+            video_id,
+            frame_paths=frames.get("frame_paths", []),
+            frame_times=frames.get("frame_times", []),
+            frames_rgb=frames.get("frames_rgb"),
+            audio_data=audio.get("audio"),
+            video_duration=frames.get("duration"),
+            auto_consolidate=True,
+            frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
+        )
+    except Exception:
+        # same per-video purge as the folder driver: callers can hold a
+        # LONG-LIVED engine (the serving layer's /ingest), so a failed
+        # attempt must not leak its pending ASR future, cached waveform/
+        # transcript, or partial STM/consolidated state
+        mem._asr_futures.pop(video_id, None)
+        mem._full_audio.pop(video_id, None)
+        mem._full_transcript.pop(video_id, None)
+        mem._transcript_full_track.discard(video_id)
+        mem.short_term_buffer.pop(video_id, None)
+        mem.consolidated.pop(video_id, None)
+        raise
     wall = time.perf_counter() - t0
     return {
         "total": 1, "processed": 1, "skipped": 0, "failed": 0, "errors": {},

@@ -106,11 +106,24 @@ class QAService:
                 del window[: len(window) - 512]
 
     def events(self) -> Dict[str, Any]:
-        return {"events": self.memory.store.list_events()}
+        with self.lock:  # /ingest mutates event_index concurrently
+            return {"events": self.memory.store.list_events()}
 
-    def ask(self, question: str) -> Dict[str, Any]:
+    def reload(self) -> int:
+        """Re-read indices + events from disk (an EXTERNAL writer — another
+        server or a batch_process run — may have extended the store)."""
+        store = self.memory.store
+        store.event_index = store._load_index(store.event_index_path)
+        store.video_index = store._load_index(store.video_index_path)
+        self.memory.load_all_events()
+        self.qa._index_cache.clear()
+        return len(self.memory.long_term_store)
+
+    def ask(self, question: str, reload: bool = False) -> Dict[str, Any]:
         t0 = time.perf_counter()
         with self.lock:
+            if reload:
+                self.reload()
             out = _result_dict(self.qa.answer_question(question))
         self._record("ask", (time.perf_counter() - t0) * 1000)
         return out
@@ -187,7 +200,9 @@ def make_server(service: QAService, host: str = "127.0.0.1", port: int = 8080):
                     q = req.get("question")
                     if not q:
                         return self._send(400, {"error": "missing 'question'"})
-                    return self._send(200, service.ask(q))
+                    return self._send(
+                        200, service.ask(q, reload=bool(req.get("reload")))
+                    )
                 if self.path == "/ask_batch":
                     qs = req.get("questions")
                     if not qs or not isinstance(qs, list):

@@ -104,21 +104,24 @@ class HippocampalMemory:
             sys_cfg = self.config.system
             n_dev = len(jax.devices())
             reps = max(1, getattr(sys_cfg, "mesh_replicas", 1))
-            data = sys_cfg.mesh_data or (
-                n_dev // (max(1, sys_cfg.mesh_model) * reps)
-            )
-            total = data * max(1, sys_cfg.mesh_model) * reps
-            if total > 1 and total <= n_dev:
+            denom = max(1, sys_cfg.mesh_model) * reps
+            data = sys_cfg.mesh_data or (n_dev // denom)
+            total = data * denom
+            if data >= 1 and total > 1 and total <= n_dev:
                 self.mesh = make_mesh(
                     total,
                     model_parallel=max(1, sys_cfg.mesh_model),
                     dcn_replicas=reps,
                 )
-            elif total > n_dev:
+            elif total > n_dev or data < 1:
+                # data < 1: replicas x model alone exceed the device count, so
+                # total computes to 0 and would otherwise be silently ignored
                 logger.warning(
-                    "configured mesh %dx%dx%d needs %d devices but only %d are "
-                    "available — running single-device",
-                    reps, data, max(1, sys_cfg.mesh_model), total, n_dev,
+                    "configured mesh replicas=%d x data=%d x model=%d needs "
+                    "%d devices but only %d are available — running "
+                    "single-device",
+                    reps, data, max(1, sys_cfg.mesh_model),
+                    max(total, denom), n_dev,
                 )
         except Exception:
             logger.exception("mesh setup failed; running single-device")

@@ -114,9 +114,9 @@ class ImageBind:
         (XLA propagates the sharding; params are replicated)."""
         if self.mesh is None:
             return arr
-        from hippomm_tpu.parallel.mesh import data_sharding
+        from hippomm_tpu.parallel.mesh import data_axis_size, data_sharding
 
-        if arr.shape[0] % self.mesh.shape["data"]:
+        if arr.shape[0] % data_axis_size(self.mesh):
             return arr  # indivisible remainder: run replicated
         return jax.device_put(arr, data_sharding(self.mesh, arr.ndim))
 

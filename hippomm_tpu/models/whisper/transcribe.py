@@ -68,13 +68,15 @@ class WhisperTranscriber:
         self._beam_fns: Dict[int, object] = {}  # max_len -> jitted sharded beam
 
     def _shard_chunks(self, stacked: jnp.ndarray) -> jnp.ndarray:
-        """Shard the chunk-batch axis over the mesh "data" axis."""
+        """Shard the chunk-batch axis over the mesh's batch split (data ×
+        replica on multi-slice meshes — gate and placement must agree or
+        device_put raises on the non-divisible split)."""
         if self.mesh is None:
             return stacked
-        if stacked.shape[0] % self.mesh.shape["data"]:
-            return stacked
-        from hippomm_tpu.parallel.mesh import data_sharding
+        from hippomm_tpu.parallel.mesh import data_axis_size, data_sharding
 
+        if stacked.shape[0] % data_axis_size(self.mesh):
+            return stacked
         return jax.device_put(stacked, data_sharding(self.mesh, stacked.ndim))
 
     def _beam_decode(self, enc, prompt, max_len: int):
@@ -87,7 +89,9 @@ class WhisperTranscriber:
         sharded inputs can't see that the gathers are local and would insert
         all-gathers of the (L, rows, H, T, hd) caches every step.)
         """
-        if self.mesh is not None and enc.shape[0] % self.mesh.shape["data"] == 0:
+        from hippomm_tpu.parallel.mesh import data_axis_size
+
+        if self.mesh is not None and enc.shape[0] % data_axis_size(self.mesh) == 0:
             fn = self._beam_fns.get(max_len)
             if fn is None:
                 from jax import shard_map
@@ -99,13 +103,21 @@ class WhisperTranscriber:
                         max_len=max_len, beam=self.beam_size, dtype=self.dtype,
                     )
 
+                # batch axis splits over data — and replica too on a
+                # multi-slice mesh (beam state is chunk-local, so any batch
+                # split works with zero collectives inside the loop)
+                lead = (
+                    ("replica", "data")
+                    if "replica" in self.mesh.axis_names
+                    else "data"
+                )
                 fn = jax.jit(
                     shard_map(
                         local,
                         mesh=self.mesh,
-                        in_specs=(P(), P("data", None, None), P("data", None)),
+                        in_specs=(P(), P(lead, None, None), P(lead, None)),
                         out_specs=(
-                            P("data", None, None), P("data", None), P("data", None)
+                            P(lead, None, None), P(lead, None), P(lead, None)
                         ),
                         check_vma=False,
                     )

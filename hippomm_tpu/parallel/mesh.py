@@ -39,9 +39,11 @@ def make_mesh(
     tensor-parallel collectives ride the fastest ICI links, with pipe
     point-to-point (ppermute) on the next ring out, and "replica" OUTERMOST:
     jax.devices() orders multi-slice fleets slice-major, so the replica axis
-    falls on slice boundaries and its only collective (the gradient psum of
-    pure data parallelism) is the one that rides DCN — params replicate
-    across it (param_shardings never names it), activations batch-shard over
+    falls on slice boundaries and only pure data parallelism's collectives
+    cross DCN: the gradient psum, plus — for losses coupling the global batch
+    like InfoNCE — the embedding all-gather GSPMD inserts. TP/SP/pipe
+    collectives stay inside a slice on ICI. Params replicate across it
+    (param_shardings never names it), activations batch-shard over
     ("replica", "data") via data_sharding.
     """
     devs = list(devices if devices is not None else jax.devices())
@@ -123,10 +125,22 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def data_axis_size(mesh: Mesh) -> int:
+    """Total ways the batch axis splits under data_sharding — data × replica
+    on a multi-slice mesh. Divisibility gates MUST use this, not
+    mesh.shape["data"] alone (device_put raises on a non-divisible split)."""
+    n = mesh.shape["data"]
+    if "replica" in mesh.axis_names:
+        n *= mesh.shape["replica"]
+    return n
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     """Batch-sharded activation: leading axis over "data" — and over
     ("replica", "data") on a multi-slice mesh, so each slice takes a batch
-    slab and the gradient psum is the only cross-slice (DCN) collective."""
+    slab and cross-slice traffic is limited to pure data parallelism's
+    collectives (gradient psum — plus, for losses over the global batch like
+    InfoNCE, the embedding all-gather GSPMD inserts)."""
     lead = ("replica", "data") if "replica" in mesh.axis_names else ("data",)
     return NamedSharding(mesh, P(*((lead,) + (None,) * (ndim - 1))))
 

@@ -356,3 +356,36 @@ def test_engine_replica_mesh_end_to_end(tmp_path):
     q = np.asarray(ev_r.features["vision"][0], np.float32)
     hits = idx.search(q, top_k_per_event=3, global_top_k=3)
     assert hits and hits[0].similarity > 0.999
+
+
+def test_replica_mesh_indivisible_batches_run_replicated():
+    """Divisibility gates must use data x replica, not data alone: a batch
+    divisible by the data axis but NOT by the full (replica, data) split has
+    to fall back to replicated placement instead of device_put raising on a
+    non-divisible partition (review finding r2)."""
+    import numpy as np
+
+    from hippomm_tpu.models.foundation import ImageBind
+
+    mesh = make_mesh(8, model_parallel=2, dcn_replicas=2)  # data axis = 2
+    ib = ImageBind(variant="tiny", seed=3, mesh=mesh)
+    single = ImageBind(variant="tiny", seed=3)
+
+    # 2 texts: 2 % data(2) == 0 but 2 % (replica*data)(4) != 0
+    texts = ["a red square", "a blue circle"]
+    np.testing.assert_allclose(
+        ib.encode_text(texts), single.encode_text(texts), atol=5e-4
+    )
+
+    # whisper chunk sharding takes the same gate
+    from hippomm_tpu.models.whisper.model import get_config, init_whisper
+    from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
+
+    cfg = get_config("tiny")
+    params = init_whisper(jax.random.PRNGKey(1), cfg)
+    tr = WhisperTranscriber(params, cfg, None, jnp.float32, beam_size=1, mesh=mesh)
+    tr._chunk_samples = 2 * 16000
+    segs = tr.transcribe_many(
+        [np.zeros(4 * 16000, np.float32)], max_new_tokens=4, max_chunk_batch=2
+    )
+    assert len(segs) == 1

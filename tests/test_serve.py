@@ -142,3 +142,39 @@ def test_latency_histogram_and_concurrent_asks(served):
     status, h = _req(port, "/healthz")
     lat = h["latency_ms"]["ask"]
     assert lat["count"] >= 4 and lat["p50"] > 0 and lat["p95"] >= lat["p50"]
+
+
+def test_ask_reload_sees_external_writes(served):
+    """reload=true re-reads indices + events from disk: an EXTERNAL writer
+    (separate engine over the same store dir) extends the corpus and the
+    resident server picks it up without restart."""
+    service, port, tmp = served
+    ext_dir = os.path.join(tmp, "ext_videos")
+    os.makedirs(ext_dir, exist_ok=True)
+    write_synthetic_video(
+        os.path.join(ext_dir, "external.mp4"),
+        SynthSpec(duration=12.0, fps=2.0, width=160, height=120, seed=14),
+    )
+    cfg = _cfg(service.config.storage.base_dir)  # same store, fresh engine
+    process_video_folder(ext_dir, cfg.storage.base_dir, config=cfg)
+    before = len(service.memory.long_term_store)
+    status, r = _req(port, "/ask", {"question": "What is new?", "reload": True})
+    assert status == 200 and r["answer"]
+    assert len(service.memory.long_term_store) == before + 1
+
+
+def test_failed_ingest_leaves_engine_clean(served):
+    """A corrupt upload 500s AND leaves no per-video residue in the
+    long-lived engine (pending ASR future, cached waveform, partial STMs)."""
+    service, port, tmp = served
+    bad = os.path.join(tmp, "corrupt.mp4")
+    with open(bad, "wb") as f:
+        f.write(b"\x00" * 4096)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(port, "/ingest", {"path": bad})
+    assert e.value.code == 500
+    mem = service.memory
+    assert "corrupt" not in mem._asr_futures
+    assert "corrupt" not in mem._full_audio
+    assert "corrupt" not in mem.short_term_buffer
+    assert "corrupt" not in mem.consolidated
