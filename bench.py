@@ -30,6 +30,10 @@ import numpy as np
 # v5e (v5 lite) bf16 peak per chip; other platforms fall back to measured-only
 _BF16_PEAK = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}
 
+#: measured sections published incrementally by main() — the crash handler
+#: reports these instead of a zero when a LATE section dies
+PARTIAL: dict = {}
+
 
 def _vit_flops(batch: int, tokens: int, layers: int, d: int, patch: int, out_d: int) -> float:
     """Analytic dense-transformer FLOPs (XLA cost_analysis undercounts lax.scan
@@ -95,8 +99,9 @@ def main() -> None:
 
     done = threading.Event()
     # progressively filled: ingest medians as each headline run lands, then
-    # recall/extras — so a late wedge reports everything measured so far
-    partial: dict = {}
+    # recall/extras — so a late wedge OR a late crash reports everything
+    # measured so far (module-level: the __main__ except handler reads it)
+    partial = PARTIAL
 
     def _watchdog():
         if not done.wait(1620.0):
@@ -524,12 +529,20 @@ if __name__ == "__main__":
                 os.execv(sys.executable, [sys.executable] + sys.argv)
         # the result line is the contract: an exhausted outage (observed:
         # jax.devices() hung 25 min then raised Unavailable) or any other
-        # crash must still produce one honest JSON line, not a bare traceback
-        print(json.dumps({
-            "metric": "ingest_throughput_2x10min_vlog_mp4",
-            "value": 0.0,
-            "unit": "video-hours/hour/chip (x realtime)",
-            "vs_baseline": 0.0,
-            "extra": {"error": f"bench crashed: {type(e).__name__}: {e}"},
-        }), flush=True)
+        # crash must still produce one honest JSON line, not a bare
+        # traceback — and a LATE crash must not erase measured sections
+        if PARTIAL:
+            out = dict(PARTIAL)
+            out.setdefault("extra", {})["crash_after_partial"] = (
+                f"{type(e).__name__}: {e}"
+            )
+            print(json.dumps(out), flush=True)
+        else:
+            print(json.dumps({
+                "metric": "ingest_throughput_2x10min_vlog_mp4",
+                "value": 0.0,
+                "unit": "video-hours/hour/chip (x realtime)",
+                "vs_baseline": 0.0,
+                "extra": {"error": f"bench crashed: {type(e).__name__}: {e}"},
+            }), flush=True)
         sys.exit(0)

@@ -770,6 +770,10 @@ def process_video_folder(
             mem._transcript_full_track.discard(video_id)
             mem.short_term_buffer.pop(video_id, None)
             mem.consolidated.pop(video_id, None)
+            # the buffer was just emptied, so the failed-attempt marker must
+            # go too — left behind it would wipe STMs a later add_memory /
+            # add_single_frame legitimately buffers for this video_id
+            mem._inflight_ingests.discard(video_id)
         # cadence over the videos actually being processed (pos), not the
         # pre-filter enumerate index — skip-existing interleaving would
         # otherwise leave long stretches of processed videos uncheckpointed
@@ -910,6 +914,7 @@ def ingest_single_file(
         mem._transcript_full_track.discard(video_id)
         mem.short_term_buffer.pop(video_id, None)
         mem.consolidated.pop(video_id, None)
+        mem._inflight_ingests.discard(video_id)
         raise
     wall = time.perf_counter() - t0
     return {

@@ -76,9 +76,11 @@ def adjacent_frame_similarity(frames_rgb: np.ndarray) -> np.ndarray:
                 sims.append(out[: m - 1])
                 lo += CHUNK - 1
                 continue
-            except TimeoutError:
+            except Exception as e:  # noqa: BLE001 — wedged or raising
+                # transport both land on the host mirror
                 logger.warning(
-                    "adjacent-SSIM read wedged; scoring the rest on host numpy"
+                    "adjacent-SSIM read failed (%s); scoring the rest on host numpy",
+                    "wedged" if isinstance(e, TimeoutError) else repr(e),
                 )
                 host_mode = True
         sims.append(_adjacent_ssim_host_rgb(chunk))
@@ -136,11 +138,14 @@ def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
             padded = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
         try:
             out = fetch(adjacent_ssim(jnp.asarray(padded)), give_up_s=20.0)
-        except TimeoutError:
+        except Exception as e:  # noqa: BLE001 — wedged or raising transport
             # the luma is already host-resident; ssim_pairs_host is the exact
             # numpy mirror of the device kernel — zero further transport
             # exposure for this video's segmentation scoring
-            logger.warning("adjacent-SSIM (gray) read wedged; scoring on host")
+            logger.warning(
+                "adjacent-SSIM (gray) read failed (%s); scoring on host",
+                "wedged" if isinstance(e, TimeoutError) else repr(e),
+            )
             host_mode = True
             continue
         sims.append(out[: m - 1])

@@ -236,10 +236,13 @@ class KeyframeScanner:
                 h._dev = None
                 self._delivered.add(h._idx)
                 return h._val
-            except TimeoutError:
+            except Exception as e:  # noqa: BLE001 — wedged (TimeoutError) OR
+                # raising transport (backend Unavailable): host scoring is the
+                # exact mirror either way
                 logging.getLogger(__name__).warning(
-                    "keyframe mask read wedged >%.0fs — switching this video's "
-                    "scan to host scoring", self.wedge_patience_s,
+                    "keyframe mask read failed (%s) — switching this video's "
+                    "scan to host scoring",
+                    "wedged" if isinstance(e, TimeoutError) else repr(e),
                 )
                 self.host_mode = True
         h._val = self._host_mask(h._idx)

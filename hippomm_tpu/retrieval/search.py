@@ -14,6 +14,7 @@ event. Per-event caps are applied on the (tiny) candidate list on host.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -22,6 +23,8 @@ from hippomm_tpu.utils.device import damped_min_ema, fetch
 
 from hippomm_tpu.memory.schema import ThetaEvent
 from hippomm_tpu.ops.similarity import top_k_cosine
+
+logger = logging.getLogger(__name__)
 
 
 @dataclasses.dataclass
@@ -124,11 +127,13 @@ class FeatureSearchIndex:
             # on the very first queries (its first run pays a compile)
             return "device" if self._n_queries >= 8 else "host"
         best = "host" if lh <= ld else "device"
-        # host probes stay on the fixed cadence (they cost milliseconds);
-        # device probes back off while the transport keeps timing out
-        probe_every = self._device_probe_every if best == "host" else self.PROBE_EVERY
-        if self._n_queries % probe_every == 0:
-            return "device" if best == "host" else "host"
+        # only the DEVICE path gets re-probed (the transport heals and
+        # wedges over time; probes back off while it keeps failing). Host
+        # latency is a deterministic single-core matmul — once measured it
+        # never needs a re-probe, and forcing one on a product-scale store
+        # would stall a live query for seconds.
+        if best == "host" and self._n_queries % self._device_probe_every == 0:
+            return "device"
         return best
 
     def _note_latency(self, path: str, dt: float) -> None:
@@ -174,27 +179,27 @@ class FeatureSearchIndex:
     #: (a wedged-transport probe must cost seconds, not the full retry cascade)
     DEVICE_PROBE_GIVE_UP_S = 15.0
 
-    def _topk(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """One fused normalize+matmul+top-k over the packed store; returns
-        host (k,) values + global row indices — on whichever backend the
-        measured-latency router picks. Overridden by the sharded backend
-        (parallel/sharded_store.ShardedFeatureIndex)."""
+    def _routed(self, device_fn, host_fn):
+        """Route one query through the measured-latency router with the
+        device→host fallback: a transport that fails by TIMING OUT (wedged
+        read) or by RAISING (observed: jax backend Unavailable after a long
+        hang) both land on host numpy, which is exact either way. Failed
+        device attempts record probe-bound latency and back the re-probe
+        cadence off."""
         import time
 
         self._n_queries += 1
         path = self._route()
         t0 = time.perf_counter()
         if path == "host":
-            out = self._topk_host(q, k)
+            out = host_fn()
         else:
             try:
-                out = self._topk_device(q, k)
-            except TimeoutError:
-                # wedged transport on a routed/probe query: serve from host;
-                # a timeout means AT LEAST the probe bound was burned — record
-                # that so routing pins to host until a successful re-probe,
-                # and back the probe cadence off (each failed probe costs
-                # DEVICE_PROBE_GIVE_UP_S of real query latency)
+                out = device_fn()
+            except Exception as e:  # noqa: BLE001 — host math is exact; a
+                # genuine input bug fails identically on the host path
+                if not isinstance(e, TimeoutError):
+                    logger.warning("device top-k raised (%r); serving from host", e)
                 self._note_latency(
                     "device",
                     max(time.perf_counter() - t0, self.DEVICE_PROBE_GIVE_UP_S),
@@ -202,10 +207,19 @@ class FeatureSearchIndex:
                 self._device_probe_every = min(
                     self._device_probe_every * 2, self.PROBE_BACKOFF_MAX
                 )
-                return self._topk_host(q, k)
+                return host_fn()
             self._device_probe_every = self.PROBE_EVERY
         self._note_latency(path, time.perf_counter() - t0)
         return out
+
+    def _topk(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """One fused normalize+matmul+top-k over the packed store; returns
+        host (k,) values + global row indices — on whichever backend the
+        measured-latency router picks. Overridden by the sharded backend
+        (parallel/sharded_store.ShardedFeatureIndex)."""
+        return self._routed(
+            lambda: self._topk_device(q, k), lambda: self._topk_host(q, k)
+        )
 
     def _topk_device(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
         import os
@@ -232,28 +246,10 @@ class FeatureSearchIndex:
     def _topk_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """(Q, D) queries → ((Q, k) values, (Q, k) global indices), routed
         like _topk (one mat-MAT either way)."""
-        import time
-
-        self._n_queries += 1
-        path = self._route()
-        t0 = time.perf_counter()
-        if path == "host":
-            out = self._topk_batch_host(queries, k)
-        else:
-            try:
-                out = self._topk_batch_device(queries, k)
-            except TimeoutError:
-                self._note_latency(
-                    "device",
-                    max(time.perf_counter() - t0, self.DEVICE_PROBE_GIVE_UP_S),
-                )
-                self._device_probe_every = min(
-                    self._device_probe_every * 2, self.PROBE_BACKOFF_MAX
-                )
-                return self._topk_batch_host(queries, k)
-            self._device_probe_every = self.PROBE_EVERY
-        self._note_latency(path, time.perf_counter() - t0)
-        return out
+        return self._routed(
+            lambda: self._topk_batch_device(queries, k),
+            lambda: self._topk_batch_host(queries, k),
+        )
 
     def _topk_batch_device(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         bound = self.DEVICE_PROBE_GIVE_UP_S

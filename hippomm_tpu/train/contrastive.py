@@ -195,9 +195,9 @@ def make_train_step_moe(
 
     mp = mesh.shape["model"]
 
-    def loss_fn(moe_params, images, tokens):
-        v = jax.lax.stop_gradient(vision_forward(frozen_params, images, cfg, dtype))
-        t = jax.lax.stop_gradient(text_forward(frozen_params, tokens, cfg, dtype))
+    def loss_fn(moe_params, frozen, images, tokens):
+        v = jax.lax.stop_gradient(vision_forward(frozen, images, cfg, dtype))
+        t = jax.lax.stop_gradient(text_forward(frozen, tokens, cfg, dtype))
         b, d = v.shape
         x = v.reshape(b // mp, mp, d)
         y, aux = moe_block(moe_params, x, mesh, dtype=dtype)
@@ -211,19 +211,29 @@ def make_train_step_moe(
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == labels)
         return loss, {"loss": loss, "accuracy": acc, "balance": aux}
 
-    def step(moe_params, opt_state, images, tokens):
+    def step(moe_params, frozen, opt_state, images, tokens):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            moe_params, images, tokens
+            moe_params, frozen, images, tokens
         )
         updates, opt_state = tx.update(grads, opt_state, moe_params)
         moe_params = optax.apply_updates(moe_params, updates)
         return moe_params, opt_state, metrics
 
-    return jax.jit(
+    # the frozen towers are a traced ARGUMENT, not a closure constant —
+    # closing over them would bake ~630M params into the jaxpr at ViT-H
+    # scale (untracked by in_shardings, duplicated into the executable)
+    jitted = jax.jit(
         step,
-        in_shardings=(None, None, data_sharding(mesh, 4), data_sharding(mesh, 2)),
-        donate_argnums=(0, 1),
+        in_shardings=(
+            None, None, None, data_sharding(mesh, 4), data_sharding(mesh, 2)
+        ),
+        donate_argnums=(0, 2),
     )
+
+    def run(moe_params, opt_state, images, tokens):
+        return jitted(moe_params, frozen_params, opt_state, images, tokens)
+
+    return run
 
 
 def make_train_step(cfg: ImageBindConfig, mesh, tx, shardings, dtype=jnp.bfloat16):

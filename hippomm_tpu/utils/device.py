@@ -156,7 +156,11 @@ def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
         # fallback here (a globally wedged transport would hang the warmup
         # instead of the warmup absorbing it)
         arr = jnp.full((64,), i, jnp.float32) + 1
-        out = _bounded_read(arr, min(10.0, max(1.0, deadline - time.monotonic())))
+        try:
+            out = _bounded_read(arr, min(10.0, max(1.0, deadline - time.monotonic())))
+        except Exception:  # noqa: BLE001 — a raising transport counts as a
+            # failed warm read, not a warmup crash
+            out = None
         if out is None:
             fast = 0
             i += 1

@@ -702,3 +702,39 @@ def test_keyframe_substitution_nearest_wins_in_overlap(tmp_path):
     jpegs2, _ = qa._frames_for_windows("ovl", [(10.2, 10.2)])
     img2 = jpeg_decode(jpegs2[0])
     assert img2[..., 0].mean() > img2[..., 2].mean()
+
+
+def test_topk_device_raise_falls_back_to_host(monkeypatch):
+    """A transport that fails by RAISING (observed: backend Unavailable after
+    a long hang) — not by wedging — must also land on the host fallback with
+    the probe cadence backed off (review finding r2 pass 2)."""
+    rng = np.random.default_rng(14)
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    events = [
+        ThetaEvent(
+            video_id="v0",
+            features={"vision": rng.normal(size=(40, 1024)).astype(np.float32)},
+            feature_times={"vision": list(np.arange(40.0))},
+            end_time=40.0,
+        )
+    ]
+    index = FeatureSearchIndex.build(events, "vision")
+
+    def unavailable(self, q, k):
+        raise RuntimeError("UNAVAILABLE: TPU backend setup/compile error")
+
+    monkeypatch.setattr(FeatureSearchIndex, "_topk_device", unavailable)
+    monkeypatch.setattr(
+        FeatureSearchIndex, "_topk_batch_device",
+        lambda self, q, k: unavailable(self, q, k),
+    )
+    index._lat = {"host": 0.003, "device": 0.0001}
+    before = index._device_probe_every
+    q = rng.normal(size=1024).astype(np.float32)
+    hits = index.search(q, global_top_k=3)
+    assert hits and all(np.isfinite(h.similarity) for h in hits)
+    bhits = index.search_batch(np.stack([q, q]), global_top_k=3)
+    assert len(bhits) == 2 and all(bhits)
+    assert index._lat["device"] > index._lat["host"]
+    assert index._device_probe_every > before  # backoff engaged
