@@ -113,7 +113,7 @@ def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
     re-resizing full RGB."""
     import jax.numpy as jnp
 
-    from hippomm_tpu.ops.ssim import adjacent_ssim
+    from hippomm_tpu.ops.ssim import adjacent_ssim, ssim_pairs_host
 
     grays = np.asarray(grays)
     t = grays.shape[0]
@@ -127,8 +127,6 @@ def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
         chunk = grays[lo : lo + CHUNK]
         m = len(chunk)
         if host_mode:
-            from hippomm_tpu.ops.ssim import ssim_pairs_host
-
             g = chunk.astype(np.float32)
             sims.append(ssim_pairs_host(g[:-1], g[1:]) if m > 1 else np.zeros((0,), np.float32))
             lo += CHUNK - 1

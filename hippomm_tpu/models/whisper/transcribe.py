@@ -245,11 +245,14 @@ class WhisperTranscriber:
         for lo in range(0, len(chunks), max_chunk_batch):
             batch = chunks[lo : lo + max_chunk_batch]
             n = len(batch)
-            # ONE compiled shape (encoder + decode loop). 32 wide: a 10-min
-            # track (20 chunks) rides a single serialized decode while_loop
-            # instead of two — the loop's 224 steps cost latency, not FLOPs,
-            # so fewer loops is directly less wall time per video.
-            b = max_chunk_batch
+            # Bucketed compiled shapes (4 / 16 / max). Long tracks ride ONE
+            # wide serialized decode while_loop (the loop's 224 steps cost
+            # latency, not FLOPs, so fewer loops is less wall time per
+            # video); but the common per-segment call is 1-16 chunks, and
+            # padding a 1-chunk clip to 32 encoder/decode rows doubles its
+            # FLOPs and KV-cache bandwidth for nothing on healthy hardware.
+            b = next(t for t in (4, 16, max_chunk_batch) if n <= t or t == max_chunk_batch)
+            b = min(b, max_chunk_batch)
             if b > n:
                 batch = batch + [batch[-1]] * (b - n)
             stacked = self._shard_chunks(jnp.asarray(np.stack(batch)))

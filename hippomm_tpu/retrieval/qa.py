@@ -642,11 +642,12 @@ class QARecallSystem:
     def _gather_transcripts(self) -> List[Tuple[float, float, str, str]]:
         """(start, end, text, video_id) snippets across all events.
 
-        A snippet's span runs to the NEXT snippet's start (or the event end):
-        each stored transcription covers a whole 10-30 s segment, so the
-        reference's flat start+5s default (hippocampal_memory.py:2340-2345)
-        systematically truncates speech-window localization — content in the
-        back half of a segment would re-transcribe the wrong audio."""
+        Entries carry their own start/end (timestamped-entry schema); only
+        LEGACY entries missing an 'end' span to the NEXT snippet's start (or
+        the event end) — never the reference's flat start+5 s default
+        (hippocampal_memory.py:2340-2345), which systematically truncates
+        speech-window localization for content in the back half of a
+        segment."""
         def spans(entries, event):
             """(start, end, text) per entry; a missing 'end' (legacy string
             lists normalize to text+start only) runs to the NEXT entry's

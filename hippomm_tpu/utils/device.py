@@ -177,10 +177,10 @@ def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
 def fetch(x, dtype=None, give_up_s: float = None) -> np.ndarray:
     """Materialize a (possibly in-flight) jax array as numpy, safely.
 
-    give_up_s bounds each phase — the readiness wait, then the read-retry
-    cascade — before raising TimeoutError, so worst-case total is ~2x
-    give_up_s. For callers with a host-side fallback (e.g. the keyframe
-    scanner re-scores on host numpy)."""
+    give_up_s bounds the TOTAL patience (readiness wait + read-retry cascade
+    share one budget) before raising TimeoutError — callers size their
+    host-fallback patience against this number (e.g. the keyframe scanner's
+    wedge_patience_s), so it must mean what it says."""
     global _WIDEN
     if isinstance(x, np.ndarray):
         return x if dtype is None else np.asarray(x, dtype)
@@ -196,7 +196,8 @@ def fetch(x, dtype=None, give_up_s: float = None) -> np.ndarray:
     t0 = time.monotonic()
     _wait_ready(x, timeout_s=give_up_s if give_up_s is not None else 120.0)
     t1 = time.monotonic()
-    out = _read_with_retry(x, give_up_s=give_up_s)
+    remaining = None if give_up_s is None else max(give_up_s - (t1 - t0), 0.2)
+    out = _read_with_retry(x, give_up_s=remaining)
     t2 = time.monotonic()
     if t2 - t0 > _SLOW_S:
         logger.warning(
