@@ -759,21 +759,11 @@ def process_video_folder(
             logger.exception("failed on %s", video_id)
             stats["failed"] += 1
             stats["errors"][video_id] = repr(e)
-            # drop everything the failed video left in the engine: the
-            # pending ASR future + device token buffers (registered before
-            # process_sequence pops them), the cached waveform/transcript,
-            # and any encoded STMs/consolidated merge — replay never ran, so
-            # the post-replay eviction that keeps folder RSS flat never fired
-            mem._asr_futures.pop(video_id, None)
-            mem._full_audio.pop(video_id, None)
-            mem._full_transcript.pop(video_id, None)
-            mem._transcript_full_track.discard(video_id)
-            mem.short_term_buffer.pop(video_id, None)
-            mem.consolidated.pop(video_id, None)
-            # the buffer was just emptied, so the failed-attempt marker must
-            # go too — left behind it would wipe STMs a later add_memory /
-            # add_single_frame legitimately buffers for this video_id
-            mem._inflight_ingests.discard(video_id)
+            # drop everything the failed video left in the engine (pending
+            # ASR future, cached waveform/transcript, partial STMs/merge,
+            # failed-attempt marker) — replay never ran, so the post-replay
+            # eviction that keeps folder RSS flat never fired
+            mem.discard_pending(video_id)
         # cadence over the videos actually being processed (pos), not the
         # pre-filter enumerate index — skip-existing interleaving would
         # otherwise leave long stretches of processed videos uncheckpointed
@@ -908,13 +898,7 @@ def ingest_single_file(
         # LONG-LIVED engine (the serving layer's /ingest), so a failed
         # attempt must not leak its pending ASR future, cached waveform/
         # transcript, or partial STM/consolidated state
-        mem._asr_futures.pop(video_id, None)
-        mem._full_audio.pop(video_id, None)
-        mem._full_transcript.pop(video_id, None)
-        mem._transcript_full_track.discard(video_id)
-        mem.short_term_buffer.pop(video_id, None)
-        mem.consolidated.pop(video_id, None)
-        mem._inflight_ingests.discard(video_id)
+        mem.discard_pending(video_id)
         raise
     wall = time.perf_counter() - t0
     return {

@@ -20,6 +20,7 @@ STM checkpoints auto-resumed at the top of process_sequence (:1136-1150).
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, List, Optional, Sequence
 
@@ -710,13 +711,34 @@ class HippocampalMemory:
         # the cached 16 kHz track is ~38 MB per 10-minute video; detailed
         # recall re-slices from the persisted audio.npy when this is gone
         # (retrieval/qa._audio_for_windows), so a large folder ingest must
-        # not accumulate every video's waveform in host memory. The full ASR
-        # segment list is likewise consumed (it became the event's holistic
-        # entries above) and must not accumulate either.
-        self._full_audio.pop(video_id, None)
+        # not accumulate every video's waveform in host memory. BUT direct
+        # engine-API ingests (process_sequence(audio_data=...) with no batch
+        # extraction) never persisted audio.npy — evicting their only copy
+        # would silently break post-replay audio re-transcription, so the
+        # waveform stays resident exactly when no disk copy exists.
+        if os.path.exists(os.path.join(self.store.audio_dir, video_id, "audio.npy")):
+            self._full_audio.pop(video_id, None)
+        # The full ASR segment list is consumed either way (it became the
+        # event's holistic entries above) and must not accumulate.
         self._full_transcript.pop(video_id, None)
         self._transcript_full_track.discard(video_id)
         return event
+
+    def discard_pending(self, video_id: str) -> None:
+        """Drop everything a FAILED ingest attempt left behind: the pending
+        ASR future + device token buffers (registered by dispatch_asr before
+        process_sequence pops them), the cached waveform/transcript, partial
+        STM/consolidated state, and the failed-attempt marker. The per-video
+        error paths of every driver (folder batch, single-file, serving
+        /ingest) call this — the registered-then-popped invariant lives HERE,
+        next to the registration, not in each driver."""
+        self._asr_futures.pop(video_id, None)
+        self._full_audio.pop(video_id, None)
+        self._full_transcript.pop(video_id, None)
+        self._transcript_full_track.discard(video_id)
+        self.short_term_buffer.pop(video_id, None)
+        self.consolidated.pop(video_id, None)
+        self._inflight_ingests.discard(video_id)
 
     def _summarize_event(
         self, captions: List[str], transcripts: List[str], modalities: List[str]

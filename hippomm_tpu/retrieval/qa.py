@@ -64,6 +64,8 @@ class QARecallSystem:
             self.config.api.reasoning, self.config.api.mode, purpose="reasoning"
         )
         self._index_cache: Dict[str, Tuple[int, FeatureSearchIndex]] = {}
+        # per-(video, corpus-size) sorted keyframe sidecar for recall windows
+        self._kf_cache: Dict[Tuple[str, int], tuple] = {}
 
     # ------------------------------------------------------------------ events
 
@@ -384,13 +386,27 @@ class QARecallSystem:
         if not times:
             return [], []
 
-        # stored keyframes for this video, sorted by time
-        ev_frames: List[Tuple[float, str]] = []
-        for e in self.events:
-            if e.video_id == video_id:
-                ev_frames += [(float(t), p) for t, p in zip(e.frame_times, e.frames) if p]
-        ev_frames.sort()
-        kf_times = np.asarray([t for t, _ in ev_frames])
+        # stored keyframes for this video, sorted by time — cached per
+        # (video, corpus size) like _index_cache: rebuilding + sorting
+        # thousands of (time, path) pairs on EVERY window fetch is O(F log F)
+        # host work on the <200 ms recall path
+        kf_key = (video_id, len(self.events))
+        cached = self._kf_cache.get(kf_key)
+        if cached is None:
+            ev_frames = []
+            for e in self.events:
+                if e.video_id == video_id:
+                    ev_frames += [
+                        (float(t), p) for t, p in zip(e.frame_times, e.frames) if p
+                    ]
+            ev_frames.sort()
+            cached = (ev_frames, np.asarray([t for t, _ in ev_frames]))
+            # corpus growth invalidates every cached video at once
+            self._kf_cache = {
+                k: v for k, v in self._kf_cache.items() if k[1] == len(self.events)
+            }
+            self._kf_cache[kf_key] = cached
+        ev_frames, kf_times = cached
 
         # Direction-aware keyframe substitution. The extractor saves a frame
         # at every content change, so the LATEST keyframe at-or-before t
