@@ -500,6 +500,7 @@ def process_single_video_streaming(
     video_id: Optional[str] = None,
     memory_system=None,
     chunk_seconds: float = STREAM_CHUNK_S,
+    config: Optional[Config] = None,
 ) -> Dict:
     """Chunked ingest for LONG videos: extraction yields ~chunk_seconds chunks
     (extract_frames_streaming) and each chunk runs through process_sequence
@@ -509,6 +510,12 @@ def process_single_video_streaming(
     like the whole-video path (reference base_time flow,
     hippocampal_memory.py:1134)."""
     mem = memory_system
+    if mem is None:  # the advertised default crashed with AttributeError
+        from hippomm_tpu.memory.engine import HippocampalMemory
+
+        cfg = config or load_config(None)
+        cfg.storage.base_dir = memory_store_dir
+        mem = HippocampalMemory(config=cfg)
     video_id = video_id or os.path.splitext(os.path.basename(video_path))[0]
     audio_meta = extract_audio_from_video(video_path, memory_store_dir, video_id)
     audio = audio_meta.get("audio")

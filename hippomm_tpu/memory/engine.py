@@ -241,6 +241,12 @@ class HippocampalMemory:
                 self.short_term_buffer[video_id] = stms
                 if audio_data is not None:
                     self._full_audio[video_id] = np.asarray(audio_data, np.float32)
+                # a whole-track ASR dispatched for THIS ingest is redundant —
+                # the checkpointed STMs already carry transcription; drop the
+                # pending future (normally popped by _encode_segments, which
+                # this fast-path skips) so it doesn't pin device token
+                # buffers for the process lifetime
+                self._asr_futures.pop(video_id, None)
                 if auto_consolidate:
                     self.consolidate(video_id)
                     self.replay(video_id)

@@ -338,7 +338,14 @@ class QwenVL:
             for item in content:
                 if isinstance(item, dict) and item.get("type") == "video":
                     src = item.get("video")
-                    if isinstance(src, list):  # already frame jpg paths
+                    max_frames = int(item.get("fps", 1.0) * 8) or 8
+                    if isinstance(src, list):  # already frame jpg paths —
+                        # subsample to the SAME cap as the path form (a long
+                        # event's full keyframe list would otherwise inline
+                        # hundreds of base64 images into one request)
+                        if len(src) > max_frames:
+                            pick = np.linspace(0, len(src) - 1, max_frames).astype(int)
+                            src = [src[i] for i in sorted(set(int(i) for i in pick))]
                         jpegs = []
                         for p in src:
                             try:
@@ -347,7 +354,6 @@ class QwenVL:
                             except OSError:
                                 continue
                     else:
-                        max_frames = int(item.get("fps", 1.0) * 8) or 8
                         jpegs = self._load_video_frames(str(src), max_frames=max_frames)
                     for data in jpegs:
                         new_content.append(
