@@ -241,12 +241,17 @@ class HippocampalMemory:
                 self.short_term_buffer[video_id] = stms
                 if audio_data is not None:
                     self._full_audio[video_id] = np.asarray(audio_data, np.float32)
-                # a whole-track ASR dispatched for THIS ingest is redundant —
-                # the checkpointed STMs already carry transcription; drop the
-                # pending future (normally popped by _encode_segments, which
-                # this fast-path skips) so it doesn't pin device token
-                # buffers for the process lifetime
-                self._asr_futures.pop(video_id, None)
+                # a whole-track ASR dispatched for THIS ingest was normally
+                # popped by _encode_segments, which this fast-path skips.
+                # CONSUME it (the device pass is already in flight): replay's
+                # holistic transcription then reuses the result instead of
+                # re-transcribing the full track from scratch, and the future
+                # stops pinning device token buffers
+                fut = self._asr_futures.pop(video_id, None)
+                if fut is not None:
+                    with self.timers.stage("transcribe"):
+                        self._full_transcript[video_id] = list(fut.result())
+                    self._transcript_full_track.add(video_id)
                 if auto_consolidate:
                     self.consolidate(video_id)
                     self.replay(video_id)

@@ -102,16 +102,25 @@ class MemoryStore:
         d = os.path.join(self.events_dir, event.video_id)
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{event.event_id}.json")
-        payload = event.to_dict()
         if self.features_format == "npz" and event.features:
             import numpy as np
 
+            # skip to_dict's feature tolist() entirely — boxing a (10k, 1024)
+            # block into Python floats costs seconds per save and is thrown
+            # away here anyway
+            feats, event.features = event.features, {}
+            try:
+                payload = event.to_dict()
+            finally:
+                event.features = feats
             npz_path = os.path.join(d, f"{event.event_id}_features.npz")
             np.savez_compressed(
                 npz_path,
-                **{k: np.asarray(v, np.float32) for k, v in event.features.items()},
+                **{k: np.asarray(v, np.float32) for k, v in feats.items()},
             )
             payload["features"] = {"__npz__": os.path.basename(npz_path)}
+        else:
+            payload = event.to_dict()
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)

@@ -117,7 +117,7 @@ def test_convert_consumes_exact_manifest():
     for cfg in (tiny_config(), huge_config()):
         sd = {k: np.zeros(shape, np.float32) for k, shape in checkpoint_manifest(cfg).items()}
         params = convert_state_dict(sd, cfg)
-        if cfg is tiny_config() or cfg.vision.depth <= 4:
+        if cfg.vision.depth <= 4:  # tiny-class configs get the full pytree check
             want = init_imagebind(jax.random.PRNGKey(0), cfg)
             got_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), params)
             want_shapes = jax.tree.map(lambda x: tuple(np.shape(x)), want)
