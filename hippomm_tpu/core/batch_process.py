@@ -244,9 +244,19 @@ def extract_frames_streaming(
 
     # scan-block size: 256 candidates per device round trip normally; a
     # smaller fixed shape when the emit cadence is finer than a block (chunks
-    # can only be cut at block boundaries). Two compiled shapes total.
+    # can only be cut at block boundaries, so a 300 s cadence over 256 s
+    # blocks would round UP to 512 s chunks — ~70% more per-chunk RGB memory
+    # and engine latency than the sizing assumes). Two compiled shapes total.
     cand_per_emit = emit_seconds / max(min_interval_s, 1e-6)
-    block = SCAN_BLOCK if cand_per_emit >= SCAN_BLOCK else 64
+    if not np.isfinite(cand_per_emit):  # whole-video mode: no emit cadence
+        block = SCAN_BLOCK
+    elif cand_per_emit >= SCAN_BLOCK:
+        overshoot = (
+            np.ceil(cand_per_emit / SCAN_BLOCK) * SCAN_BLOCK - cand_per_emit
+        ) / cand_per_emit
+        block = SCAN_BLOCK if overshoot <= 0.25 else 64
+    else:
+        block = 64
     scanner = KeyframeScanner(sh, sw, max_diff_threshold, min_interval_s, block=block)
     pending: "deque" = deque()  # (cand_offset, device mask handle, held block)
     held_frame_bytes = int(info.width * info.height * 1.6) * block

@@ -236,6 +236,22 @@ class HippocampalMemory:
         # checkpoint chunk N just wrote.
         if resume and self.store.has_checkpoint(video_id):
             stms = self.store.load_checkpoint(video_id)
+            if stms and video_duration:
+                # a PARTIAL checkpoint (failed chunked-streaming attempt:
+                # chunks 0..N-1 saved, chunk N died after frame metadata was
+                # already written) must not fast-path into a silently
+                # truncated event — resume only when the STMs actually cover
+                # the video
+                covered = max(
+                    float(s.segment_info.get("end_time", 0.0) or 0.0) for s in stms
+                )
+                if covered < float(video_duration) - max(30.0, 0.1 * float(video_duration)):
+                    logger.warning(
+                        "%s: checkpoint covers %.0fs of %.0fs — partial "
+                        "(failed streaming attempt); re-encoding instead of "
+                        "resuming truncated", video_id, covered, video_duration,
+                    )
+                    stms = None
             if stms:
                 logger.info("resumed %d STMs from checkpoint for %s", len(stms), video_id)
                 self.short_term_buffer[video_id] = stms

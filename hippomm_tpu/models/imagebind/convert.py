@@ -133,55 +133,18 @@ def convert_state_dict(sd: Dict, cfg: ImageBindConfig = None) -> Dict:
 
 
 def expected_keys(cfg: ImageBindConfig = None) -> list:
-    """Every state_dict key the converter reads, for the given config —
-    the manifest of what we believe `imagebind_huge.pth` contains (public
-    facebookresearch/ImageBind module naming)."""
-    cfg = cfg or huge_config()
-    keys = [
-        "modality_preprocessors.vision.cls_token",
-        "modality_preprocessors.vision.rgbt_stem.proj.1.weight",
-        "modality_preprocessors.vision.pos_embedding_helper.pos_embed",
-        "modality_trunks.vision.pre_transformer_layer.0.weight",
-        "modality_trunks.vision.pre_transformer_layer.0.bias",
-        "modality_heads.vision.0.weight",
-        "modality_heads.vision.0.bias",
-        "modality_heads.vision.2.weight",
-        "modality_preprocessors.audio.cls_token",
-        "modality_preprocessors.audio.audio_stem.proj.0.weight",
-        "modality_preprocessors.audio.audio_stem.norm_layer.weight",
-        "modality_preprocessors.audio.audio_stem.norm_layer.bias",
-        "modality_preprocessors.audio.pos_embedding_helper.pos_embed",
-        "modality_heads.audio.0.weight",
-        "modality_heads.audio.0.bias",
-        "modality_heads.audio.2.weight",
-        "modality_preprocessors.text.token_embedding.weight",
-        "modality_preprocessors.text.pos_embed",
-        "modality_heads.text.proj.0.weight",
-        "modality_heads.text.proj.0.bias",
-        "modality_heads.text.proj.1.weight",
-    ]
-    for trunk, depth in (
-        ("vision", cfg.vision.depth),
-        ("audio", cfg.audio.depth),
-        ("text", cfg.text.depth),
-    ):
-        for i in range(depth):
-            base = f"modality_trunks.{trunk}.blocks.{i}"
-            keys += [
-                f"{base}.attn.in_proj_weight",
-                f"{base}.attn.in_proj_bias",
-                f"{base}.attn.out_proj.weight",
-                f"{base}.attn.out_proj.bias",
-                f"{base}.norm_1.weight",
-                f"{base}.norm_1.bias",
-                f"{base}.norm_2.weight",
-                f"{base}.norm_2.bias",
-                f"{base}.mlp.fc1.weight",
-                f"{base}.mlp.fc1.bias",
-                f"{base}.mlp.fc2.weight",
-                f"{base}.mlp.fc2.bias",
-            ]
-    return keys
+    """Every state_dict key the converter reads, for the given config.
+
+    ONE source of truth: the shape manifest (manifest.checkpoint_manifest,
+    pinned against the torch mini-reference's checkpoint layout by
+    tests/test_imagebind_parity.py). A hand-maintained second list here
+    silently drifted from what convert_state_dict actually reads — and the
+    manifest↔converter pairing is itself pinned by
+    test_convert_consumes_exact_manifest (a manifest-shaped state_dict must
+    convert without KeyError)."""
+    from hippomm_tpu.models.imagebind.manifest import checkpoint_manifest
+
+    return list(checkpoint_manifest(cfg or huge_config()))
 
 
 def validate_state_dict(sd: Dict, cfg: ImageBindConfig = None) -> None:

@@ -32,7 +32,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from hippomm_tpu.utils.device import fetch
 
 from hippomm_tpu.config import Config
 from hippomm_tpu.memory.schema import QARecallResult, ThetaEvent
