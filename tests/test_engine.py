@@ -355,3 +355,57 @@ def test_process_sequence_extends_incremental_api_stms(engine_factory):
         auto_consolidate=False,
     )
     assert len(mem.short_term_buffer["vinc"]) == n_incremental + len(stms)
+
+
+def test_partial_checkpoint_rejected_when_coverage_short(engine_factory):
+    """A checkpoint covering only part of the video (failed streaming attempt:
+    frame metadata written, tail chunks never encoded) must NOT fast-path into
+    a truncated event — the engine re-encodes when the known duration isn't
+    covered (review finding r2 pass 7)."""
+    mem = engine_factory("partial_ckpt")
+    spec = SynthSpec(
+        duration=40.0, fps=2.0, width=160, height=120,
+        scene_changes=(18.0,), silence_regions=((17.5, 18.5),), seed=4,
+    )
+    res = generate(spec)
+    mem.add_video("vidp", "vidp.y4m")
+    stms = mem.process_sequence(
+        "vidp",
+        frame_paths=[f"frames/vidp/f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+        auto_consolidate=False,
+    )
+    assert len(stms) == 2
+    # simulate the failed-attempt artifact: checkpoint holds only the FIRST
+    # STM (covers ~18 of 120 claimed seconds)
+    mem.store.save_checkpoint("vidp", stms[:1])
+    mem.short_term_buffer.pop("vidp", None)
+
+    mem2 = HippocampalMemory(config=mem.config, models={
+        "imagebind": mem.imagebind, "whisper": mem.whisper,
+        "qwen": mem.qwen, "frame_client": mem.frame_client,
+    })
+    fresh = mem2.process_sequence(
+        "vidp",
+        frame_paths=[f"frames/vidp/f_{i}.jpg" for i in range(len(res.frames))],
+        frame_times=res.frame_times,
+        frames_rgb=res.frames,
+        audio_data=res.audio,
+        video_duration=120.0,  # checkpoint covers far less than this
+        auto_consolidate=False,
+    )
+    # re-encoded fresh (multiple segments), NOT resumed into the truncation
+    assert len(fresh) > 1
+
+    # and a checkpoint that COVERS the claimed duration still resumes
+    mem3 = HippocampalMemory(config=mem.config, models={
+        "imagebind": mem.imagebind, "whisper": mem.whisper,
+        "qwen": mem.qwen, "frame_client": mem.frame_client,
+    })
+    resumed = mem3.process_sequence(
+        "vidp", audio_data=res.audio, video_duration=40.0,
+        auto_consolidate=False,
+    )
+    assert len(resumed) == len(fresh)  # loaded, not re-encoded from nothing
