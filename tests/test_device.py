@@ -63,26 +63,21 @@ class _WedgedArray:
 
 
 def test_read_with_retry_recovers_from_wedged_read():
+    """The PRODUCTION _read_with_retry: first bounded read wedges (~3 s
+    first-attempt timeout), the device-side copy retry produces a readable
+    buffer, and the caller gets the data — exercising the real loop, not a
+    re-implementation of it (review finding r2 pass 7)."""
     import hippomm_tpu.utils.device as dev
 
     wedged = _WedgedArray(np.array([7, 8, 9], np.int32))
-
-    def fast_retry(x):  # _read_with_retry's logic with a test-sized timeout
-        # same logic, tiny timeout
-        import queue as qm
-        import threading
-
-        attempt = x
-        for _ in range(3):
-            box = qm.Queue()
-            t = threading.Thread(target=lambda a=attempt: box.put(np.asarray(a)), daemon=True)
-            t.start()
-            try:
-                return box.get(timeout=0.3)
-            except qm.Empty:
-                attempt = attempt + 0  # device-side copy
-                dev._wait_ready(attempt)
-        return np.asarray(attempt)
-
-    out = fast_retry(wedged)
+    # _COPY is normally jax.jit(a + 0); jit would abstractify the fake via
+    # __array__ (the wedge itself). The plain + reaches _WedgedArray.__add__,
+    # which returns a REAL readable array — modeling 'fresh buffer, fresh RPC
+    # succeeds'.
+    old_copy = dev._COPY
+    dev._COPY = lambda a: a + 0
+    try:
+        out = dev._read_with_retry(wedged)
+    finally:
+        dev._COPY = old_copy
     assert out.tolist() == [7, 8, 9]
