@@ -974,5 +974,12 @@ def main(argv: Optional[Sequence[str]] = None) -> Dict:
     )
 
 
+def cli() -> int:
+    """Console-script entry: exit 0 when every video ingested, 1 otherwise
+    (main() returns the stats dict, which sys.exit must not receive)."""
+    stats = main()
+    return 1 if stats.get("failed") else 0
+
+
 if __name__ == "__main__":
-    main()
+    raise SystemExit(cli())
