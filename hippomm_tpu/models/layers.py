@@ -208,7 +208,10 @@ def init_attention(
         }
         if bias:
             p["in_proj"]["bias"] = jnp.zeros((3 * d,), jnp.float32)
-        if bias_kv:  # torch xavier_normal_ init; zeros keeps hermetic determinism
+        if bias_kv:
+            # random-init convenience only (torch uses xavier_normal_; real
+            # checkpoints overwrite these via the converter, so exact init
+            # parity is immaterial — 0.02·normal keeps the scale sane)
             k3, k4 = jax.random.split(jax.random.fold_in(key, 7))
             p["bias_k"] = 0.02 * jax.random.normal(k3, (1, 1, d), jnp.float32)
             p["bias_v"] = 0.02 * jax.random.normal(k4, (1, 1, d), jnp.float32)

@@ -134,13 +134,20 @@ class KaldiFbank:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def __call__(self, pcm: jax.Array) -> jax.Array:
-        """pcm (N,) float32 -> (T, num_mel_bins) log-mel energies (natural log).
+        """pcm (N,) float32 in [-1, 1] -> (T, num_mel_bins) log-mel energies
+        (natural log).
 
-        Note: kaldi operates on 16-bit-scale waveforms; torchaudio multiplies
-        float input by 32768 internally — callers should pass [-1,1] floats and
-        we apply the scale here for bit-parity.
+        NO 16-bit rescale: torchaudio.compliance.kaldi.fbank does NOT scale
+        float input internally (matching the Kaldi BINARY requires the caller
+        to multiply by 32768 — a widely-hit torchaudio gotcha), and
+        ImageBind's frontend (imagebind/data.py waveform2melspec, AST-style)
+        feeds unscaled [-1, 1] floats. The AST normalization constants this
+        feeds (preprocess.py: mean −4.268, std 9.138) were measured on those
+        UNSCALED fbanks — a ×32768 here would shift every log-mel by
+        +2·ln(32768) ≈ +20.8 and push the audio tower ~1.1σ out of its input
+        distribution under the real checkpoint.
         """
-        x = pcm.astype(jnp.float32) * 32768.0
+        x = pcm.astype(jnp.float32)
         t = self.num_frames(x.shape[0])
         frames = _frame_signal(x, self.FRAME_LEN, self.HOP, t)
         re = jnp.dot(frames, self.a_cos, preferred_element_type=jnp.float32, precision=_FP32)

@@ -28,15 +28,25 @@ def _window_mean(x: jax.Array) -> jax.Array:
 
     Expressed as two separable 1-D convolutions (rows then cols) — compiles and
     runs far faster on TPU than a 2-D reduce_window (which lowered to a
-    27-second compile at ingest shapes)."""
+    27-second compile at ingest shapes).
+
+    precision=HIGHEST: TPU convs default to bf16 multiplies; x² window sums
+    reach ~3e6 where bf16 rounding is O(100) per element, and the variance
+    vx = cov(uxx − ux²) then cancels catastrophically — a bright STATIC frame
+    pair could read SSIM ~0.5 instead of ~0.99, faking scene cuts. fp32
+    sums keep the skimage-parity and host-mirror-equality claims true ON
+    TPU, not just in the CPU test suite (same rule as similarity.py/mel.py).
+    """
     ones_h = jnp.ones((1, 1, WIN, 1), jnp.float32)
     ones_w = jnp.ones((1, 1, 1, WIN), jnp.float32)
     y = x[:, None]  # (B, 1, H, W)
     y = jax.lax.conv_general_dilated(
-        y, ones_h, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        y, ones_h, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     y = jax.lax.conv_general_dilated(
-        y, ones_w, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
+        y, ones_w, (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y[:, 0] / (WIN * WIN)
 
@@ -84,11 +94,13 @@ def ssim_pairs(a: jax.Array, b: jax.Array, data_range: float = 255.0) -> jax.Arr
     np_ = WIN * WIN
     cov_norm = np_ / (np_ - 1.0)  # sample covariance, skimage default
 
-    ux = _window_mean(x)
-    uy = _window_mean(y)
-    uxx = _window_mean(x * x)
-    uyy = _window_mean(y * y)
-    uxy = _window_mean(x * y)
+    # ONE conv pipeline over the five stacked planes instead of five separate
+    # ones (fewer XLA ops, smaller compiled program — this kernel's compile
+    # time is load-bearing, see _window_mean)
+    b = x.shape[0]
+    planes = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
+    m = _window_mean(planes)
+    ux, uy, uxx, uyy, uxy = (m[i * b : (i + 1) * b] for i in range(5))
 
     vx = cov_norm * (uxx - ux * ux)
     vy = cov_norm * (uyy - uy * uy)

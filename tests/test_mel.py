@@ -7,8 +7,10 @@ from hippomm_tpu.ops.melbank import mel_filterbank_kaldi, mel_filterbank_slaney
 
 def kaldi_fbank_oracle(pcm, num_bins=128, sr=16000):
     """Slow numpy replica of torchaudio.compliance.kaldi.fbank (dither=0,
-    hanning window, remove_dc_offset, preemphasis 0.97, snip_edges)."""
-    x = pcm.astype(np.float64) * 32768.0
+    hanning window, remove_dc_offset, preemphasis 0.97, snip_edges) on
+    UNSCALED [-1, 1] float input — ImageBind's frontend convention (no
+    16-bit rescale; see ops/mel.KaldiFbank.__call__)."""
+    x = pcm.astype(np.float64)
     L, hop, padded = 400, 160, 512
     T = 1 + (len(x) - L) // hop
     mel = mel_filterbank_kaldi(num_bins, padded, sr).astype(np.float64)
