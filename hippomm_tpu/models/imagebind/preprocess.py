@@ -25,7 +25,6 @@ from typing import List, Optional, Sequence
 import jax.numpy as jnp
 import numpy as np
 
-from hippomm_tpu.utils.device import fetch
 
 from hippomm_tpu.ops.mel import KaldiFbank
 from hippomm_tpu.ops.resize import resize_normalize
@@ -78,10 +77,14 @@ def _get_batched_fbank(mel_bins: int, target_len: int):
 
 
 def _clip_starts(n_samples: int, clips_per_video: int, clip_samples: int) -> np.ndarray:
+    """Clip start offsets matching pytorchvideo's ConstantClipsPerVideoSampler
+    (what ImageBind's load_and_transform_audio_data uses): start_i =
+    span·i/clips — NOT linspace(0, span, clips), whose last clip would start
+    at the very end of the span (e.g. 3 clips over 10 s span: reference
+    samples 0/3.33/6.67 s, linspace samples 0/5/10 s — different audio under
+    real weights)."""
     span = max(0, n_samples - clip_samples)
-    if clips_per_video > 1:
-        return np.linspace(0, span, clips_per_video).astype(int)
-    return np.array([0])
+    return (span * np.arange(clips_per_video) / max(1, clips_per_video)).astype(int)
 
 
 def preprocess_audio_batch(
@@ -96,6 +99,8 @@ def preprocess_audio_batch(
     from hippomm_tpu.ops.bucketing import pad_leading
 
     clip_samples = int(CLIP_DURATION_S * SAMPLE_RATE)
+    if not len(pcms):
+        return jnp.zeros((0, clips_per_video, 1, mel_bins, target_len), jnp.float32)
     windows = []
     for pcm in pcms:
         pcm = np.asarray(pcm, dtype=np.float32).reshape(-1)
@@ -164,6 +169,16 @@ def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
 
 
+def _tokenize_matrix(encode, sot, eot, context_length, texts):
+    """sot + truncated encode + eot into a zero-padded int32 matrix — shared
+    by both tokenizers so truncation/padding can't drift between them."""
+    out = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, t in enumerate(texts):
+        ids = [sot] + encode(t)[: context_length - 2] + [eot]
+        out[i, : len(ids)] = ids
+    return out
+
+
 class ClipTokenizer:
     """Byte-pair-encoding tokenizer matching CLIP/ImageBind when given the
     standard `bpe_simple_vocab_16e6.txt.gz` merges file."""
@@ -185,11 +200,15 @@ class ClipTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
-        self.pat = re.compile(
-            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"
-            if False
-            else r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+",
-            re.IGNORECASE,
+        # CLIP's exact word-split pattern needs unicode classes (\p{L}/\p{N});
+        # the `regex` module provides them — an ASCII approximation would
+        # split accented words ('café' -> 'caf' + punctuation-bucket 'é') and
+        # diverge from the reference tokenizer for any non-English text
+        import regex
+
+        self.pat = regex.compile(
+            r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+",
+            regex.IGNORECASE,
         )
         self.sot = self.encoder["<|startoftext|>"]
         self.eot = self.encoder["<|endoftext|>"]
@@ -233,17 +252,13 @@ class ClipTokenizer:
     def encode(self, text: str) -> List[int]:
         text = _whitespace_clean(_basic_clean(text)).lower()
         ids: List[int] = []
-        for tok in re.findall(self.pat, text):
+        for tok in self.pat.findall(text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self._bpe(tok).split(" "))
         return ids
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
-        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
-        for i, t in enumerate(texts):
-            ids = [self.sot] + self.encode(t)[: self.context_length - 2] + [self.eot]
-            out[i, : len(ids)] = ids
-        return out
+        return _tokenize_matrix(self.encode, self.sot, self.eot, self.context_length, texts)
 
 
 class HashTokenizer:
@@ -271,11 +286,7 @@ class HashTokenizer:
         return ids
 
     def __call__(self, texts: Sequence[str]) -> np.ndarray:
-        out = np.zeros((len(texts), self.context_length), dtype=np.int32)
-        for i, t in enumerate(texts):
-            ids = [self.sot] + self.encode(t)[: self.context_length - 2] + [self.eot]
-            out[i, : len(ids)] = ids
-        return out
+        return _tokenize_matrix(self.encode, self.sot, self.eot, self.context_length, texts)
 
 
 def load_tokenizer(

@@ -261,8 +261,11 @@ def _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype):
         q = _proj_heads(pb["self_attn"]["q_proj"], hn, heads, dtype)
         k_new = _proj_heads(pb["self_attn"]["k_proj"], hn, heads, dtype)
         v_new = _proj_heads(pb["self_attn"]["v_proj"], hn, heads, dtype)
-        sk_l = jax.lax.dynamic_update_slice(sk_l, k_new.astype(jnp.float32), (0, 0, pos, 0))
-        sv_l = jax.lax.dynamic_update_slice(sv_l, v_new.astype(jnp.float32), (0, 0, pos, 0))
+        # caches live in the COMPUTE dtype: every read casts to `dtype`
+        # anyway, so fp32 storage bought zero precision while doubling the
+        # cache HBM traffic that dominates the decode step
+        sk_l = jax.lax.dynamic_update_slice(sk_l, k_new.astype(sk_l.dtype), (0, 0, pos, 0))
+        sv_l = jax.lax.dynamic_update_slice(sv_l, v_new.astype(sv_l.dtype), (0, 0, pos, 0))
         logits = jnp.einsum(
             "bhqd,bhkd->bhqk", q.astype(dtype), sk_l.astype(dtype),
             preferred_element_type=jnp.float32,
@@ -346,7 +349,7 @@ def greedy_decode(
 
     tokens = jnp.zeros((b, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
-    self_k = jnp.zeros((nl, b, heads, max_len, hd), jnp.float32)
+    self_k = jnp.zeros((nl, b, heads, max_len, hd), dtype)
     self_v = jnp.zeros_like(self_k)
     finished = jnp.zeros((b,), bool)
     lengths = jnp.full((b,), max_len, jnp.int32)
@@ -417,14 +420,18 @@ def beam_decode_batch(
     rows = bsz * beam
     neg = jnp.float32(-1e30)
 
-    enc_b = jnp.repeat(enc_out, beam, axis=0)  # (rows, S, d)
-    xk, xv = _cross_kv(params, enc_b, heads, dtype)
+    # project cross-K/V ONCE per chunk, then repeat per beam — projecting the
+    # beam-duplicated encoder output would run the 2·L big (S, d) matmuls
+    # beam× for byte-identical results
+    xk1, xv1 = _cross_kv(params, enc_out, heads, dtype)  # (L, B, H, S, hd)
+    xk = jnp.repeat(xk1, beam, axis=1)
+    xv = jnp.repeat(xv1, beam, axis=1)
 
     tokens = jnp.zeros((rows, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
         tokens, jnp.repeat(prompt.astype(jnp.int32), beam, axis=0), (0, 0)
     )
-    self_k = jnp.zeros((nl, rows, heads, max_len, hd), jnp.float32)
+    self_k = jnp.zeros((nl, rows, heads, max_len, hd), dtype)
     self_v = jnp.zeros_like(self_k)
     # per chunk: hypothesis 0 starts live; others at -inf so the first
     # expansion fans out
@@ -480,7 +487,11 @@ def beam_decode_batch(
     # rank each chunk's beams by length-normalized log-prob (faster-whisper)
     tokens = tokens.reshape(bsz, beam, max_len)
     lengths = lengths.reshape(bsz, beam)
-    gen_len = jnp.maximum(lengths - plen, 1).astype(jnp.float32)
+    # normalize per GENERATED token including EOT (whose log-prob is in the
+    # cumulative score — CT2 counts the EOS too); excluding it gave an
+    # immediate-EOT empty hypothesis the same divisor as a 1-token one,
+    # biasing ranking toward empty transcripts
+    gen_len = jnp.maximum(lengths - plen + 1, 1).astype(jnp.float32)
     norm = scores / gen_len
     order = jnp.argsort(-norm, axis=1)
     tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)

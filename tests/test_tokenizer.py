@@ -77,3 +77,18 @@ def test_clip_tokenizer_feeds_text_tower(tmp_path):
     out = np.asarray(text_forward(params, jnp.asarray(ids), cfg, dtype=jnp.float32))
     assert out.shape == (2, cfg.embed_dim)
     assert np.all(np.isfinite(out))
+
+
+def test_clip_word_split_keeps_unicode_words_whole(tmp_path):
+    """CLIP's \\p{L} word split (regex module): an accented word stays ONE
+    word token — an ASCII-only pattern split 'café' into 'caf' + a
+    punctuation-bucketed 'é', diverging from the reference tokenizer for any
+    non-English text (review finding r2)."""
+    p = str(tmp_path / "merges.txt.gz")
+    _write_merges(p, [("a", "b")])
+    tok = ClipTokenizer(p, context_length=16)
+    assert tok.pat.findall("café now") == ["café", "now"]
+    assert tok.pat.findall("naïve 42!") == ["naïve", "4", "2", "!"]
+    # byte-fallback encoding still works for the non-ASCII word
+    ids = tok.encode("café")
+    assert ids and all(isinstance(i, int) for i in ids)
