@@ -427,8 +427,8 @@ def extract_audio_from_video(
         if not os.path.exists(wav_path):
             return {"video_id": video_id, "has_audio": False, "audio": None, "resumed": False}
         pcm = load_audio_mono16k(wav_path)
-    frac = silence_fraction(pcm, 16000, silence_db)
     regions = detect_silence_regions(pcm, 16000, silence_db)
+    frac = silence_fraction(pcm, 16000, silence_db, regions=regions)
     skipped = frac > skip_silent_fraction
     meta = {
         "video_id": video_id,

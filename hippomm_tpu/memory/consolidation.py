@@ -49,8 +49,15 @@ def consolidate_short_term_memory(
         "audio_times": [],
         "audio_transcription": [],
         "modalities": modalities,
-        "start_time": min(s.segment_info.get("start_time", 0.0) for s in stms),
-        "end_time": max(s.segment_info.get("end_time", 0.0) for s in stms),
+        # fallback mirrors the sort key: an STM missing segment_info (e.g.
+        # loaded from a reference-written checkpoint) must not drag the event
+        # span to 0 while sorting by its real source_time
+        "start_time": min(
+            s.segment_info.get("start_time", s.source_time) for s in stms
+        ),
+        "end_time": max(
+            s.segment_info.get("end_time", s.source_time) for s in stms
+        ),
     }
 
     # ---- vision: stack, then on-device key-frame dedup ----
@@ -75,6 +82,12 @@ def consolidate_short_term_memory(
         out["keyframe_indices"] = [int(i) for i in keep]
 
     # ---- audio: stack features + start times, concat transcriptions ----
+    # audio_times parallels the audio FEATURE rows exactly (reference
+    # :869-927). A transcription-only STM (full-track ASR assigns entries by
+    # midpoint even to segments whose audio was too short/silent to embed)
+    # contributes its transcripts but must NOT inject a time row — that
+    # shifted every later feature's timestamp in the search index.
+    # Transcription entries carry their own start/end.
     aud_feats, aud_times, transcripts = [], [], []
     for stm in stms:
         f = stm.features.get("audio")
@@ -86,11 +99,9 @@ def consolidate_short_term_memory(
             # per-ASR-segment entries carry their own timestamps; the merged
             # event keeps them flat (reference extends, hippocampal_memory.py:893)
             transcripts.extend(stm.transcription)
-            if f is None or f.shape[0] == 0:
-                aud_times.append(stm.segment_info.get("start_time", stm.source_time))
     if aud_feats:
         out["features"]["audio"] = np.stack(aud_feats).astype(np.float32)
-        out["feature_times"]["audio"] = aud_times[: len(aud_feats)]
+        out["feature_times"]["audio"] = list(aud_times)
     out["audio_times"] = aud_times
     out["audio_transcription"] = transcripts
 

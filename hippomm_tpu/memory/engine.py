@@ -675,12 +675,18 @@ class HippocampalMemory:
             if merged is None:
                 return None
 
-        # caption every key frame (thread-pooled HTTP or stub)
+        # caption every key frame (thread-pooled HTTP or stub) — one caption
+        # per frames[] SLOT, placeholders included: filtering empty paths
+        # here while the event stores the unfiltered frames/frame_times would
+        # silently shift zip(frame_times, frame_captions) downstream
         captions: List[str] = []
-        frame_paths = [p for p in merged.get("frames", []) if p]
-        if frame_paths:
+        frame_paths = list(merged.get("frames", []))
+        if any(frame_paths):
             jpegs = []
             for p in frame_paths:
+                if not p:
+                    jpegs.append(b"")  # placeholder slot (no stored path)
+                    continue
                 try:
                     with open(p, "rb") as f:
                         jpegs.append(f.read())

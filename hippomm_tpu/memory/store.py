@@ -114,10 +114,14 @@ class MemoryStore:
             finally:
                 event.features = feats
             npz_path = os.path.join(d, f"{event.event_id}_features.npz")
+            # atomic like every other write here: a crash mid-rewrite must
+            # not leave the (already-atomic) JSON pointing at a truncated npz
+            npz_tmp = npz_path + ".tmp.npz"
             np.savez_compressed(
-                npz_path,
+                npz_tmp,
                 **{k: np.asarray(v, np.float32) for k, v in feats.items()},
             )
+            os.replace(npz_tmp, npz_path)
             payload["features"] = {"__npz__": os.path.basename(npz_path)}
         else:
             payload = event.to_dict()
@@ -137,6 +141,8 @@ class MemoryStore:
 
     def load_theta_event(self, event_id: str) -> ThetaEvent:
         entry = self.event_index.get(event_id)
+        if entry is not None and not os.path.exists(entry.get("path", "")):
+            entry = None  # stale index row (file moved/deleted): scan instead
         if entry is None:
             # fall back to a filesystem scan (index may be stale)
             for vid in os.listdir(self.events_dir):
@@ -173,14 +179,28 @@ class MemoryStore:
     def _ckpt_path(self, video_id: str) -> str:
         return os.path.join(self.checkpoints_dir, f"{video_id}_stm.json")
 
+    @staticmethod
+    def _encode_stm(stm: ShortTermMemory) -> Dict:
+        """STM -> JSON payload with base64 features — WITHOUT paying
+        to_dict()'s feature tolist() (boxed floats are discarded here; same
+        fix as the npz event save)."""
+        feats, stm.features = stm.features, {}
+        try:
+            d = stm.to_dict()
+        finally:
+            stm.features = feats
+        d["features"] = {k: numpy_to_base64(v) for k, v in feats.items()}
+        return d
+
+    @staticmethod
+    def _decode_stm(d: Dict) -> ShortTermMemory:
+        feats = {k: base64_to_numpy(v) for k, v in (d.get("features") or {}).items()}
+        return ShortTermMemory.from_dict(dict(d, features=feats))
+
     def save_checkpoint(self, video_id: str, stms: List[ShortTermMemory]) -> str:
         """Per-video STM checkpoint, features base64-encoded
         (reference: hippocampal_memory.py:1486-1524)."""
-        payload = []
-        for stm in stms:
-            d = stm.to_dict()
-            d["features"] = {k: numpy_to_base64(v) for k, v in stm.features.items()}
-            payload.append(d)
+        payload = [self._encode_stm(stm) for stm in stms]
         path = self._ckpt_path(video_id)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -204,12 +224,7 @@ class MemoryStore:
         try:
             with open(path) as f:
                 data = json.load(f)
-            out = []
-            for d in data.get("memories", []):
-                feats = {k: base64_to_numpy(v) for k, v in (d.get("features") or {}).items()}
-                d = dict(d, features=feats)
-                out.append(ShortTermMemory.from_dict(d))
-            return out
+            return [self._decode_stm(d) for d in data.get("memories", [])]
         except Exception:
             logger.exception("corrupt checkpoint for %s", video_id)
             return None
@@ -218,14 +233,7 @@ class MemoryStore:
 
     def save_short_term_buffer(self, buffer: Dict[str, List[ShortTermMemory]], tag: str = "buffer") -> str:
         path = os.path.join(self.checkpoints_dir, f"{tag}.json")
-        payload = {}
-        for vid, stms in buffer.items():
-            items = []
-            for stm in stms:
-                d = stm.to_dict()
-                d["features"] = {k: numpy_to_base64(v) for k, v in stm.features.items()}
-                items.append(d)
-            payload[vid] = items
+        payload = {vid: [self._encode_stm(s) for s in stms] for vid, stms in buffer.items()}
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -236,13 +244,15 @@ class MemoryStore:
         path = os.path.join(self.checkpoints_dir, f"{tag}.json")
         if not os.path.exists(path):
             return {}
-        with open(path) as f:
-            data = json.load(f)
-        out: Dict[str, List[ShortTermMemory]] = {}
-        for vid, items in data.items():
-            stms = []
-            for d in items:
-                feats = {k: base64_to_numpy(v) for k, v in (d.get("features") or {}).items()}
-                stms.append(ShortTermMemory.from_dict(dict(d, features=feats)))
-            out[vid] = stms
-        return out
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            return {
+                vid: [self._decode_stm(d) for d in items]
+                for vid, items in data.items()
+            }
+        except Exception:
+            # same contract as load_checkpoint: a corrupt driver checkpoint
+            # must not crash the resume path
+            logger.exception("corrupt short-term buffer checkpoint %s", path)
+            return {}

@@ -124,12 +124,18 @@ def detect_silence_regions(
 
 
 def silence_fraction(
-    pcm: np.ndarray, sample_rate: int = 16000, threshold_db: float = -50.0
+    pcm: np.ndarray,
+    sample_rate: int = 16000,
+    threshold_db: float = -50.0,
+    regions=None,
 ) -> float:
     """Fraction of the waveform inside silence regions (the reference skips audio
-    >90% silent, batch_process.py:321-327)."""
+    >90% silent, batch_process.py:321-327). Pass `regions` when the caller
+    already ran detect_silence_regions — re-running it doubles the full-track
+    windowed-RMS pass (hour-long tracks: 57.6M samples squared twice)."""
     dur = len(pcm) / sample_rate
     if dur <= 0:
         return 1.0
-    regions = detect_silence_regions(pcm, sample_rate, threshold_db)
+    if regions is None:
+        regions = detect_silence_regions(pcm, sample_rate, threshold_db)
     return min(1.0, sum(e - s for s, e in regions) / dur)

@@ -409,3 +409,44 @@ def test_partial_checkpoint_rejected_when_coverage_short(engine_factory):
         auto_consolidate=False,
     )
     assert len(resumed) == len(fresh)  # loaded, not re-encoded from nothing
+
+
+def test_consolidation_audio_times_skip_transcription_only_stms():
+    """A transcription-only STM (full-track ASR assigns entries even to
+    segments whose audio was too short/silent to embed) contributes its
+    transcripts but NOT a time row — it used to shift every later audio
+    feature's timestamp in the search index (review finding r2)."""
+    from hippomm_tpu.memory.consolidation import consolidate_short_term_memory
+    from hippomm_tpu.memory.schema import ShortTermMemory
+
+    def stm(start, end, with_audio, transcription=None):
+        feats = {}
+        if with_audio:
+            feats["audio"] = np.ones((1, 1024), np.float32) * start
+        return ShortTermMemory(
+            features=feats,
+            content="",
+            timestamp=0.0,
+            source_time=start,
+            modalities=["audio"] if with_audio else [],
+            segment_info={"start_time": start, "end_time": end},
+            transcription=transcription or [],
+        )
+
+    out = consolidate_short_term_memory([
+        stm(0.0, 10.0, True),
+        stm(10.0, 20.0, False, [{"text": "talk", "start": 12.0, "end": 14.0}]),
+        stm(20.0, 30.0, True),
+    ])
+    assert out["feature_times"]["audio"] == [0.0, 20.0]
+    assert out["audio_times"] == [0.0, 20.0]
+    assert out["features"]["audio"].shape == (2, 1024)
+    assert [t["text"] for t in out["audio_transcription"]] == ["talk"]
+    # span fallback uses source_time, never 0.0 (reference-checkpoint interop)
+    out2 = consolidate_short_term_memory([
+        ShortTermMemory(
+            features={}, content="", timestamp=0.0, source_time=300.0,
+            modalities=[], segment_info={}, transcription=[],
+        )
+    ])
+    assert out2["start_time"] == 300.0 and out2["end_time"] == 300.0
