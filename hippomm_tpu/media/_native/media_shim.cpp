@@ -78,15 +78,22 @@ int hmm_jpeg_encode(const uint8_t* rgb, int w, int h, int quality,
                     uint8_t* out, size_t* out_len) {
   jpeg_compress_struct cinfo;
   HmmJpegErr jerr;
+  // The longjmp error path must free jpeg_mem_dest's buffer —
+  // jpeg_destroy_compress does NOT (ownership is the caller's), so bailing
+  // without free() leaked w*h*3 bytes per failed encode. jpeg_mem_dest
+  // retains &mem, so mem itself stays a plain local; the volatile VIEW of
+  // its stack slot makes the post-longjmp read well-defined.
+  unsigned char* mem = nullptr;
+  unsigned char* volatile* mem_ref = &mem;
+  unsigned long mem_len = 0;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = hmm_jpeg_error_exit;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_compress(&cinfo);
+    free(*mem_ref);
     return -1;
   }
   jpeg_create_compress(&cinfo);
-  unsigned char* mem = nullptr;
-  unsigned long mem_len = 0;
   jpeg_mem_dest(&cinfo, &mem, &mem_len);
   cinfo.image_width = w;
   cinfo.image_height = h;
@@ -128,9 +135,14 @@ int hmm_jpeg_decode_batch(const uint8_t* buf, const int64_t* offsets,
       int i = next.fetch_add(1);
       if (i >= n) return;
       int dw = 0, dh = 0;
-      if (hmm_jpeg_decode(buf + offsets[i], (size_t)sizes[i],
-                          rgb_out + frame_bytes * i, &dw, &dh) != 0 ||
-          dw != w || dh != h) {
+      // header-only pass FIRST: the slot holds exactly w*h*3 bytes, and a
+      // corrupt/crafted stream whose embedded JPEG is larger would be
+      // written BEFORE any dimension check — heap corruption
+      if (hmm_jpeg_decode(buf + offsets[i], (size_t)sizes[i], nullptr,
+                          &dw, &dh) != 0 ||
+          dw != w || dh != h ||
+          hmm_jpeg_decode(buf + offsets[i], (size_t)sizes[i],
+                          rgb_out + frame_bytes * i, &dw, &dh) != 0) {
         failed.fetch_add(1);
       }
     }
@@ -188,6 +200,7 @@ void* hmm_avi_open(const char* path) {
   }
   // Walk chunks; gather avih (fps), strf (dims), and 00dc frames in movi.
   uint32_t us_per_frame = 0;
+  bool last_strh_vids = false;
   std::vector<int64_t> list_ends;
   for (;;) {
     uint8_t ch[8];
@@ -205,7 +218,15 @@ void* hmm_avi_open(const char* path) {
       fread(b, 1, 4, f);
       us_per_frame = rd_le32(b);
       fseek(f, payload + ((size + 1) & ~1u), SEEK_SET);
-    } else if (memcmp(ch, "strf", 4) == 0 && size >= 16) {
+    } else if (memcmp(ch, "strh", 4) == 0 && size >= 4) {
+      uint8_t b[4];
+      fread(b, 1, 4, f);
+      last_strh_vids = memcmp(b, "vids", 4) == 0;
+      fseek(f, payload + ((size + 1) & ~1u), SEEK_SET);
+    } else if (memcmp(ch, "strf", 4) == 0 && size >= 16 && last_strh_vids) {
+      // only the VIDEO stream's BITMAPINFOHEADER: an audio strf
+      // (WAVEFORMATEX) here would overwrite width/height with
+      // nSamplesPerSec/nAvgBytesPerSec
       uint8_t b[16];
       fread(b, 1, 16, f);
       r->width = (int)rd_le32(b + 4);
@@ -221,7 +242,17 @@ void* hmm_avi_open(const char* path) {
     }
   }
   r->fps = us_per_frame ? 1e6 / us_per_frame : 30.0;
-  if (r->width <= 0 || r->frame_offsets.empty()) {
+  bool looks_mjpeg = false;
+  if (!r->frame_offsets.empty()) {
+    uint8_t soi[2] = {0, 0};
+    fseek(f, r->frame_offsets[0], SEEK_SET);
+    looks_mjpeg =
+        fread(soi, 1, 2, f) == 2 && soi[0] == 0xFF && soi[1] == 0xD8;
+  }
+  if (r->width <= 0 || r->frame_offsets.empty() || !looks_mjpeg) {
+    // not an MJPEG-AVI this shim can decode: fail open so the caller's
+    // LibavReader fallback (io.py open_video) takes the file instead of
+    // failing later at libjpeg decode time
     fclose(f);
     delete r;
     return nullptr;
@@ -380,7 +411,9 @@ int hmm_avi_writer_close(void* h) {
   put_le32(hd, (uint32_t)(1e6 / wr->fps));          // us per frame
   put_le32(hd, 0);                                   // max bytes/sec
   put_le32(hd, 0);                                   // padding
-  put_le32(hd, 0x10);                                // AVIF_HASINDEX off; 0x10=WASCAPTUREFILE-ish flags minimal
+  put_le32(hd, 0);  // flags: no idx1 chunk is written, so AVIF_HASINDEX (0x10)
+                    // must be CLEAR — advertising an index that does not
+                    // exist breaks strict demuxers' seeking
   put_le32(hd, nframes);
   put_le32(hd, 0);                                   // initial frames
   put_le32(hd, 1);                                   // streams

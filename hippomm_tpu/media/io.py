@@ -273,6 +273,7 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
             raise ValueError(f"not a WAV file: {path}")
         fmt = None
+        fmt_payload = None
         data = None
         while True:
             hdr = f.read(8)
@@ -282,11 +283,18 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             payload = f.read(size + (size & 1))[:size]
             if cid == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt_payload = payload
             elif cid == b"data":
                 data = payload
         if fmt is None or data is None:
             raise ValueError(f"malformed WAV: {path}")
         audio_fmt, channels, rate, _, _, bits = fmt
+        if audio_fmt == 0xFFFE and fmt_payload is not None and len(fmt_payload) >= 26:
+            # WAVE_FORMAT_EXTENSIBLE: the REAL format is the first two bytes
+            # of the SubFormat GUID (payload offset 24). Treating an
+            # extensible float32 WAV as int32 PCM reinterprets IEEE-754 bit
+            # patterns as integers — near-random noise fed to ASR, silently.
+            audio_fmt = struct.unpack("<H", fmt_payload[24:26])[0]
         if audio_fmt == 3 and bits == 32:
             arr = np.frombuffer(data, dtype="<f4").astype(np.float32)
         elif bits == 16:
@@ -313,6 +321,17 @@ def load_audio_mono16k(path: str) -> np.ndarray:
     audio, rate = read_wav(path)
     mono = audio.mean(axis=1)
     if rate != 16000:
+        if rate > 16000:
+            # low-pass below the NEW Nyquist before resampling: bare
+            # np.interp aliases everything above 8 kHz back into the band
+            # (sibilants/music fed to ASR as distortion) — the reference path
+            # is ffmpeg -ar 16000, a proper polyphase resampler
+            cutoff = 0.45 * 16000 / rate  # normalized to the INPUT rate
+            taps = 101
+            n = np.arange(taps) - (taps - 1) / 2
+            h = 2 * cutoff * np.sinc(2 * cutoff * n) * np.kaiser(taps, 8.6)
+            h /= h.sum()
+            mono = np.convolve(mono, h.astype(np.float32), mode="same")
         n_out = int(round(len(mono) * 16000 / rate))
         x_old = np.arange(len(mono)) / rate
         x_new = np.arange(n_out) / 16000.0
@@ -343,7 +362,9 @@ def _luma_u8(rgb: np.ndarray) -> np.ndarray:
     return ((19595 * r + 38470 * g + 7471 * b + 32768) >> 16).astype(np.uint8)
 
 
-def _yuv420_to_rgb_np(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+def _yuv420_to_rgb_np(
+    y: np.ndarray, u: np.ndarray, v: np.ndarray, limited: bool = False
+) -> np.ndarray:
     """Host BT.601 full-range YUV420 -> RGB (inverse of _rgb_to_yuv420_np).
 
     Used on the Y4M READ path: shipping frames to device just to color-convert
@@ -352,6 +373,10 @@ def _yuv420_to_rgb_np(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray
     yf = y.astype(np.float32)
     uf = np.repeat(np.repeat(u.astype(np.float32), 2, axis=1), 2, axis=2) - 128.0
     vf = np.repeat(np.repeat(v.astype(np.float32), 2, axis=1), 2, axis=2) - 128.0
+    if limited:  # studio swing (16-235 / 16-240) -> full before the matrix
+        yf = (yf - 16.0) * (255.0 / 219.0)
+        uf = uf * (255.0 / 224.0)
+        vf = vf * (255.0 / 224.0)
     r = yf + 1.402 * vf
     g = yf - 0.344136 * uf - 0.714136 * vf
     b = yf + 1.772 * uf
@@ -415,11 +440,16 @@ class _LazyFrameBlock:
 class _NativeFrameBlock:
     """RGB-on-demand over C++-held refcounted AVFrames (LibavReader)."""
 
-    def __init__(self, lib, handle, gray: np.ndarray, height: int, width: int):
+    def __init__(self, lib, handle, gray: np.ndarray, height: int, width: int,
+                 reader=None):
         self._lib = lib
         self._handle = handle
         self.gray = gray
         self._hw = (height, width)
+        # the C-side AvBlock holds a BARE pointer to the reader's AvReader;
+        # keep the Python wrapper alive for the block's lifetime or take_rgb
+        # after the reader is GC'd/closed is a use-after-free
+        self._reader = reader
 
     def take_rgb(self, js) -> np.ndarray:
         js = np.ascontiguousarray(js, dtype=np.int64)
@@ -452,6 +482,7 @@ class Y4MReader:
 
     def __init__(self, path: str):
         self.path = path
+        self.limited_range = False  # our writer emits full-range
         with open(path, "rb") as f:
             header = f.readline()
         if not header.startswith(b"YUV4MPEG2"):
@@ -469,12 +500,25 @@ class Y4MReader:
                 num, den = map(int, t[1:].split(":"))
             elif t[0] == "C" and not t[1:].startswith("420"):
                 raise ValueError(f"only 420 chroma supported, got {t}")
+            elif t.startswith("XCOLORRANGE="):
+                self.limited_range = t.split("=", 1)[1].upper() == "LIMITED"
         self.fps = num / den
         self._ysize = self.width * self.height
         self._csize = (self.width // 2) * (self.height // 2)
         self._frame_bytes = len(b"FRAME\n") + self._ysize + 2 * self._csize
         total = os.path.getsize(path) - self._data_start
         self.num_frames = total // self._frame_bytes
+        # pointer arithmetic assumes every frame header is exactly "FRAME\n";
+        # the spec allows per-frame parameters ("FRAME <params>\n"), which
+        # would silently shift every plane — fail loudly instead
+        with open(path, "rb") as f:
+            f.seek(self._data_start)
+            first = f.read(6)
+            if self.num_frames and first != b"FRAME\n":
+                raise ValueError(
+                    f"y4m with per-frame parameters unsupported: {path!r} "
+                    f"(frame header {first!r})"
+                )
 
     @property
     def info(self) -> VideoInfo:
@@ -507,7 +551,7 @@ class Y4MReader:
 
     def read_rgb(self, indices: Sequence[int]) -> np.ndarray:
         y, u, v = self.read_yuv(indices)
-        return _yuv420_to_rgb_np(y, u, v)
+        return _yuv420_to_rgb_np(y, u, v, limited=self.limited_range)
 
     def read_gray_small(self, indices: Sequence[int], gh: int, gw: int) -> np.ndarray:
         """Scoring-resolution luma: reads ONLY the Y plane (the luma IS the
@@ -792,7 +836,7 @@ class LibavReader:
         )
         if rc != 0:
             raise RuntimeError(f"libav block decode failed rc={rc}")
-        return _NativeFrameBlock(self._lib, handle, gray, self.height, self.width)
+        return _NativeFrameBlock(self._lib, handle, gray, self.height, self.width, reader=self)
 
     def close(self):
         if self._h:
