@@ -41,6 +41,9 @@ class SystemConfig:
 class ModelsConfig:
     imagebind_path: str = "pretrained/imagebind"
     whisper_model: str = "distil-large-v3"
+    # checkpoint file or dir (pytorch_model.bin / whisper.pth); empty = the
+    # variant's random-init / stub towers
+    whisper_path: str = ""
     qwen_path: str = "pretrained/Qwen/Qwen2.5-VL-7B-Instruct"
     # hippomm_tpu extensions: tiny configs for hermetic runs without checkpoints
     imagebind_variant: str = "huge"  # "huge" | "tiny" (tests)

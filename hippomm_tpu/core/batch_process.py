@@ -146,7 +146,6 @@ def extract_frames_from_video(
 
     Idempotent: resumes from metadata.yaml when all frames exist (:137-149).
     """
-    from hippomm_tpu.media.io import open_video
     from hippomm_tpu.utils.timers import StageTimer
 
     timers = timers if timers is not None else StageTimer()
@@ -408,12 +407,20 @@ def extract_audio_from_video(
     meta_path = os.path.join(audio_dir, "metadata.yaml")
     npy_path = os.path.join(audio_dir, "audio.npy")
 
-    if os.path.exists(meta_path) and os.path.exists(npy_path):
+    if os.path.exists(meta_path):
         with open(meta_path) as f:
-            meta = yaml.safe_load(f)
-        meta["resumed"] = True
-        meta["audio"] = np.load(npy_path)
-        return meta
+            meta = yaml.safe_load(f) or {}
+        if os.path.exists(npy_path):
+            meta["resumed"] = True
+            meta["audio"] = np.load(npy_path)
+            return meta
+        if meta.get("skipped_as_silent") or not meta.get("has_audio", True):
+            # skipped-as-silent / no-audio runs never write audio.npy — the
+            # metadata alone IS the resume state; re-demuxing + re-scanning
+            # the full track on every re-ingest contradicts "idempotent"
+            meta["resumed"] = True
+            meta["audio"] = None
+            return meta
 
     pcm = None
     ext = os.path.splitext(video_path)[1].lower()
@@ -425,7 +432,11 @@ def extract_audio_from_video(
     if pcm is None:
         wav_path = os.path.splitext(video_path)[0] + ".wav"
         if not os.path.exists(wav_path):
-            return {"video_id": video_id, "has_audio": False, "audio": None, "resumed": False}
+            meta = {"video_id": video_id, "has_audio": False, "audio": None, "resumed": False}
+            os.makedirs(audio_dir, exist_ok=True)
+            with open(meta_path, "w") as f:
+                yaml.safe_dump({k: v for k, v in meta.items() if k != "audio"}, f)
+            return meta
         pcm = load_audio_mono16k(wav_path)
     regions = detect_silence_regions(pcm, 16000, silence_db)
     frac = silence_fraction(pcm, 16000, silence_db, regions=regions)

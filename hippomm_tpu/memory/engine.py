@@ -137,6 +137,7 @@ class HippocampalMemory:
         self.whisper: Whisper = models.get("whisper") or Whisper(
             model_name=whisper_model or m.whisper_model,
             variant=m.whisper_variant,
+            model_path=getattr(m, "whisper_path", "") or None,
             random_init=m.whisper_random_init,
             beam_size=m.whisper_beam_size,
             mesh=self.mesh,

@@ -147,7 +147,8 @@ class OpenAICompatClient(ChatClient):
                 return r.json()["choices"][0]["message"]["content"]
             except Exception as e:
                 last_err = e
-                time.sleep(min(2**attempt, 8))
+                if attempt + 1 < self.max_retries:  # no dead sleep after the
+                    time.sleep(min(2**attempt, 8))  # final attempt
         raise RuntimeError(f"chat completion failed after {self.max_retries} tries: {last_err}")
 
 
@@ -187,6 +188,9 @@ class StubClient(ChatClient):
     def chat(self, messages: List[Message], max_tokens: int = 512, temperature: float = 0.0) -> str:
         text = self._text_of(messages)
         self.calls.append({"text": text[:2000], "images": self._has_image(messages)})
+        if len(self.calls) > 512:  # test introspection only — a resident
+            # server in stub mode must not grow this forever
+            del self.calls[: len(self.calls) - 512]
         lower = text.lower()
 
         if self._has_image(messages):
@@ -238,21 +242,33 @@ def make_client(endpoint_cfg, mode: str = "auto", purpose: str = "qwen") -> Chat
     if mode == "stub" or (mode == "auto" and not base_urls):
         return StubClient(purpose)
     if mode == "http":
+        if not base_urls:
+            # an empty round-robin would raise a bare StopIteration at the
+            # FIRST chat() call, far from the misconfiguration
+            raise ValueError(
+                f"api.mode='http' for {purpose} but no base_url/base_urls configured"
+            )
         return OpenAICompatClient(
             base_urls,
             api_key=getattr(endpoint_cfg, "api_key", ""),
             model_name=getattr(endpoint_cfg, "model_name", None) or None,
         )
-    # auto: probe once
-    try:
-        import requests
+    # auto: probe EVERY configured endpoint — falling to the stub because
+    # only the first one is down defeats the round-robin
+    import requests
 
-        requests.get(base_urls[0].rstrip("/") + "/models", timeout=2)
+    live = []
+    for u in base_urls:
+        try:
+            requests.get(u.rstrip("/") + "/models", timeout=2)
+            live.append(u)
+        except Exception:
+            logger.info("%s endpoint %s unreachable", purpose, u)
+    if live:
         return OpenAICompatClient(
-            base_urls,
+            live,
             api_key=getattr(endpoint_cfg, "api_key", ""),
             model_name=getattr(endpoint_cfg, "model_name", None) or None,
         )
-    except Exception:
-        logger.info("%s endpoint unreachable; using stub client", purpose)
-        return StubClient(purpose)
+    logger.info("no %s endpoint reachable; using stub client", purpose)
+    return StubClient(purpose)

@@ -44,10 +44,6 @@ CHUNK = 32
 BIG_CHUNK = 128  # bulk tier for the vision tower (see encode_vision)
 
 
-def _bucket(n: int) -> int:
-    return max(CHUNK, ((n + CHUNK - 1) // CHUNK) * CHUNK)
-
-
 class ImageBind:
     """Joint-embedding model wrapper (reference surface: extract_features).
 
@@ -93,8 +89,13 @@ class ImageBind:
             self.params = jax.device_put(self.params, replicated(mesh))
         else:
             self.params = jax.device_put(self.params)
+        # model_path may be the checkpoint FILE — the BPE vocab sits next to
+        # it; joining onto the file path silently fell back to HashTokenizer
+        tok_dir = model_path
+        if tok_dir and os.path.isfile(tok_dir):
+            tok_dir = os.path.dirname(tok_dir)
         self.tokenizer = load_tokenizer(
-            model_path, vocab_size=self.cfg.vocab_size, context_length=self.cfg.context_length
+            tok_dir, vocab_size=self.cfg.vocab_size, context_length=self.cfg.context_length
         )
         # ONE fused program: uint8 frames -> resize/normalize -> ViT forward.
         # Separate preprocess + forward programs cost two dispatches per chunk
@@ -338,7 +339,10 @@ class QwenVL:
             for item in content:
                 if isinstance(item, dict) and item.get("type") == "video":
                     src = item.get("video")
-                    max_frames = int(item.get("fps", 1.0) * 8) or 8
+                    # max(1, ...): the old falsy-zero fallback turned the
+                    # SPARSEST request (fps < 0.125 -> int() == 0) into the
+                    # densest (8 frames)
+                    max_frames = max(1, int(item.get("fps", 1.0) * 8))
                     if isinstance(src, list):  # already frame jpg paths —
                         # subsample to the SAME cap as the path form (a long
                         # event's full keyframe list would otherwise inline
