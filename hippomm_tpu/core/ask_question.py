@@ -100,7 +100,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.list:
         list_events(store)
         return 0
-    if args.event and not args.question:
+    if args.event and not args.question and not args.questions_file:
         try:
             load_event(store, args.event)
         except KeyError:

@@ -72,11 +72,19 @@ class QARecallSystem:
     def events(self) -> List[ThetaEvent]:
         return list(getattr(self.memory, "long_term_store", []))
 
+    def _corpus_sig(self, events) -> tuple:
+        """Cache-invalidation signature. LENGTH alone goes stale once the
+        engine hits max_long_term (evict-oldest + append keeps len constant
+        while the content churns — a resident server would serve evicted
+        events forever); the last event's id changes on every append."""
+        return (len(events), events[-1].event_id if events else None)
+
     def _index(self, modality: str) -> FeatureSearchIndex:
         events = self.events
         key = modality
+        sig = self._corpus_sig(events)
         cached = self._index_cache.get(key)
-        if cached and cached[0] == len(events):
+        if cached and cached[0] == sig:
             return cached[1]
         mesh = getattr(self.memory, "mesh", None)
         if mesh is not None and mesh.devices.size > 1:
@@ -89,7 +97,7 @@ class QARecallSystem:
             idx: FeatureSearchIndex = ShardedFeatureIndex.build(events, modality, mesh)
         else:
             idx = FeatureSearchIndex.build(events, modality)
-        self._index_cache[key] = (len(events), idx)
+        self._index_cache[key] = (sig, idx)
         return idx
 
     # ------------------------------------------------------------- entry point
@@ -106,7 +114,7 @@ class QARecallSystem:
         qtype = self._classify_question_type(question)
         direct_answer, direct_conf = self._try_direct_answer(question, qtype)
 
-        if qtype == "SUMMARY" or (direct_answer and direct_conf > self.confidence_gate):
+        if direct_answer and (qtype == "SUMMARY" or direct_conf > self.confidence_gate):
             return QARecallResult(
                 answer=direct_answer,
                 confidence=direct_conf,
@@ -174,7 +182,7 @@ class QARecallSystem:
             results: List[Optional[QARecallResult]] = [None] * len(questions)
             pending: List[int] = []
             for i, (qtype, (ans, conf)) in enumerate(zip(qtypes, directs)):
-                if qtype == "SUMMARY" or (ans and conf > self.confidence_gate):
+                if ans and (qtype == "SUMMARY" or conf > self.confidence_gate):
                     results[i] = QARecallResult(
                         answer=ans,
                         confidence=conf,
@@ -188,8 +196,10 @@ class QARecallSystem:
             # batch the VIDEO-type embedding search
             vid_idx = [i for i in pending if qtypes[i] == "VIDEO"]
             hits_by_q: Dict[int, List[SearchHit]] = {}
-            index = self._index("vision")
-            if vid_idx and len(index):
+            # only pack (and, on a mesh, device_put) the vision store when a
+            # VIDEO question will actually search it
+            index = self._index("vision") if vid_idx else None
+            if vid_idx and index is not None and len(index):
                 compressed = list(
                     pool.map(self._format_search_query, [questions[i] for i in vid_idx])
                 )
@@ -389,7 +399,7 @@ class QARecallSystem:
         # (video, corpus size) like _index_cache: rebuilding + sorting
         # thousands of (time, path) pairs on EVERY window fetch is O(F log F)
         # host work on the <200 ms recall path
-        kf_key = (video_id, len(self.events))
+        kf_key = (video_id, self._corpus_sig(self.events))
         cached = self._kf_cache.get(kf_key)
         if cached is None:
             ev_frames = []
@@ -400,9 +410,10 @@ class QARecallSystem:
                     ]
             ev_frames.sort()
             cached = (ev_frames, np.asarray([t for t, _ in ev_frames]))
-            # corpus growth invalidates every cached video at once
+            # corpus change invalidates every cached video at once
+            cur = self._corpus_sig(self.events)
             self._kf_cache = {
-                k: v for k, v in self._kf_cache.items() if k[1] == len(self.events)
+                k: v for k, v in self._kf_cache.items() if k[1] == cur
             }
             self._kf_cache[kf_key] = cached
         ev_frames, kf_times = cached
@@ -834,7 +845,10 @@ class QARecallSystem:
         if not transcripts:  # fall back to stored transcripts inside windows
             for s, e, txt, vid in self._gather_transcripts():
                 vws = windows_by_video.get(vid, [])
-                if any(ws <= s <= we or ws <= e <= we for ws, we in vws):
+                # true interval overlap — endpoint-only tests dropped a
+                # snippet that fully CONTAINS the window (whole-event
+                # holistic entries on legacy stores)
+                if any(s <= we and e >= ws for ws, we in vws):
                     transcripts.append(txt)
         answer, conf = self._final_answer(question, transcripts=transcripts)
         return QARecallResult(
@@ -930,12 +944,14 @@ class QARecallSystem:
         (reference :2623-2721)."""
         events = self.events
         summaries = [e.summary for e in events if e.summary]
-        captions = []
+        timed = []
         for e in events:
-            captions += [
-                f"[{t:.1f}s] {c}" for t, c in zip(e.frame_times, e.frame_captions)
-            ]
-        captions.sort()
+            timed += list(zip(e.frame_times, e.frame_captions))
+        # numeric sort BEFORE formatting: "[100.0s]" < "[20.0s]"
+        # lexicographically, which scrambled the timeline and skewed the
+        # even-spaced subsample
+        timed.sort(key=lambda tc: float(tc[0]))
+        captions = [f"[{t:.1f}s] {c}" for t, c in timed]
         kept_caps, _ = evenly_distribute_items(captions, self.token_budget // 3, "- {}\n")
         transcript = " ".join(
             e.holistic_text() or " ".join(e.transcript_texts()) for e in events

@@ -22,7 +22,6 @@ import numpy as np
 from hippomm_tpu.utils.device import damped_min_ema, fetch
 
 from hippomm_tpu.memory.schema import ThetaEvent
-from hippomm_tpu.ops.similarity import top_k_cosine
 
 logger = logging.getLogger(__name__)
 
@@ -234,8 +233,7 @@ class FeatureSearchIndex:
             # the packed single-read path encodes row indices as float32,
             # exact only up to 2^24 — beyond that fall back to the two-read
             # int32 path rather than silently corrupt hit indices
-            from hippomm_tpu.ops.similarity import top_k_cosine
-
+            
             vals, idx = top_k_cosine(q, self._device_feats(), k)
             return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
         from hippomm_tpu.ops.similarity import top_k_cosine_packed
@@ -254,8 +252,7 @@ class FeatureSearchIndex:
     def _topk_batch_device(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         bound = self.DEVICE_PROBE_GIVE_UP_S
         if len(self) >= 2**24:
-            from hippomm_tpu.ops.similarity import top_k_cosine
-
+            
             vals, idx = top_k_cosine(queries, self._device_feats(), k)
             return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
         from hippomm_tpu.ops.similarity import top_k_cosine_packed

@@ -738,3 +738,40 @@ def test_topk_device_raise_falls_back_to_host(monkeypatch):
     assert len(bhits) == 2 and all(bhits)
     assert index._lat["device"] > index._lat["host"]
     assert index._device_probe_every > before  # backoff engaged
+
+
+def test_index_cache_invalidates_under_eviction():
+    """max_long_term eviction keeps len(long_term_store) CONSTANT while the
+    content churns — a length-keyed cache served evicted events forever in a
+    resident server (review finding r2)."""
+    import types
+
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.memory.schema import ThetaEvent
+    from hippomm_tpu.retrieval.qa import QARecallSystem
+
+    rng = np.random.default_rng(21)
+
+    def ev(i):
+        return ThetaEvent(
+            video_id=f"v{i}",
+            features={"vision": rng.normal(size=(4, 1024)).astype(np.float32)},
+            feature_times={"vision": [0.0, 1.0, 2.0, 3.0]},
+            start_time=0.0,
+            end_time=4.0,
+        )
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    mem = types.SimpleNamespace(
+        long_term_store=[ev(0), ev(1)], mesh=None, config=cfg
+    )
+    qa = QARecallSystem(mem, cfg)
+    idx1 = qa._index("vision")
+    assert "v0" in idx1.videos
+
+    # evict-oldest + append: SAME length, different content
+    mem.long_term_store = [mem.long_term_store[1], ev(2)]
+    idx2 = qa._index("vision")
+    assert idx2 is not idx1
+    assert "v2" in idx2.videos and "v0" not in idx2.videos
