@@ -140,11 +140,12 @@ def write_synthetic_video(
         if audio_path:
             mio.write_wav(audio_path, audio, spec.sample_rate)
         return None
-    result = generate(spec)
-    if path.endswith(".y4m"):
-        mio.write_y4m(path, result.frames, fps=spec.fps)
-    else:
+    if ext != "y4m":
+        # reject BEFORE rendering the whole clip into memory (and
+        # case-insensitively — CLIP.Y4M used to render everything then raise)
         raise ValueError(f"unsupported container: {path}")
+    result = generate(spec)
+    mio.write_y4m(path, result.frames, fps=spec.fps)
     if audio_path:
         mio.write_wav(audio_path, result.audio, spec.sample_rate)
     return result

@@ -25,8 +25,12 @@ def bucket_size(n: int, quantum: int = QUANTUM) -> int:
 
 def pad_leading(arr: np.ndarray, n: int | None = None, mode: str = "edge") -> Tuple[np.ndarray, int]:
     """Pad arr's leading axis to a bucket (or to n). Returns (padded, original_len)."""
+    if mode not in ("edge", "zero"):
+        raise ValueError(f"pad_leading mode must be 'edge' or 'zero', got {mode!r}")
     orig = arr.shape[0]
     target = n if n is not None else bucket_size(orig)
+    if orig > target:
+        raise ValueError(f"cannot pad {orig} rows DOWN to {target}")
     if orig == target:
         return arr, orig
     pad = target - orig

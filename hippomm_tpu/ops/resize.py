@@ -34,8 +34,14 @@ def resize_normalize(
     """
     b, h, w, c = frames.shape
     x = frames.astype(jnp.float32) / 255.0
-    scale = size / min(h, w)
-    nh, nw = max(size, round(h * scale)), max(size, round(w * scale))
+    # torchvision Resize computes the long side with int() TRUNCATION
+    # (_compute_resized_output_size: int(size * long / short)) — round()
+    # diverges by one pixel for 4:3-ish inputs (e.g. 320x240 -> 299 vs
+    # torchvision's 298), shifting the whole resample grid vs the reference
+    if h <= w:
+        nh, nw = size, max(size, int(w * size / h))
+    else:
+        nh, nw = max(size, int(h * size / w)), size
     x = jax.image.resize(x, (b, nh, nw, c), method=method, antialias=antialias)
     top = (nh - size) // 2
     left = (nw - size) // 2

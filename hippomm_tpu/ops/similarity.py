@@ -87,7 +87,9 @@ def select_keyframes_mask(features: jax.Array, threshold: float = 0.9, n=None) -
         mask = mask.at[i].set(take)
         return mask, take
 
-    init = jnp.zeros((rows,), dtype=bool).at[0].set(True)
+    # row 0 is a keyframe only if it is REAL — an all-padding block must not
+    # report a phantom keyframe (the n contract in the docstring)
+    init = jnp.zeros((rows,), dtype=bool).at[0].set(valid[0])
     mask, _ = jax.lax.scan(body, init, jnp.arange(1, rows))
     return mask
 
@@ -97,7 +99,9 @@ def keyframe_bucket(n: int) -> int:
     Bounds compile count across a folder of arbitrarily-long videos while
     keeping padding waste (O(bucket²) sim-matrix FLOPs) modest."""
     if n <= 128:
-        return max(32, ((n + 31) // 32) * 32)
+        from hippomm_tpu.ops.bucketing import bucket_size
+
+        return bucket_size(n)  # shared 32-quantum policy
     b = 256
     while b < n:
         b *= 2

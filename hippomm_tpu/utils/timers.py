@@ -56,6 +56,11 @@ class Throughput:
         self.wall_seconds = 0.0
 
     def start(self):
+        if self._t0 is not None:
+            # already running: bank the elapsed interval instead of silently
+            # discarding it (a per-item start() misuse would otherwise
+            # inflate realtime_multiple)
+            self.stop()
         self._t0 = time.perf_counter()
 
     def stop(self):

@@ -37,7 +37,13 @@ def cosine_similarity(a, b) -> float:
 def _topk_cosine_jit(query: jax.Array, feats: jax.Array, k: int):
     q = query / jnp.maximum(jnp.linalg.norm(query), _EPS)
     f = feats / jnp.maximum(jnp.linalg.norm(feats, axis=-1, keepdims=True), _EPS)
-    sims = f @ q  # (N,)
+    # fp32 matmul: TPU's bf16 MXU default can flip near-tie rankings and
+    # threshold gates the reference computes in numpy fp32 (same policy as
+    # ops/similarity.py)
+    sims = jnp.matmul(
+        f, q, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (N,)
     vals, idx = jax.lax.top_k(sims, k)
     return vals, idx
 
@@ -56,7 +62,10 @@ def top_k_cosine_similarity(
     if features.ndim == 1:
         features = features[None, :]
     n = features.shape[0]
-    k = max(1, min(int(k), n))
+    k = min(int(k), n)
+    if k <= 0:  # empty store or k=0: the reference's argsort path returns
+        # empty arrays; clamping to 1 raised on a (0, D) store
+        return np.zeros((0,), np.int64), np.zeros((0,), np.float32)
     vals, idx = _topk_cosine_jit(query, features, k)
     return np.asarray(idx), np.asarray(vals)
 

@@ -19,10 +19,10 @@ def _pil_oracle(img: np.ndarray) -> np.ndarray:
     from PIL import Image
 
     h, w = img.shape[:2]
-    if h < w:
-        nh, nw = 224, int(round(w * 224 / h))
+    if h <= w:
+        nh, nw = 224, int(w * 224 / h)  # torchvision truncates the long side
     else:
-        nh, nw = int(round(h * 224 / w)), 224
+        nh, nw = int(h * 224 / w), 224
     arr = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BICUBIC), np.float32) / 255.0
     top, left = (nh - 224) // 2, (nw - 224) // 2
     arr = arr[top : top + 224, left : left + 224]
