@@ -66,7 +66,11 @@ class ImageBind:
         self.mesh = mesh
         ckpt = None
         if model_path:
-            for cand in (model_path, os.path.join(model_path, "imagebind_huge.pth")):
+            for cand in (
+                model_path,
+                os.path.join(model_path, "imagebind_huge.pth"),
+                os.path.join(model_path, "model.safetensors"),
+            ):
                 if os.path.isfile(cand):
                     ckpt = cand
                     break
@@ -233,11 +237,21 @@ class Whisper:
             for cand in (
                 model_path,
                 os.path.join(model_path, "pytorch_model.bin"),
+                os.path.join(model_path, "model.safetensors"),
                 os.path.join(model_path, "whisper.pth"),
             ):
                 if os.path.isfile(cand):
                     ckpt = cand
                     break
+            if ckpt is None:
+                # an EXPLICIT checkpoint path that loads nothing must fail
+                # loudly — silently stubbing filled stores with synthetic
+                # transcripts while the user believed real weights were live
+                raise FileNotFoundError(
+                    f"models.whisper_path={model_path!r}: no checkpoint found "
+                    "(looked for the path itself, pytorch_model.bin, "
+                    "model.safetensors, whisper.pth)"
+                )
         if variant == "stub":
             self.cfg = None
             self._impl = StubWhisperSegments()

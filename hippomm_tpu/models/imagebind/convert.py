@@ -151,9 +151,38 @@ def validate_state_dict(sd: Dict, cfg: ImageBindConfig = None) -> None:
     """Report EVERY missing/unexpected key at once (a bare KeyError mid-convert
     names one key and hides the rest; checkpoint naming is the single biggest
     parity risk — VERDICT r1 weak #4)."""
-    exp = set(expected_keys(cfg))
+    from hippomm_tpu.models.imagebind.manifest import checkpoint_manifest
+
+    manifest = checkpoint_manifest(cfg or huge_config())
+    # optional: re-exported checkpoints saved with learnable=False omit the
+    # logit scale; convert_state_dict defaults it
+    optional = {"modality_postprocessors.text.1.log_logit_scale"}
+    exp = set(manifest) - optional
     have = set(sd.keys())
     missing = sorted(exp - have)
+    # depth sanity: a DEEPER checkpoint contains every shallower-config key,
+    # so name checks alone would silently depth-truncate it
+    depths = infer_depths(sd)
+    want_depths = {"vision": (cfg or huge_config()).vision.depth,
+                   "audio": (cfg or huge_config()).audio.depth,
+                   "text": (cfg or huge_config()).text.depth}
+    if depths and any(depths.get(k) not in (None, v) for k, v in want_depths.items()):
+        raise KeyError(
+            f"ImageBind checkpoint depths {depths} != config depths "
+            f"{want_depths} — wrong variant/config"
+        )
+    # shape sanity against the manifest (right names + wrong widths would
+    # otherwise die later inside a jitted apply with an opaque error)
+    bad_shapes = [
+        f"{k}: {tuple(sd[k].shape)} != {tuple(shape)}"
+        for k, shape in manifest.items()
+        if k in have and tuple(getattr(sd[k], "shape", ())) != tuple(shape)
+    ]
+    if bad_shapes:
+        raise KeyError(
+            f"ImageBind checkpoint shape mismatch ({len(bad_shapes)}): "
+            f"{bad_shapes[:5]}"
+        )
     if missing:
         extra = sorted(k for k in have - exp if "vision" in k or "audio" in k or "text" in k)
         raise KeyError(
@@ -165,12 +194,10 @@ def validate_state_dict(sd: Dict, cfg: ImageBindConfig = None) -> None:
 
 
 def load_imagebind(checkpoint_path: str, cfg: ImageBindConfig = None) -> Dict:
-    """Load imagebind_huge.pth (torch serialized) and convert."""
-    import torch
+    """Load imagebind_huge.pth (torch pickle or safetensors) and convert."""
+    from hippomm_tpu.models.ckpt_io import load_state_dict
 
-    sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    sd = load_state_dict(checkpoint_path)
     validate_state_dict(sd, cfg)
     return convert_state_dict(sd, cfg)
 

@@ -96,10 +96,43 @@ def convert_state_dict(sd: Dict, cfg: WhisperConfig) -> Dict:
     }
 
 
-def load_whisper(checkpoint_path: str, cfg: WhisperConfig) -> Dict:
-    import torch
+def checkpoint_depths(sd: Dict) -> Dict[str, int]:
+    """(encoder_layers, decoder_layers) present in a checkpoint's keys."""
+    import re
 
-    sd = torch.load(checkpoint_path, map_location="cpu", weights_only=True)
-    if isinstance(sd, dict) and "state_dict" in sd:
-        sd = sd["state_dict"]
+    out = {"encoder": 0, "decoder": 0}
+    for k in sd:
+        m = re.match(r"(?:model\.)?(encoder|decoder)\.layers\.(\d+)\.", k)
+        if m:
+            out[m.group(1)] = max(out[m.group(1)], int(m.group(2)) + 1)
+    return out
+
+
+def validate_state_dict(sd: Dict, cfg: WhisperConfig) -> None:
+    """Depth + width sanity BEFORE conversion: a wrong-variant checkpoint
+    (e.g. 32-layer large-v3 weights under the 2-layer distil config) would
+    otherwise silently truncate into a garbage model with no diagnostic."""
+    depths = checkpoint_depths(sd)
+    if depths["encoder"] != cfg.encoder_layers or depths["decoder"] != cfg.decoder_layers:
+        raise ValueError(
+            f"Whisper checkpoint has encoder={depths['encoder']}/"
+            f"decoder={depths['decoder']} layers but the config expects "
+            f"{cfg.encoder_layers}/{cfg.decoder_layers} — wrong variant? "
+            "(set models.whisper_variant to match the checkpoint)"
+        )
+    for k, v in sd.items():
+        if k.endswith("embed_tokens.weight") or k.endswith("token_embedding.weight"):
+            shape = tuple(getattr(v, "shape", ()))
+            if shape and shape != (cfg.vocab_size, cfg.d_model):
+                raise ValueError(
+                    f"Whisper checkpoint token embedding {shape} != expected "
+                    f"({cfg.vocab_size}, {cfg.d_model})"
+                )
+
+
+def load_whisper(checkpoint_path: str, cfg: WhisperConfig) -> Dict:
+    from hippomm_tpu.models.ckpt_io import load_state_dict
+
+    sd = load_state_dict(checkpoint_path)
+    validate_state_dict(sd, cfg)
     return convert_state_dict(sd, cfg)

@@ -32,6 +32,7 @@ logger = logging.getLogger(__name__)
 CHUNK_SECONDS = 30.0
 SAMPLE_RATE = 16000
 TIME_PRECISION = 0.02  # seconds per timestamp token
+_DECODE_WARNED = False  # one-shot tokenizer-failure warning
 
 
 @dataclasses.dataclass
@@ -142,6 +143,13 @@ class WhisperTranscriber:
         try:
             return self.tokenizer.decode(ids, skip_special_tokens=True).strip()
         except Exception:
+            global _DECODE_WARNED
+            if not _DECODE_WARNED:
+                _DECODE_WARNED = True
+                logger.exception(
+                    "tokenizer decode failed — transcripts will be EMPTY "
+                    "(mismatched vocab?); logged once"
+                )
             return ""
 
     def _parse_segments(self, ids: List[int], offset: float) -> List[Segment]:
@@ -157,6 +165,15 @@ class WhisperTranscriber:
             if tid > ts0:
                 t = (tid - ts0 - 1) * TIME_PRECISION
                 if cur_start is None:
+                    if cur:
+                        # text decoded BEFORE the first timestamp (model
+                        # skipped the opening marker, e.g. audio starting
+                        # mid-utterance) — seed it at the chunk start instead
+                        # of silently dropping it
+                        segments.append(
+                            Segment(offset, offset + t, self._decode_text(cur))
+                        )
+                        cur = []
                     cur_start = t
                 else:
                     if cur:
@@ -164,7 +181,7 @@ class WhisperTranscriber:
                             Segment(offset + cur_start, offset + t, self._decode_text(cur))
                         )
                     cur_start, cur = t, []
-            elif cur_start is not None or not self.with_timestamps:
+            elif tid < ts0:
                 cur.append(tid)
         if cur and cur_start is not None:
             segments.append(
