@@ -441,11 +441,14 @@ def main() -> None:
                 ("pallas_ms", lambda qq: pallas_top_k_cosine(qq, feats_d, 20)),
                 ("xla_ms", lambda qq: top_k_cosine(qq, feats_d, 20)),
             ):
-                jax.block_until_ready(fn(qs[0]))
-                t0 = time.perf_counter()
-                outs = [fn(qq) for qq in qs]
-                jax.block_until_ready(outs)
-                topk_ms[name] = round((time.perf_counter() - t0) / len(qs) * 1000, 3)
+                try:  # per-impl: a Mosaic lowering failure must not drop the XLA row
+                    jax.block_until_ready(fn(qs[0]))
+                    t0 = time.perf_counter()
+                    outs = [fn(qq) for qq in qs]
+                    jax.block_until_ready(outs)
+                    topk_ms[name] = round((time.perf_counter() - t0) / len(qs) * 1000, 3)
+                except Exception as e:
+                    topk_ms[name] = {"error": repr(e)[:120]}
             topk_ms["rows"] = 200_000
         except Exception as e:  # CPU fallback platforms have no Mosaic
             topk_ms = {"error": repr(e)[:120]}
