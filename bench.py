@@ -35,6 +35,26 @@ _BF16_PEAK = {"tpu v5 lite": 197e12, "tpu v5e": 197e12}
 PARTIAL: dict = {}
 
 
+def _last_known_good() -> dict:
+    """When an outage forces a zero-value line, attach the last committed
+    hardware measurement (BENCH_LOCAL.json, written by the most recent
+    successful run) so the record distinguishes 'slow' from 'unreachable'.
+    Clearly labeled — never substituted for the live value."""
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(path) as f:
+            prior = json.load(f)
+        return {
+            "value": prior.get("value"),
+            "unit": prior.get("unit"),
+            "workload": prior.get("extra", {}).get("workload"),
+            "note": "last successful hardware run (committed BENCH_LOCAL.json), "
+                    "NOT this run's measurement",
+        }
+    except Exception:
+        return {}
+
+
 def _vit_flops(batch: int, tokens: int, layers: int, d: int, patch: int, out_d: int) -> float:
     """Analytic dense-transformer FLOPs (XLA cost_analysis undercounts lax.scan
     bodies by a factor of `layers`, so it cannot be used here).
@@ -141,7 +161,8 @@ def main() -> None:
                     "unit": "video-hours/hour/chip (x realtime)",
                     "vs_baseline": 0.0,
                     "extra": {"error": "bench watchdog fired: device backend "
-                              "unresponsive (transport outage)"},
+                              "unresponsive (transport outage)",
+                              "last_known_good": _last_known_good()},
                 }), flush=True)
             os._exit(0)
 
@@ -546,6 +567,7 @@ if __name__ == "__main__":
                 "value": 0.0,
                 "unit": "video-hours/hour/chip (x realtime)",
                 "vs_baseline": 0.0,
-                "extra": {"error": f"bench crashed: {type(e).__name__}: {e}"},
+                "extra": {"error": f"bench crashed: {type(e).__name__}: {e}",
+                          "last_known_good": _last_known_good()},
             }), flush=True)
         sys.exit(0)
