@@ -143,6 +143,49 @@ def test_streaming_consumer_failure_unwinds_producer(video_path, tmp_path_factor
     assert not extras, f"producer machinery leaked threads: {extras}"
 
 
+def test_streaming_retry_after_failure_does_not_duplicate_stms(
+    video_path, tmp_path_factory
+):
+    """Same-process retry of a failed streaming ingest (ADVICE r1 medium):
+    the failed attempt leaves chunk-0 STMs in short_term_buffer and a partial
+    checkpoint on disk; the retry must start clean — chunk 0 of attempt 2
+    would otherwise extend() onto them and the final ThetaEvent would carry
+    every surviving segment twice."""
+    mem = _mk_engine(tmp_path_factory, "retry_engine")
+    calls = {"n": 0}
+    orig = mem.process_sequence
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # chunk 0 succeeds (buffers STMs), chunk 1 dies
+            raise RuntimeError("synthetic chunk failure")
+        return orig(*a, **k)
+
+    mem.process_sequence = boom
+    with pytest.raises(RuntimeError, match="synthetic chunk failure"):
+        process_single_video_streaming(
+            video_path, mem.config.storage.base_dir, "retryvid",
+            memory_system=mem, chunk_seconds=25.0,
+        )
+    assert mem.short_term_buffer.get("retryvid"), "chunk 0 STMs expected in buffer"
+    mem.process_sequence = orig
+    result = process_single_video_streaming(
+        video_path, mem.config.storage.base_dir, "retryvid",
+        memory_system=mem, chunk_seconds=25.0,
+    )
+    assert result["streamed"]
+    assert len(mem.long_term_store) == 1
+    stms = mem.store.load_checkpoint("retryvid")
+    # non-overlapping, exactly-once coverage: duplicated chunk-0 segments
+    # would push the summed span past the video duration
+    covered = sum(
+        s.segment_info["end_time"] - s.segment_info["start_time"] for s in stms
+    )
+    assert covered == pytest.approx(SPEC.duration, abs=1.5)
+    starts = [s.segment_info["start_time"] for s in stms]
+    assert len(starts) == len(set(starts)), "duplicated segment start times"
+
+
 def test_folder_routes_long_videos_to_streaming(tmp_path_factory, monkeypatch):
     from hippomm_tpu.core import batch_process as bp
 
