@@ -68,7 +68,11 @@ def _vit_flops(batch: int, tokens: int, layers: int, d: int, patch: int, out_d: 
 
 
 def _vision_mfu(mem, platform_peak: float) -> dict:
-    """Isolated ViT-H encode: measured analytic FLOPs/s vs chip bf16 peak."""
+    """Isolated ViT-H encode: measured analytic FLOPs/s vs chip bf16 peak.
+
+    Measured at BOTH encode buckets (32 and 128): the 32-row bucket may
+    underfeed the MXU; if the 128-row bucket measures materially higher MFU,
+    the encode bucketing policy should prefer it for large segments."""
     import jax
     import jax.numpy as jnp
 
@@ -78,31 +82,36 @@ def _vision_mfu(mem, platform_peak: float) -> dict:
 
     cfg = mem.imagebind.cfg
     params = mem.imagebind.params
-    x = jnp.zeros((32, 3, cfg.image_size, cfg.image_size), jnp.float32)
     fn = jax.jit(lambda p, v: ib_model.vision_forward(p, v, cfg, mem.imagebind.dtype))
-    fetch(fn(params, x))  # compile + warm
-    # block_until_ready/is_ready can return before remote execution on the
-    # tunneled transport — sync via an actual read and subtract its floor
-    reps = 5
-    t0 = time.perf_counter()
-    outs = [fn(params, x) for _ in range(reps)]
-    fetch(outs[-1])
-    total = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    fetch(outs[0])  # ready buffer: measures the fixed read floor
-    floor = time.perf_counter() - t0
-    dt = max(total - floor, 1e-9) / reps
-    flops = _vit_flops(
-        32, cfg.vision_tokens, cfg.vision.depth, cfg.vision.width,
-        cfg.patch_size, cfg.embed_dim,
-    )
-    result = {
-        "batch": 32,
-        "encode_ms": round(dt * 1000, 2),
-        "tflops_per_s": round(flops / dt / 1e12, 1),
-    }
-    if platform_peak:
-        result["mfu_vision"] = round(flops / dt / platform_peak, 4)
+    result = {}
+    for batch in (32, 128):
+        x = jnp.zeros((batch, 3, cfg.image_size, cfg.image_size), jnp.float32)
+        fetch(fn(params, x))  # compile + warm
+        # block_until_ready/is_ready can return before remote execution on the
+        # tunneled transport — sync via an actual read and subtract its floor
+        reps = 5
+        t0 = time.perf_counter()
+        outs = [fn(params, x) for _ in range(reps)]
+        fetch(outs[-1])
+        total = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fetch(outs[0])  # ready buffer: measures the fixed read floor
+        floor = time.perf_counter() - t0
+        dt = max(total - floor, 1e-9) / reps
+        flops = _vit_flops(
+            batch, cfg.vision_tokens, cfg.vision.depth, cfg.vision.width,
+            cfg.patch_size, cfg.embed_dim,
+        )
+        row = {
+            "encode_ms": round(dt * 1000, 2),
+            "tflops_per_s": round(flops / dt / 1e12, 1),
+        }
+        if platform_peak:
+            row["mfu_vision"] = round(flops / dt / platform_peak, 4)
+        if batch == 32:
+            result.update({"batch": 32, **row})  # keep the historical flat keys
+        else:
+            result["b128"] = row
     return result
 
 
