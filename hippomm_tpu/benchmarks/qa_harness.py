@@ -143,14 +143,16 @@ def write_palette_video(
 
 
 def build_questions(truth: Dict, n: int, seed: int = 0) -> List[Dict]:
-    """Cycle video (color → time), audio (tone presence), and multimodal
-    (tone → scene color, exercising the audio-first cross-modality chain)."""
+    """Cycle video (color → time), audio (tone presence), multimodal
+    (tone → scene color, exercising the audio-first cross-modality chain),
+    and summary (SUMMARY classification → fast-path direct answer over
+    event summaries + captions — the reference's 4th question type)."""
     rng = np.random.default_rng(seed)
     scenes = truth["scenes"]
     qs: List[Dict] = []
     for qi in range(n):
         s, e, color, freq = scenes[int(rng.integers(len(scenes)))]
-        kind = ("video", "audio", "multimodal")[qi % 3]
+        kind = ("video", "audio", "multimodal", "summary")[qi % 4]
         if kind == "video":
             qs.append(
                 {
@@ -170,7 +172,7 @@ def build_questions(truth: Dict, n: int, seed: int = 0) -> List[Dict]:
                     "label": tone_label(freq),
                 }
             )
-        else:
+        elif kind == "multimodal":
             qs.append(
                 {
                     "question": (
@@ -179,6 +181,13 @@ def build_questions(truth: Dict, n: int, seed: int = 0) -> List[Dict]:
                     ),
                     "type": "multimodal",
                     "color": color,
+                }
+            )
+        else:
+            qs.append(
+                {
+                    "question": "Summarize the overall content of the video.",
+                    "type": "summary",
                 }
             )
     return qs
@@ -195,6 +204,12 @@ def score_answer(q: Dict, answer: str, truth: Dict) -> bool:
         )
     if q["type"] == "multimodal":
         return q["color"] in answer.lower()
+    if q["type"] == "summary":
+        # grounded summary: most of the distinct scene colors must appear —
+        # a content-free "a video" answer scores 0
+        colors = {c for _, _, c, _ in truth["scenes"]}
+        hit = sum(1 for c in colors if c in answer.lower())
+        return hit >= max(2, (3 * len(colors) + 4) // 5)
     return q["label"] in answer
 
 
@@ -222,6 +237,17 @@ class OracleVLM(ChatClient):
         return out
 
     def generate(self, prompt: str, max_tokens: int = 512, **kw) -> str:
+        # content-grounded event summary: name the scene colors the captions
+        # actually mention (wrong captions → wrong summary → SUMMARY
+        # questions score 0), in first-appearance order
+        seen: List[str] = []
+        for m in re.finditer(r"(?m)^- (.*)$", prompt):
+            for c, _ in PALETTE:
+                if c in m.group(1) and c not in seen:
+                    seen.append(c)
+        if seen:
+            return ("A synthetic palette video with scenes whose backgrounds "
+                    "are " + ", ".join(seen) + ".")
         return "A synthetic palette video with scene-coded colors and tones."
 
     def chat(self, messages, max_tokens: int = 512, temperature: float = 0.0) -> str:
@@ -267,6 +293,8 @@ class OracleReasoning(ChatClient):
 
         if "classify this question" in lower:
             ql = question.lower()
+            if "summar" in ql or "overall" in ql:
+                return "SUMMARY"
             if "tone" in ql and "color" in ql:
                 return "VIDEO+AUDIO"
             return "AUDIO" if "tone" in ql else "VIDEO"
@@ -334,6 +362,19 @@ class OracleReasoning(ChatClient):
                 return "ANSWER: heard tones: " + ", ".join(labels) + "\nCONFIDENCE: 0.9"
             return "ANSWER: no tones retrieved\nCONFIDENCE: 0.2"
         if "confidence" in lower:
+            ql = question.lower()
+            if "summar" in ql or "overall" in ql:
+                # SUMMARY fast path: answer from the retrieved summaries +
+                # captions in the prompt — wrong ingest → missing colors
+                context = text.rsplit("Question:", 1)[0]
+                seen = []
+                for c, _ in PALETTE:
+                    if c in context.lower() and c not in seen:
+                        seen.append(c)
+                if seen:
+                    return ("ANSWER: a palette video with scene backgrounds: "
+                            + ", ".join(seen) + "\nCONFIDENCE: 0.9")
+                return "ANSWER: a video\nCONFIDENCE: 0.2"
             # direct fast-path probe: defer to detailed recall
             return "ANSWER: unknown\nCONFIDENCE: 0.1"
         if "summar" in lower:
