@@ -68,24 +68,38 @@ def attention(
     if "in_proj" in p:
         w = p["in_proj"]["weight"]
         b = p["in_proj"].get("bias")
-        q = jnp.dot(x_q.astype(dtype), w[:d].T.astype(dtype), preferred_element_type=jnp.float32)
-        k = jnp.dot(x_kv.astype(dtype), w[d : 2 * d].T.astype(dtype), preferred_element_type=jnp.float32)
-        v = jnp.dot(x_kv.astype(dtype), w[2 * d :].T.astype(dtype), preferred_element_type=jnp.float32)
-        if b is not None:
-            q = q + b[:d].astype(jnp.float32)
-            k = k + b[d : 2 * d].astype(jnp.float32)
-            v = v + b[2 * d :].astype(jnp.float32)
+        if x_kv is x_q:
+            # self-attention: ONE (D, 3D) matmul — reads x once and gives the
+            # MXU a 3x-wider op; slicing the output columns is numerically
+            # identical to three per-slice matmuls (same dot products).
+            qkv = jnp.dot(x_q.astype(dtype), w.T.astype(dtype), preferred_element_type=jnp.float32)
+            if b is not None:
+                qkv = qkv + b.astype(jnp.float32)
+            q, k, v = qkv[..., :d], qkv[..., d : 2 * d], qkv[..., 2 * d :]
+        else:
+            q = jnp.dot(x_q.astype(dtype), w[:d].T.astype(dtype), preferred_element_type=jnp.float32)
+            kv = jnp.dot(
+                x_kv.astype(dtype), w[d:].T.astype(dtype), preferred_element_type=jnp.float32
+            )
+            if b is not None:
+                q = q + b[:d].astype(jnp.float32)
+                kv = kv + b[d:].astype(jnp.float32)
+            k, v = kv[..., :d], kv[..., d:]
     else:
         q = linear(p["q_proj"], x_q, dtype)
         k = linear(p["k_proj"], x_kv, dtype)
         v = linear(p["v_proj"], x_kv, dtype)
+    # every consumer below casts to `dtype` anyway (logit/value einsums), so
+    # casting here is numerically identical — and it halves the HBM bytes the
+    # head-split transposes move (they materialized fp32 copies before).
+    q, k, v = q.astype(dtype), k.astype(dtype), v.astype(dtype)
 
     if "bias_k" in p:
         # torch MultiheadAttention add_bias_kv=True (ImageBind audio trunk):
         # one learned K/V position appended post-projection to every row
         bsz = k.shape[0]
-        bk = jnp.broadcast_to(p["bias_k"].reshape(1, 1, d), (bsz, 1, d)).astype(jnp.float32)
-        bv = jnp.broadcast_to(p["bias_v"].reshape(1, 1, d), (bsz, 1, d)).astype(jnp.float32)
+        bk = jnp.broadcast_to(p["bias_k"].reshape(1, 1, d), (bsz, 1, d)).astype(dtype)
+        bv = jnp.broadcast_to(p["bias_v"].reshape(1, 1, d), (bsz, 1, d)).astype(dtype)
         k = jnp.concatenate([k, bk], axis=1)
         v = jnp.concatenate([v, bv], axis=1)
         if mask is not None:  # appended position is always attendable
