@@ -115,10 +115,37 @@ def _vision_mfu(mem, platform_peak: float) -> dict:
     return result
 
 
+def _host_calibration() -> dict:
+    """Fixed single-core workload timing so degraded-host runs are labeled.
+
+    The ingest headline is decode-bound on this environment's ONE shared host
+    core, and that core's effective speed has been observed to vary 3× between
+    runs hours apart (same code, same media: extract_decode_c 12.4 s healthy
+    vs 37-45 s degraded). This scores the host with a deterministic
+    decode-shaped workload (byte-wise compress + float sort); raw seconds are
+    reported so records are comparable across bench runs. Reference point:
+    ~1.05 s on this host while it produced the 68.8× headline-class numbers.
+    """
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    buf = rng.integers(0, 255, size=4 * 1024 * 1024, dtype=np.uint8).tobytes()
+    floats = rng.random(2_000_000).astype(np.float32)
+    t0 = time.perf_counter()
+    zlib.compress(buf, level=6)
+    np.sort(floats.copy())
+    np.sort(floats.copy())
+    return {"host_calib_s": round(time.perf_counter() - t0, 3),
+            "host_calib_ref_s": 1.05}
+
+
 def main() -> None:
     import jax
 
     t_bench_start = time.perf_counter()
+    host_calib = _host_calibration()
 
     # self-watchdog: the tunneled TPU backend has been observed to go fully
     # dark for 20+ minutes (even an 8-element read hangs). If the result line
@@ -516,6 +543,7 @@ def main() -> None:
             "platform": platform,
             "device_kind": device_kind,
             "host_cores": os.cpu_count(),
+            **host_calib,
             "workload": "2x600s 640x360 H.264 mp4 + AAC folder batch "
                         "(cross-video pipelined), full pipeline incl. "
                         "distil-large-v3 ASR (random weights, shipped-default "

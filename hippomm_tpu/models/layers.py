@@ -112,6 +112,25 @@ def attention(
 
     q, k, v = split(q), split(k), split(v)
     scale = 1.0 / np.sqrt(hd)
+    if mask is None:
+        # mask-free attention routes to the fused Pallas kernel on TPU where
+        # it measures faster (hd<=64: Whisper encoder, ImageBind audio trunk
+        # — see flash_profitable for the measurements; ViT-H's hd=80 stays on
+        # this einsum path): the (B, H, Tq, Tk) softmax tensor never touches
+        # HBM. Numerics are structurally identical (fp32 logits/softmax,
+        # dtype value matmul, fp32 accumulation); parity pinned by
+        # tests/test_flash_attn.py.
+        from hippomm_tpu.ops.flash_attention import (
+            flash_default,
+            flash_mha,
+            flash_profitable,
+        )
+
+        if flash_default() and flash_profitable(q.shape[2], k.shape[2], hd):
+            out = flash_mha(q, k, v, float(scale))
+            b_, h_, t_, _ = out.shape
+            out = out.transpose(0, 2, 1, 3).reshape(b_, t_, d)
+            return linear(p["out_proj"], out, dtype)
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q.astype(dtype), k.astype(dtype), preferred_element_type=jnp.float32
     ) * scale

@@ -1,0 +1,193 @@
+"""Pallas TPU kernel: fused multi-head attention (softmax never leaves VMEM).
+
+The XLA attention path (models/layers.py:attention) materializes the
+(B, H, Tq, Tk) logit tensor in HBM between the two einsums — for the Whisper
+encoder (Tk = 1500, H = 20) that is ~180 MB of fp32 round-trip PER LAYER per
+chunk batch, and for ViT-H vision encode (Tk = 257, H = 16, B = 32) ~135 MB
+per block. Attention is ~3 % of the model FLOPs but a large share of the HBM
+bytes, so on a bandwidth-bound chip the einsum pair runs far from
+speed-of-light.
+
+This kernel computes logits → softmax → weighted-sum entirely in VMEM per
+(head, q-block) grid step: HBM traffic collapses to q/k/v once in and the
+output once out. Our sequence lengths (257 vision / 230 audio / 1500 Whisper
+encoder) let a whole head's K and V sit in VMEM, so no online-softmax
+streaming is needed — one exact softmax per q-block, numerically identical
+in structure to the XLA path (fp32 logits/softmax, compute-dtype value
+matmul, fp32 accumulation).
+
+Layout notes (pallas_guide.md: tiling): head_dim (80 for ViT-H, 64 for
+Whisper) is zero-padded to the 128-lane MXU width — padded K columns
+contribute 0 to q·k, padded V columns write zeros that the caller slices
+away. Tk pads to a lane multiple with -inf logit masking so softmax mass
+stays on real keys; padded q rows compute garbage that is sliced away.
+
+Differentiable via custom_vjp: the backward pass recomputes the standard
+attention gradients with XLA einsums (training is the rare path here —
+ingest/serving never differentiates through attention).
+
+Reference behavior being accelerated: torch F.multi_head_attention_forward
+inside ImageBind/Whisper (reference hippomm/models/foundation_models.py
+delegates to the stock towers); numerics pinned by tests/test_flash_attn.py
+against the einsum path.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_NEG = -3.0e38  # finite -inf stand-in: exp() flushes to 0, no NaN from (-inf) - (-inf)
+# Per-step VMEM budget guard: beyond this Tk the (TQ, TKp) logit block plus
+# K/V no longer comfortably fit and the XLA path should handle it.
+_MAX_TK = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int):
+    """One grid step: full attention for one (batch·head, q-block).
+
+    q_ref: (1, TQ, HD); k_ref/v_ref: (1, TKp, HD); o_ref: (1, TQ, HD) fp32.
+    """
+    q = q_ref[0]
+    k = k_ref[0]
+    # (TQ, TKp) fp32 logits — lives only in VMEM
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    tkp = k.shape[0]
+    if tk_valid < tkp:  # static: mask the zero-padded keys out of the softmax
+        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(col < tk_valid, logits, _NEG)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    w = e / jnp.sum(e, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        w.astype(q.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
+    """q: (B, H, Tq, hd); k/v: (B, H, Tk, hd) — returns fp32 (B, H, Tq, hd)."""
+    b, h, tq, hd = q.shape
+    tk = k.shape[2]
+    g = b * h
+    hdp = _round_up(hd, _LANES)
+    tkp = _round_up(tk, _LANES)
+    # single q-block when the padded sequence is short (vision/audio);
+    # 512-row q-blocks for long encoders (Whisper's 1500)
+    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    tq_pad1 = _round_up(tq, sub)
+    tq_blk = tq_pad1 if tq_pad1 <= 512 else 512
+    tqp = _round_up(tq, tq_blk)
+    nq = tqp // tq_blk
+
+    def fold(t, t_len, t_pad):
+        t = t.reshape(g, t_len, hd)
+        return jnp.pad(t, ((0, 0), (0, t_pad - t_len), (0, hdp - hd)))
+
+    qf, kf, vf = fold(q, tq, tqp), fold(k, tk, tkp), fold(v, tk, tkp)
+
+    out = pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale, tk_valid=tk),
+        out_shape=jax.ShapeDtypeStruct((g, tqp, hdp), jnp.float32),
+        grid=(g, nq),
+        in_specs=[
+            pl.BlockSpec((1, tq_blk, hdp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tkp, hdp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tkp, hdp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq_blk, hdp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g * tqp * tkp * hdp,
+            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize
+            + g * tqp * hdp * 4,
+            transcendentals=g * tqp * tkp,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out[:, :tq, :hd].reshape(b, h, tq, hd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_mha(q, k, v, scale: float, interpret: bool = False):
+    """Fused attention forward; differentiable (XLA-recompute backward).
+
+    Equivalent to
+        softmax(q @ k^T * scale, fp32) cast to q.dtype, @ v, fp32 accumulation
+    i.e. exactly the einsum pair in models/layers.py:attention with mask=None.
+    """
+    return _flash_mha_fwd_impl(q, k, v, scale, interpret)
+
+
+def _fwd(q, k, v, scale, interpret):
+    return _flash_mha_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _bwd(scale, interpret, res, grad):
+    q, k, v = res
+    dt = q.dtype
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    )
+    w = jax.nn.softmax(logits, axis=-1)
+    wc = w.astype(dt)
+    g32 = grad.astype(dt)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", wc, g32, preferred_element_type=jnp.float32)
+    dw = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(dt), preferred_element_type=jnp.float32)
+    dlogits = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True)) * scale).astype(dt)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", dlogits, k.astype(dt), preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", dlogits, q.astype(dt), preferred_element_type=jnp.float32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_mha.defvjp(_fwd, _bwd)
+
+
+def flash_supported(tq: int, tk: int, hd: int) -> bool:
+    """Static shape gate: the kernel handles what fits its VMEM budget."""
+    return hd <= _LANES and tk <= _MAX_TK and tq >= 1
+
+
+def flash_profitable(tq: int, tk: int, hd: int) -> bool:
+    """Measured routing policy (scripts/flash_micro.py on v5e, 2026-08-18):
+
+      whisper-enc (hd=64, Tk=1500): tower fwd 828 → 672 ms  (kernel wins)
+      audio trunk (hd=64, Tk=231):  op-level 1.15×           (kernel wins)
+      ViT-H vision (hd=80, Tk=257): tower fwd parity at b32, op-level 0.81×
+                                    at b128                  (XLA wins)
+
+    hd=80 pads to the 128-lane MXU width (1.6× wasted contraction) while
+    XLA's unpadded einsum keeps the logits in bf16 and fuses well at these
+    sizes; hd=64 paths win despite 2× padding because the kernel removes the
+    (B, H, Tq, Tk) HBM round-trip that dominates the long-Tk encoders."""
+    return flash_supported(tq, tk, hd) and hd <= 64
+
+
+@functools.lru_cache(maxsize=1)
+def flash_default() -> bool:
+    """Route policy: HIPPOMM_FLASH_ATTN=1 forces on, =0 forces off; 'auto'
+    (default) enables on real TPU backends only — CPU has no Mosaic lowering
+    and the einsum path is what the hermetic tests pin numerics against."""
+    flag = os.environ.get("HIPPOMM_FLASH_ATTN", "auto").lower()
+    if flag in ("1", "true", "on"):
+        return True
+    if flag in ("0", "false", "off"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False

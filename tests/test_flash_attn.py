@@ -1,0 +1,98 @@
+"""Parity tests for the fused Pallas attention kernel (ops/flash_attention.py).
+
+Runs in interpreter mode on CPU (no Mosaic lowering here); the oracle is the
+exact einsum pair from models/layers.py:attention — fp32 logits & softmax,
+compute-dtype value matmul, fp32 accumulation. Shapes mirror the real towers:
+ViT-H vision (hd=80, T=257), ImageBind audio trunk with its appended bias_kv
+position (Tk = Tq + 1), and the Whisper encoder's multi-q-block regime
+(Tq > 512). Reference semantics: torch F.multi_head_attention_forward inside
+the stock towers the reference loads (hippomm/models/foundation_models.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hippomm_tpu.ops.flash_attention import flash_mha, flash_supported
+
+
+def oracle(q, k, v, scale):
+    dt = q.dtype
+    logits = (
+        jnp.einsum("bhqd,bhkd->bhqk", q.astype(dt), k.astype(dt),
+                   preferred_element_type=jnp.float32) * scale
+    )
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", w.astype(dt), v.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
+def _mk(shape, key, dtype):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, jnp.float32).astype(dtype)
+
+
+@pytest.mark.parametrize(
+    "b,h,tq,tk,hd,dtype,tol",
+    [
+        (2, 4, 257, 257, 80, jnp.float32, 1e-5),   # ViT-H vision shape
+        (2, 4, 257, 257, 80, jnp.bfloat16, 2e-2),
+        (1, 3, 230, 231, 64, jnp.float32, 1e-5),   # audio trunk: bias_kv appends one key
+        (1, 2, 600, 600, 64, jnp.float32, 1e-5),   # multi-q-block path (Tq > 512)
+        (1, 1, 8, 8, 16, jnp.float32, 1e-5),       # tiny odd head_dim
+    ],
+)
+def test_flash_matches_einsum(b, h, tq, tk, hd, dtype, tol):
+    q = _mk((b, h, tq, hd), 0, dtype)
+    k = _mk((b, h, tk, hd), 1, dtype)
+    v = _mk((b, h, tk, hd), 2, dtype)
+    scale = 1.0 / np.sqrt(hd)
+    got = flash_mha(q, k, v, float(scale), True)
+    want = oracle(q, k, v, scale)
+    assert got.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=tol, rtol=tol)
+
+
+def test_flash_gradients_match_einsum():
+    b, h, t, hd = 1, 2, 64, 32
+    q = _mk((b, h, t, hd), 3, jnp.float32)
+    k = _mk((b, h, t, hd), 4, jnp.float32)
+    v = _mk((b, h, t, hd), 5, jnp.float32)
+    scale = float(1.0 / np.sqrt(hd))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(flash_mha(q, k, v, scale, True)))
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(jnp.square(oracle(q, k, v, scale)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_oracle = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for gf, go in zip(g_flash, g_oracle):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go), atol=1e-4, rtol=1e-4)
+
+
+def test_supported_gate():
+    assert flash_supported(257, 257, 80)
+    assert flash_supported(1500, 1500, 64)     # Whisper encoder
+    assert not flash_supported(257, 257, 256)  # head_dim beyond one lane tile
+    assert not flash_supported(4096, 4096, 64)  # Tk beyond the VMEM budget
+
+
+def test_profitable_policy():
+    from hippomm_tpu.ops.flash_attention import flash_profitable
+
+    assert flash_profitable(1500, 1500, 64)      # Whisper encoder: kernel wins
+    assert flash_profitable(230, 231, 64)        # audio trunk: kernel wins
+    assert not flash_profitable(257, 257, 80)    # ViT-H: XLA einsum wins
+    assert not flash_profitable(4096, 4096, 64)  # unsupported → never routed
+
+
+def test_product_path_unchanged_on_cpu():
+    """On CPU backends the shared attention must keep the einsum path (flash
+    'auto' routes TPU-only), so every hermetic tower test pins the same
+    numerics it always did."""
+    from hippomm_tpu.ops.flash_attention import flash_default
+
+    flash_default.cache_clear()
+    assert flash_default() is False
