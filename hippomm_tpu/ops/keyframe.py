@@ -16,6 +16,8 @@ vs the host implementation is oracle-tested (tests/test_libav.py).
 from __future__ import annotations
 
 import logging
+import os
+import threading
 import time
 from functools import partial
 from typing import Dict, List, Tuple
@@ -28,6 +30,68 @@ from hippomm_tpu.ops.ssim import ssim_pairs
 from hippomm_tpu.utils.device import damped_min_ema, fetch
 
 BLOCK = 256
+
+
+class _ScanRouter:
+    """Process-global transport-health memory for keyframe mask reads.
+
+    The wedge/chronic-slow flip used to live on the scanner — and a scanner
+    lives for ONE video — so every video of a folder ingest re-paid the full
+    wedge patience before flipping to host scoring (BENCH r02: 2×20 s of a
+    65 s two-video run went to mask-read wedges the PREVIOUS video had
+    already diagnosed). One router is shared by every scanner in the
+    process: after a wedged read, or once the read-latency EMA crosses the
+    chronic-slow threshold, new scanners start directly in host mode (the
+    host walk is numerically identical, ~ms per block) until
+    `reprobe_after_s` elapses — then the next new scanner probes the device
+    path again, so a recovered transport routes back without a restart.
+
+    `HIPPOMM_SCAN_ROUTE=host|device` pins new-scanner routing. A `device`
+    pin disables the router's memory only — a scanner whose read actually
+    wedges still falls back to host for ITS video (survival semantics).
+    """
+
+    def __init__(self, reprobe_after_s: float = 600.0):
+        self.reprobe_after_s = reprobe_after_s
+        self._lock = threading.Lock()
+        self.ema = 0.0
+        self._host_until = 0.0  # monotonic deadline for host-mode routing
+
+    @staticmethod
+    def _pin() -> str:
+        return os.environ.get("HIPPOMM_SCAN_ROUTE", "").strip().lower()
+
+    def start_in_host_mode(self) -> bool:
+        pin = self._pin()
+        if pin in ("host", "device"):
+            return pin == "host"
+        with self._lock:
+            return time.monotonic() < self._host_until
+
+    def _flip(self) -> None:
+        self._host_until = time.monotonic() + self.reprobe_after_s
+        self.ema = 0.0  # the eventual re-probe starts unbiased
+
+    def record_read(self, dt: float, slow_flip_s: float) -> bool:
+        """Feed one successful mask-read latency; True means the transport is
+        chronically slow and scoring should route to host."""
+        if self._pin() == "device":
+            return False
+        with self._lock:
+            self.ema = damped_min_ema(self.ema, dt, keep=0.6)
+            if self.ema > slow_flip_s:
+                self._flip()
+                return True
+            return False
+
+    def record_wedge(self) -> None:
+        if self._pin() == "device":
+            return
+        with self._lock:
+            self._flip()
+
+
+_ROUTER = _ScanRouter()
 
 
 @jax.jit
@@ -132,10 +196,13 @@ class KeyframeScanner:
 
     Resilience: the masks are SMALL device→host reads — precisely the class
     of read the tunneled transport wedges (BENCH r01/r02). If a mask read
-    exceeds ~20 s of watchdog patience, the scanner replays the walk so far
-    on HOST numpy (the candidate luma was fed from host and is retained) and
-    scores every remaining block host-side — identical masks, zero further
-    transport exposure for this video.
+    exhausts the watchdog patience (default 8 s — two in-fetch device-copy
+    retries; the host mirror is exact so long patience buys nothing), the
+    scanner replays the walk so far on HOST numpy (the candidate luma was
+    fed from host and is retained) and scores every remaining block
+    host-side — identical masks, zero further transport exposure for this
+    video. The flip is remembered process-wide by `_ScanRouter`, so the
+    NEXT video starts host-scored instead of re-paying the wedge.
     """
 
     def __init__(
@@ -145,8 +212,9 @@ class KeyframeScanner:
         max_diff_threshold: float = 0.3,
         min_interval_s: float = 1.0,
         block: int = BLOCK,
-        wedge_patience_s: float = 20.0,
+        wedge_patience_s: float = 8.0,
         slow_flip_s: float = 0.75,
+        router: "_ScanRouter" = None,
     ):
         self.block = block
         self._ref = jnp.zeros((h, w), jnp.float32)
@@ -159,13 +227,13 @@ class KeyframeScanner:
         self._gap_j = jnp.float32(min_interval_s)
         self.wedge_patience_s = wedge_patience_s
         # a CHRONICALLY slow transport (every small read 2-4 s — observed on
-        # this tunnel) never trips the 20 s wedge patience but can still eat
-        # most of a 30 fps ingest: track an EMA of device mask-read latency
-        # and flip to host scoring once it exceeds slow_flip_s (host walk is
-        # ~5 ms/block and numerically identical)
+        # this tunnel) never trips the wedge patience but can still eat most
+        # of a 30 fps ingest: the shared router tracks an EMA of device
+        # mask-read latency and routes to host scoring once it exceeds
+        # slow_flip_s (host walk is ~5 ms/block and numerically identical)
         self.slow_flip_s = slow_flip_s
-        self._dev_read_ema: float = 0.0
-        self.host_mode = False
+        self._router = router if router is not None else _ROUTER
+        self.host_mode = self._router.start_in_host_mode()
         self._fed: List[Tuple[np.ndarray, np.ndarray]] = []  # (grays, times)
         self._host_next = 0  # next block index the host carry has consumed
         # catch-up masks computed for blocks whose handles haven't been
@@ -222,15 +290,14 @@ class KeyframeScanner:
                 t0 = time.perf_counter()
                 h._val = fetch(h._dev, give_up_s=self.wedge_patience_s)
                 dt = time.perf_counter() - t0
-                # shared router EMA (utils/device.damped_min_ema); the first
-                # read of a video often includes program-queue warmup and
-                # shouldn't flip alone
-                self._dev_read_ema = damped_min_ema(self._dev_read_ema, dt, keep=0.6)
-                if self._dev_read_ema > self.slow_flip_s and h._idx >= 1:
+                # the first read of a video often includes program-queue
+                # warmup and can't flip THIS scanner alone (idx >= 1 guard) —
+                # but it still feeds the shared router's EMA
+                if self._router.record_read(dt, self.slow_flip_s) and h._idx >= 1:
                     logging.getLogger(__name__).warning(
                         "keyframe mask reads averaging %.1fs (> %.2fs) — "
-                        "switching this scan to host scoring",
-                        self._dev_read_ema, self.slow_flip_s,
+                        "switching scan routing to host scoring",
+                        self._router.ema, self.slow_flip_s,
                     )
                     self.host_mode = True
                 h._dev = None
@@ -240,10 +307,11 @@ class KeyframeScanner:
                 # raising transport (backend Unavailable): host scoring is the
                 # exact mirror either way
                 logging.getLogger(__name__).warning(
-                    "keyframe mask read failed (%s) — switching this video's "
-                    "scan to host scoring",
+                    "keyframe mask read failed (%s) — switching scan routing "
+                    "to host scoring",
                     "wedged" if isinstance(e, TimeoutError) else repr(e),
                 )
+                self._router.record_wedge()
                 self.host_mode = True
         h._val = self._host_mask(h._idx)
         h._dev = None
