@@ -55,6 +55,7 @@ class _ScanRouter:
         self.reprobe_after_s = reprobe_after_s
         self._lock = threading.Lock()
         self.ema = 0.0
+        self._samples = 0  # EMA feed count since the last flip/reset
         self._host_until = 0.0  # monotonic deadline for host-mode routing
 
     @staticmethod
@@ -68,21 +69,35 @@ class _ScanRouter:
         with self._lock:
             return time.monotonic() < self._host_until
 
-    def _flip(self) -> None:
+    def _flip(self) -> float:
+        """Route new scanners to host until reprobe; returns the pre-reset EMA
+        (the evidence) so callers can log it — `self.ema` is cleared here."""
+        pre = self.ema
         self._host_until = time.monotonic() + self.reprobe_after_s
         self.ema = 0.0  # the eventual re-probe starts unbiased
+        self._samples = 0
+        return pre
 
-    def record_read(self, dt: float, slow_flip_s: float) -> bool:
-        """Feed one successful mask-read latency; True means the transport is
-        chronically slow and scoring should route to host."""
-        if self._pin() == "device":
-            return False
+    def record_read(self, dt: float, slow_flip_s: float,
+                    warmup: bool = False) -> float:
+        """Feed one successful mask-read latency. Returns the (pre-reset) EMA
+        when the transport is chronically slow and scoring should route to
+        host, else 0.0.
+
+        `warmup=True` marks a read that may include program-queue warmup (the
+        first mask read of a video): it must neither seed the EMA nor flip the
+        router — one warmup-inflated read used to flip routing process-wide
+        for 600 s (ADVICE r2 #2)."""
+        if self._pin() == "device" or warmup:
+            return 0.0
         with self._lock:
             self.ema = damped_min_ema(self.ema, dt, keep=0.6)
-            if self.ema > slow_flip_s:
-                self._flip()
-                return True
-            return False
+            self._samples += 1
+            # require >=2 samples so a single outlier read cannot flip the
+            # process-wide routing on its own
+            if self._samples >= 2 and self.ema > slow_flip_s:
+                return self._flip()
+            return 0.0
 
     def record_wedge(self) -> None:
         if self._pin() == "device":
@@ -92,6 +107,14 @@ class _ScanRouter:
 
 
 _ROUTER = _ScanRouter()
+
+
+def seed_router_slow() -> None:
+    """Route new scanners to host immediately (until the router's reprobe
+    window elapses). Called by drivers that have already measured the
+    transport as slow/wedged at startup (e.g. bench.py after a failed
+    `warm_transport()`), so the first video doesn't re-pay the diagnosis."""
+    _ROUTER.record_wedge()
 
 
 @jax.jit
@@ -215,6 +238,7 @@ class KeyframeScanner:
         wedge_patience_s: float = 8.0,
         slow_flip_s: float = 0.75,
         router: "_ScanRouter" = None,
+        clock=time.perf_counter,
     ):
         self.block = block
         self._ref = jnp.zeros((h, w), jnp.float32)
@@ -232,6 +256,7 @@ class KeyframeScanner:
         # mask-read latency and routes to host scoring once it exceeds
         # slow_flip_s (host walk is ~5 ms/block and numerically identical)
         self.slow_flip_s = slow_flip_s
+        self._clock = clock  # injectable for hermetic latency tests
         self._router = router if router is not None else _ROUTER
         self.host_mode = self._router.start_in_host_mode()
         self._fed: List[Tuple[np.ndarray, np.ndarray]] = []  # (grays, times)
@@ -287,17 +312,20 @@ class KeyframeScanner:
             return h._val
         if not self.host_mode:
             try:
-                t0 = time.perf_counter()
+                t0 = self._clock()
                 h._val = fetch(h._dev, give_up_s=self.wedge_patience_s)
-                dt = time.perf_counter() - t0
+                dt = self._clock() - t0
                 # the first read of a video often includes program-queue
-                # warmup and can't flip THIS scanner alone (idx >= 1 guard) —
-                # but it still feeds the shared router's EMA
-                if self._router.record_read(dt, self.slow_flip_s) and h._idx >= 1:
+                # warmup: it neither seeds the router EMA nor flips anything
+                # (warmup=True) — one inflated warmup read used to host-route
+                # the whole process for 600 s (ADVICE r2 #2)
+                ema = self._router.record_read(dt, self.slow_flip_s,
+                                               warmup=h._idx == 0)
+                if ema:
                     logging.getLogger(__name__).warning(
-                        "keyframe mask reads averaging %.1fs (> %.2fs) — "
-                        "switching scan routing to host scoring",
-                        self._router.ema, self.slow_flip_s,
+                        "keyframe mask reads averaging %.2fs (> %.2fs, last "
+                        "%.2fs) — switching scan routing to host scoring",
+                        ema, self.slow_flip_s, dt,
                     )
                     self.host_mode = True
                 h._dev = None
@@ -329,6 +357,7 @@ def select_keyframes_device(
     max_diff_threshold: float = 0.3,
     min_interval_s: float = 1.0,
     block: int = BLOCK,
+    router: "_ScanRouter" = None,
 ) -> List[int]:
     """Greedy selection over (N, h, w) uint8 candidates — ceil(N/block) device
     dispatches total. Semantics identical to
@@ -338,7 +367,8 @@ def select_keyframes_device(
         return []
     h, w = grays.shape[1:]
     t_arr = np.asarray(times, np.float32)
-    scanner = KeyframeScanner(h, w, max_diff_threshold, min_interval_s, block)
+    scanner = KeyframeScanner(h, w, max_diff_threshold, min_interval_s, block,
+                              router=router)
     handles = [
         scanner.feed(grays[b0 : min(n, b0 + block)], t_arr[b0 : min(n, b0 + block)])
         for b0 in range(0, n, block)

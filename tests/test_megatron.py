@@ -90,9 +90,14 @@ def test_pipeline_four_stages():
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+@pytest.mark.isolated
 def test_pp_train_step_matches_dp_tp_trajectory(tiny):
     """Three steps of the dp×pp×tp×sp contrastive train step reproduce the
-    plain dp×tp step's loss trajectory on identical init/inputs."""
+    plain dp×tp step's loss trajectory on identical init/inputs.
+
+    Marked `isolated` (fresh subprocess): this exact test has SIGABRTed the
+    whole pytest process on a starved 1-core host (XLA CPU ppermute with 8
+    virtual devices) while passing in a fresh process — VERDICT r2 #2."""
     from hippomm_tpu.train.contrastive import (
         init_train_state,
         init_train_state_pp,

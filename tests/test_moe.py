@@ -141,10 +141,15 @@ def test_moe_validates_divisibility(mesh):
         moe_block(place_moe_params(_params(), mesh) | {"router_w": p5["router_w"]}, x, mesh)
 
 
+@pytest.mark.isolated
 def test_moe_adapter_trains_on_frozen_towers(mesh):
     """dp x ep adapter fine-tuning: frozen tiny towers, residual MoE over the
     embeddings, a few steps reduce the InfoNCE+balance loss; tower params
-    receive no gradient by construction (stop_gradient)."""
+    receive no gradient by construction (stop_gradient).
+
+    Marked `isolated`: 6 jitted steps of all_to_all over 8 virtual CPU
+    devices — the collective-heavy class that has aborted a long-lived suite
+    process on a 1-core host (see conftest)."""
     from hippomm_tpu.models.imagebind.model import init_imagebind, tiny_config
     from hippomm_tpu.train.contrastive import (
         init_moe_adapter_state,

@@ -277,11 +277,15 @@ def test_sharded_whisper_greedy_matches_single(mesh8):
     assert [(s.start, s.end) for s in a[0]] == [(s.start, s.end) for s in b[0]]
 
 
+@pytest.mark.isolated
 def test_replica_mesh_matches_dp_tp(rng):
     """Multi-slice layout: a ("replica","data","model") mesh (replica = DCN
     data parallelism, params replicated across it) reproduces the dp×tp
     mesh's loss trajectory step for step — the replica axis only changes
-    WHERE the gradient psum runs, not the math."""
+    WHERE the gradient psum runs, not the math.
+
+    Marked `isolated`: two 3-step collective trajectories over 8 virtual CPU
+    devices — the class that has aborted a starved suite process (conftest)."""
     from hippomm_tpu.models.imagebind.model import tiny_config
     from hippomm_tpu.train.contrastive import init_train_state, make_train_step
 
