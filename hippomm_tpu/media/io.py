@@ -399,6 +399,16 @@ def _box_downscale(x: np.ndarray, gh: int, gw: int) -> np.ndarray:
     n, h, w = x.shape
     if h == gh and w == gw:
         return x
+    if h == 2 * gh and w == 2 * gw:
+        # the dominant recall shape (360x640 -> 180x320): strided uint16 adds
+        # touch 8x less memory than the generic reshape-to-uint32 path — the
+        # box filter was ~1/3 of detailed-recall wall on a degraded 1-core
+        # host (cProfile, VERDICT r2 Next #3)
+        s = x[:, 0::2, 0::2].astype(np.uint16)
+        s += x[:, 0::2, 1::2]
+        s += x[:, 1::2, 0::2]
+        s += x[:, 1::2, 1::2]
+        return ((s + 2) >> 2).astype(np.uint8)
     if h % gh == 0 and w % gw == 0:
         fh, fw = h // gh, w // gw
         s = x.reshape(n, gh, fh, gw, fw).astype(np.uint32).sum(axis=(2, 4))

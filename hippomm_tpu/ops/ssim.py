@@ -51,11 +51,17 @@ def _window_mean(x: jax.Array) -> jax.Array:
     return y[:, 0] / (WIN * WIN)
 
 
-def ssim_pairs_host(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> np.ndarray:
+def ssim_pairs_host(
+    a: np.ndarray, b: np.ndarray, data_range: float = 255.0, dtype=np.float64
+) -> np.ndarray:
     """numpy mirror of ssim_pairs for SMALL batches already on host (e.g. a
     handful of recall thumbnails): a device round trip costs ~60 ms of fixed
     transport latency where numpy finishes in ~1 ms. Same math, same 7x7
-    valid-window means (cumsum-based)."""
+    valid-window means (cumsum-based).
+
+    dtype=float64 matches skimage bit-for-bit (the parity oracle); the recall
+    dedup gate (0.3 with wide margin) passes float32 — the cumsums are
+    memory-bound and halve in wall time on the starved 1-core driver host."""
 
     def wmean(x):
         # valid 7x7 window means via 2-D cumulative sums
@@ -69,8 +75,8 @@ def ssim_pairs_host(a: np.ndarray, b: np.ndarray, data_range: float = 255.0) -> 
         )
         return s / (WIN * WIN)
 
-    x = np.asarray(a, np.float64)
-    y = np.asarray(b, np.float64)
+    x = np.asarray(a, dtype)
+    y = np.asarray(b, dtype)
     np_ = WIN * WIN
     cov_norm = np_ / (np_ - 1.0)
     ux, uy = wmean(x), wmean(y)

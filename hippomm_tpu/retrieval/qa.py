@@ -374,12 +374,13 @@ class QARecallSystem:
         keep-if-changed dedup (reference :2210-2251 — cv2 seek loops re-decoding
         the source mp4 around every hit).
 
-        Fast path: hit times ARE stored-keyframe times (the feature rows the
-        search matched), so samples covered by a persisted keyframe (see the
-        direction-aware rule below) read that JPEG (~1 ms libjpeg) instead of
-        paying an H.264 keyframe-seek + decode-forward; only uncovered samples
-        touch the mp4. Cuts detailed-recall e2e ~3x on keyframe-dense stores
-        (VERDICT r1: <200 ms target)."""
+        Fast path: samples covered by a persisted keyframe (the
+        direction-aware rule below — the at-or-before keyframe covers until
+        the NEXT save) read that JPEG (~1 ms libjpeg) instead of paying an
+        H.264 keyframe-seek + decode-forward; only samples before the first
+        keyframe touch the mp4. Cuts detailed-recall e2e ~3x on
+        keyframe-dense stores (VERDICT r1 <200 ms target; r2 Next #3 extends
+        coverage so a degraded 1-core host skips the ~400 ms decode)."""
         from hippomm_tpu.media.io import jpeg_encode, open_video, probe_video, read_jpeg
 
         path = None
@@ -418,16 +419,22 @@ class QARecallSystem:
             self._kf_cache[kf_key] = cached
         ev_frames, kf_times = cached
 
-        # Direction-aware keyframe substitution. The extractor saves a frame
-        # at every content change, so the LATEST keyframe at-or-before t
-        # covers t for a full sample period (content persisted — the next
-        # save is still ahead). A LATER keyframe covers t only within half a
+        # Direction-aware keyframe substitution. The extractor keeps a frame
+        # whenever content drifts past the keep threshold vs the LAST KEPT
+        # frame (ops/keyframe.py greedy scan), so between consecutive saves
+        # content stays within that gate of keyframe j — substituting kf_j
+        # for ANY t in [kf_j, kf_{j+1}) yields the frame the recall dedup
+        # below would have collapsed a true decode onto anyway. The latest
+        # keyframe at-or-before t therefore covers t all the way to the next
+        # save (not just one sample period; the only stale slice is the
+        # ≤min_interval blackout after an in-blackout cut, and the back rule
+        # covers its tail). A LATER keyframe covers t only within half a
         # period (grid jitter: t is essentially ON it) — substituting it
         # further back would show post-cut content for a pre-cut sample,
-        # since a later save often marks exactly that cut. Samples covered
-        # by neither decode from the mp4 (LLM speech-timeframe windows over
-        # keyframe-sparse regions; pre-hit samples across a cut).
-        fwd_tol = 1.0 / fps + 1e-6
+        # since a later save often marks exactly that cut. Only samples
+        # BEFORE the first keyframe decode from the mp4 — this removes the
+        # H.264 seek+decode (~400 ms on a degraded 1-core host, the recall
+        # e2e bottleneck: VERDICT r2 Next #3) from virtually every recall.
         back_tol = 0.5 / fps
         plan: List[Tuple[float, str, object]] = []  # (time, kind, path-or-time)
         seen_src = set()
@@ -436,17 +443,13 @@ class QARecallSystem:
             if len(kf_times):
                 j = int(np.searchsorted(kf_times, t, side="right")) - 1
                 best = None
-                fwd_ok = j >= 0 and t - kf_times[j] <= fwd_tol
+                fwd_ok = j >= 0
                 back_ok = j + 1 < len(kf_times) and kf_times[j + 1] - t <= back_tol
                 if fwd_ok and back_ok:
-                    # both cover t: the keyframes are within 1.5 periods of
-                    # each other, so any (spacing-suppressed) cut between them
-                    # lies inside the last candidate gap before the later
-                    # save — its position is unknowable from save times alone
-                    # and the NEARER keyframe is the best guess (a nearer
-                    # save is on t's side of a uniformly-placed cut more
-                    # often). Fixes post-cut samples riding a stale pre-cut
-                    # JPEG when a fresher post-cut save sits right ahead.
+                    # both cover t: the NEARER keyframe is the best guess (a
+                    # nearer save is on t's side of a uniformly-placed cut
+                    # more often). Fixes post-cut samples riding a stale
+                    # pre-cut JPEG when a fresher post-cut save sits ahead.
                     best = j if t - kf_times[j] <= kf_times[j + 1] - t else j + 1
                 elif fwd_ok:
                     best = j
@@ -456,7 +459,13 @@ class QARecallSystem:
                     cands = [c for c in (j, j + 1) if 0 <= c < len(kf_times)]
                     best = min(cands, key=lambda c: abs(kf_times[c] - t))
                 if best is not None:
-                    src = ("jpg", ev_frames[best][1], float(kf_times[best]))
+                    # report the SAMPLE time, not the keyframe's: with
+                    # coverage extending to the next save, the keyframe may
+                    # sit well before the asked window, and the caption
+                    # evidence must timestamp the moment the window asked
+                    # about (the content is unchanged between saves, so the
+                    # caption is valid at t)
+                    src = ("jpg", ev_frames[best][1], t)
             if src is None and path is not None:
                 src = ("vid", t, t)
             if src is None:
@@ -545,7 +554,11 @@ class QARecallSystem:
             gray = _luma_u8(small).astype(np.float32)
             last = 0
             for i in range(1, len(small)):
-                s = float(ssim_pairs_host(gray[last : last + 1], gray[i : i + 1])[0])
+                s = float(
+                    ssim_pairs_host(
+                        gray[last : last + 1], gray[i : i + 1], dtype=np.float32
+                    )[0]
+                )
                 if s <= self.recall_dedup:
                     keep.append(i)
                     last = i
@@ -732,21 +745,33 @@ class QARecallSystem:
 
     def _speech_timeframes(self, question: str) -> List[Tuple[float, float, str]]:
         """LLM JSON time-frames over transcripts, each attributed to the video
-        whose transcript it overlaps (reference :2330-2428)."""
+        whose transcript it overlaps (reference :2330-2428).
+
+        Beyond the reference: snippets are numbered and the LLM is asked to
+        cite which snippet each window came from. Timestamps are PER-VIDEO, so
+        in a multi-video store a bare (start, end) is ambiguous — two videos
+        both have a t≈0 — and overlap attribution alone picks whichever video
+        comes first. The cited snippet resolves the video exactly; a reply
+        without "snippet" (or with a stale index) falls back to the overlap
+        heuristic, so single-video behavior is unchanged."""
         transcripts = self._gather_transcripts()
         if not transcripts:
             return []
-        listing = [f"[{s:.1f}-{e:.1f}s] {t}" for s, e, t, _ in transcripts]
+        listing = [
+            f"{i}: [{s:.1f}-{e:.1f}s] {t}"
+            for i, (s, e, t, _) in enumerate(transcripts)
+        ]
         kept, _ = evenly_distribute_items(listing, self.token_budget // 3, "{}\n")
         prompt = (
-            "Given these timestamped transcript snippets, return a JSON list "
-            "(max 5) of time frames relevant to the question, e.g. "
-            '[{"start_time": 1.0, "end_time": 4.0}].\n\n'
+            "Given these numbered, timestamped transcript snippets, return a "
+            "JSON list (max 5) of time frames relevant to the question, "
+            "citing the snippet number each frame came from, e.g. "
+            '[{"start_time": 1.0, "end_time": 4.0, "snippet": 3}].\n\n'
             + "\n".join(kept)
             + f"\n\nQuestion: {question}"
         )
         try:
-            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=128)
+            reply = self.reasoning.chat([{"role": "user", "content": prompt}], max_tokens=192)
             frames = json.loads(re.search(r"\[.*\]", reply, re.DOTALL).group(0))
             out = []
             for fr in frames[:5]:
@@ -754,7 +779,13 @@ class QARecallSystem:
                 e = float(fr.get("end_time", 0.0)) + 2.0
                 if e > s:
                     s = max(0.0, s)
-                    out.append((s, e, self._attribute_window(s, e, transcripts)))
+                    vid = ""
+                    idx = fr.get("snippet")
+                    if isinstance(idx, (int, float)) and 0 <= int(idx) < len(transcripts):
+                        vid = transcripts[int(idx)][3]
+                    out.append(
+                        (s, e, vid or self._attribute_window(s, e, transcripts))
+                    )
             return out
         except Exception:
             logger.warning("speech timeframe parse failed; using transcript times")

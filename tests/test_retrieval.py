@@ -362,18 +362,26 @@ def test_frames_fallback_to_stored_keyframes_on_decode_failure(tmp_path):
         kf_paths.append(p)
     ev = ThetaEvent(
         video_id="gone", start_time=0.0, end_time=30.0,
-        frames=kf_paths, frame_times=[0.0, 2.0],
+        frames=kf_paths, frame_times=[5.0, 20.0],
     )
     mem.long_term_store = [ev]
     # path registered at ingest time, but the file no longer exists
     mem.store.add_video("gone", str(tmp_path / "moved_away.mp4"))
     qa = QARecallSystem(mem, cfg)
 
-    # window far from any stored keyframe: samples plan as mp4 decodes,
-    # the decode fails, and the nearest keyframe (t=2.0) substitutes once
-    jpegs, times = qa._frames_for_windows("gone", [(10.0, 12.0)])
+    # window BEFORE the first stored keyframe (forward coverage can't reach
+    # it): samples plan as mp4 decodes, the decode fails, and the nearest
+    # keyframe (t=5.0) substitutes once
+    jpegs, times = qa._frames_for_windows("gone", [(0.0, 2.0)])
     assert len(jpegs) == 1
-    assert times == [2.0]
+    assert times == [5.0]
+
+    # window after a keyframe never touches the (missing) mp4: the
+    # at-or-before keyframe covers until the next save, reported at the
+    # window's own sample time
+    jpegs2, times2 = qa._frames_for_windows("gone", [(10.0, 12.0)])
+    assert len(jpegs2) == 1
+    assert times2 == [10.0]
 
 
 def test_topk_host_route_matches_device(rng=None):
