@@ -24,6 +24,7 @@ def test_qa_harness_end_to_end(tmp_path):
         imagebind_variant="tiny",
         width=160,
         height=120,
+        negatives=False,
     )
     assert out["failed_videos"] == 0
     assert out["n_questions"] == 8
@@ -31,6 +32,32 @@ def test_qa_harness_end_to_end(tmp_path):
     assert out["qa_accuracy"] >= 0.85
     assert out["qa_accuracy_batched"] >= 0.85  # batched serving path too
     assert out["ingest_x"] > 0
+    lo, hi = out["ci95"]
+    assert lo <= out["qa_accuracy"] <= hi
+
+
+def test_qa_harness_multivideo_with_negatives(tmp_path):
+    """Two-video corpus (globally unique colors/tones) + distractor questions:
+    retrieval must pick the right video AND decline absent content."""
+    out = run_harness(
+        str(tmp_path),
+        duration=45.0,
+        scene_seconds=15.0,
+        n_questions=12,
+        imagebind_variant="tiny",
+        width=160,
+        height=120,
+        n_videos=2,
+        negatives=True,
+    )
+    assert out["failed_videos"] == 0
+    assert out["n_videos"] == 2 and out["n_scenes"] == 6
+    assert set(out["accuracy_by_type"]) == {
+        "video", "audio", "multimodal", "summary", "video_neg", "audio_neg"
+    }
+    assert out["qa_accuracy"] >= 0.85
+    assert out["accuracy_by_type"]["video_neg"] == 1.0
+    assert out["accuracy_by_type"]["audio_neg"] == 1.0
 
 
 def test_oracle_asr_labels_tones(tmp_path):
