@@ -16,9 +16,16 @@ on a (tile_n/128 + 1, 128) candidate matrix — full 128-lane rows with the
 running top-k carried as one extra row — rather than a (1, tile_n + k) vector
 (which wastes 7/8 sublanes and measured ~2× slower on v5e).
 
-Measured on TPU v5e (1 chip, 2e5×1024 fp32, k=20, vs the XLA path): exact vs
-the dense oracle; ~1.4× slower than XLA for single-query (mat-vec) recall —
-see top_k_cosine_auto's docstring for the full verdict and the opt-in switch.
+RETIRED from the product path (kept as a tested reference implementation —
+exact vs the dense oracle, parity tests in tests/test_pallas_topk.py). Final
+hardware verdict (TPU v5e, 2e5×1024 fp32, k=20, read-synced timing): XLA over
+a once-normalized store runs 1.10 ms/query, XLA with per-query normalization
+2.39 ms, this kernel 4.17 ms. A single-query recall is a mat-VEC — both paths
+are HBM-bound, and once the store is normalized ONCE at device upload
+(retrieval/search.FeatureSearchIndex._device_feats) the XLA program is a
+single streaming matmul+top_k that this kernel's tile merge cannot beat. The
+former HIPPOMM_PALLAS_TOPK opt-in was removed with that measurement
+(VERDICT r2 Weak #7: "win or retire").
 """
 
 from __future__ import annotations
@@ -158,30 +165,3 @@ def pallas_top_k_cosine(
     return vals[0, :k], idx[0, :k]
 
 
-def top_k_cosine_auto(query, feats, k: int):
-    """Top-k cosine with an env-selected backend: XLA by default,
-    HIPPOMM_PALLAS_TOPK=1 opts into the Pallas kernel.
-
-    Hardware verdict (TPU v5e, 2e5×1024 fp32, k=20, repeated runs): the kernel
-    compiles in <1 s and is EXACT vs the dense oracle on hardware, but
-    measures ~1.4× slower than the XLA program (5.7 ms vs 4.0 ms batch
-    protocol) even with the lane-major merge (~2× faster than the original
-    (1, tile+k) layout) and threshold early-skip — a query is a mat-VEC, so
-    the MXU advantage the kernel banks on never materializes and both paths
-    are HBM-bound, where XLA's pipelining wins. The XLA path is therefore the
-    DEFAULT; set HIPPOMM_PALLAS_TOPK=1 to route through the kernel (it becomes
-    the right shape once queries batch — mat-MAT tiles — which is the planned
-    multi-query recall path). Both timings are recorded every bench run
-    (`topk_200k`)."""
-    import os
-
-    from hippomm_tpu.ops.similarity import top_k_cosine
-
-    if (
-        os.environ.get("HIPPOMM_PALLAS_TOPK") == "1"
-        and jax.devices()[0].platform == "tpu"
-        and feats.shape[0] >= 2048
-        and k <= _LANES
-    ):
-        return pallas_top_k_cosine(jnp.asarray(query), jnp.asarray(feats), k)
-    return top_k_cosine(jnp.asarray(query), jnp.asarray(feats), k)

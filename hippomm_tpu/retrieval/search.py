@@ -122,8 +122,6 @@ class FeatureSearchIndex:
         forced = os.environ.get("HIPPOMM_TOPK_ROUTE")
         if forced in ("host", "device"):
             return forced
-        if os.environ.get("HIPPOMM_PALLAS_TOPK") == "1":
-            return "device"
         lh, ld = self._lat["host"], self._lat["device"]
         if lh is None and ld is None:
             return "host" if len(self) <= self.HOST_PREFER_MAX_ROWS else "device"
@@ -229,14 +227,7 @@ class FeatureSearchIndex:
         )
 
     def _topk_device(self, q, k: int) -> Tuple[np.ndarray, np.ndarray]:
-        import os
-
         bound = self.DEVICE_PROBE_GIVE_UP_S
-        if os.environ.get("HIPPOMM_PALLAS_TOPK") == "1":
-            from hippomm_tpu.ops.pallas_topk import top_k_cosine_auto
-
-            vals, idx = top_k_cosine_auto(q, self._device_feats(), k)
-            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound)
         if len(self) >= 2**24:
             # the packed single-read path encodes row indices as float32,
             # exact only up to 2^24 — beyond that fall back to the two-read
