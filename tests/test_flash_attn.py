@@ -84,7 +84,7 @@ def test_profitable_policy():
 
     assert flash_profitable(1500, 1500, 64)      # Whisper encoder: kernel wins
     assert flash_profitable(230, 231, 64)        # audio trunk: kernel wins
-    assert not flash_profitable(257, 257, 80)    # ViT-H: XLA einsum wins
+    assert flash_profitable(257, 257, 80)        # ViT-H: wins since G-blocking
     assert not flash_profitable(4096, 4096, 64)  # unsupported → never routed
 
 
