@@ -1,0 +1,125 @@
+"""bench.py record-emission contract (VERDICT r2 Missing #1 / Weak #8).
+
+The driver recovers the result line from a bounded (~2000 char) tail of
+stdout; round 2's line outgrew it and the round's headline number was
+unrecoverable. _emit must (a) print one JSON line that stays comfortably
+under that window for ANY record, (b) persist the full record to
+BENCH_DETAIL.json, and (c) write BENCH_LOCAL.json atomically on every
+successful (value > 0) run so the outage fallback's "last successful run"
+label is actually true.
+"""
+
+import importlib.util
+import io
+import json
+import os
+import shutil
+from contextlib import redirect_stdout
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def bench_in_tmp(tmp_path):
+    """Import a copy of bench.py rooted in tmp so _emit writes there."""
+    shutil.copy(os.path.join(REPO, "bench.py"), tmp_path / "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_tmp", tmp_path / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod, tmp_path
+
+
+def _emit_line(mod, record):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mod._emit(record)
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 1
+    return lines[0]
+
+
+def _bulky_record(value=61.5):
+    return {
+        "metric": "ingest_throughput_2x10min_vlog_mp4",
+        "value": value,
+        "unit": "video-hours/hour/chip (x realtime)",
+        "vs_baseline": round(value / 50.0, 4),
+        "extra": {
+            "platform": "tpu",
+            "device_kind": "tpu v5 lite",
+            "host_cores": 1,
+            "host_calib_s": 1.07,
+            "workload": "w" * 400,  # prose that sank the r02 line
+            "ingest_runs_x": [61.5, 60.2, 63.8],
+            "run_stage_s": [{f"stage_{i}": 1.0 for i in range(16)}] * 3,
+            "stage_timers": {
+                f"t{i}": {"total_s": 1.0, "count": 9, "mean_s": 0.1}
+                for i in range(20)
+            },
+            "recall_e2e_ms": 141.15,
+            "detailed_recall_p50_ms": 3.26,
+            "vision_tower": {
+                "batch": 32, "encode_ms": 153.4, "tflops_per_s": 69.8,
+                "mfu_vision": 0.3543,
+                "b128": {"encode_ms": 470.0, "tflops_per_s": 91.0,
+                         "mfu_vision": 0.4665},
+            },
+            "topk_200k": {"xla_ms": 1.104, "pallas_ms": 4.166, "rows": 200000},
+            "qa_accuracy_ci": {
+                "qa_accuracy": 0.95, "n_questions": 60, "ci95": [0.86, 0.98],
+                "accuracy_by_type": {"video": 1.0, "audio": 0.9},
+                "results_blob": "x" * 3000,
+            },
+        },
+    }
+
+
+def test_emit_line_is_compact_and_parseable(bench_in_tmp):
+    mod, tmp = bench_in_tmp
+    line = _emit_line(mod, _bulky_record())
+    assert len(line) < 1800, len(line)
+    rec = json.loads(line)
+    assert rec["value"] == 61.5
+    # headline extras survive the compaction
+    e = rec["extra"]
+    assert e["recall_e2e_ms"] == 141.15
+    assert e["mfu_vision_b32"] == 0.3543
+    assert e["mfu_vision_b128"] == 0.4665
+    assert e["topk_xla_ms"] == 1.104
+    assert e["qa_accuracy"] == 0.95 and e["qa_n"] == 60
+    assert e["detail"] == "BENCH_DETAIL.json"
+    # bulk went to the detail file, unabridged
+    detail = json.load(open(tmp / "BENCH_DETAIL.json"))
+    assert detail["extra"]["stage_timers"]["t19"]["count"] == 9
+    assert detail["extra"]["workload"] == "w" * 400
+
+
+def test_emit_writes_local_on_success_only(bench_in_tmp):
+    mod, tmp = bench_in_tmp
+    _emit_line(mod, _bulky_record(value=55.0))
+    local = json.load(open(tmp / "BENCH_LOCAL.json"))
+    assert local["value"] == 55.0
+    # an outage (value 0) must NOT clobber the last successful record
+    _emit_line(mod, {
+        "metric": "ingest_throughput_2x10min_vlog_mp4",
+        "value": 0.0, "unit": "u", "vs_baseline": 0.0,
+        "extra": {"error": "bench watchdog fired"},
+    })
+    assert json.load(open(tmp / "BENCH_LOCAL.json"))["value"] == 55.0
+    # but the detail file always reflects the latest run
+    assert json.load(open(tmp / "BENCH_DETAIL.json"))["value"] == 0.0
+
+
+def test_emit_hard_cap_fallback(bench_in_tmp):
+    """Even a pathological record (huge unanticipated extras) stays under the
+    window: the fallback keeps only the whitelisted keys."""
+    mod, _ = bench_in_tmp
+    rec = _bulky_record()
+    rec["extra"]["surprise"] = ["x" * 100] * 50  # 5KB of unexpected extras
+    line = _emit_line(mod, rec)
+    assert len(line) < 1800
+    parsed = json.loads(line)
+    assert parsed["value"] == 61.5
+    assert parsed["extra"]["detail"] == "BENCH_DETAIL.json"
