@@ -61,7 +61,8 @@ def _extended_palette(n: int = 48) -> List[Tuple[str, Tuple[int, int, int]]]:
     what time is the background X?' stays well-defined over the whole store
     (VERDICT r2 Next #4: unsaturate the harness with a multi-video corpus)."""
     pal = list(_BASE_PALETTE)
-    grid = (35, 110, 185, 240)
+    grid = (30, 100, 170, 240)  # uniform 70 spacing: every grid pair clears
+    # the 60 separation gate (a 55-apart pair silently halved the palette)
 
     def d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))
