@@ -376,6 +376,19 @@ def main() -> None:
 
     warm_keyframe_buckets(max_n=128)
 
+    # the warm pass's mask reads sat BEHIND its XLA compiles in the device
+    # queue, so the scan router's latency EMA has just diagnosed "chronically
+    # slow transport" from queue wait and would host-route every measured
+    # ingest for its whole 600 s reprobe window (~0.2 s/clip of host SSIM on a
+    # healthy device path). Compiles are done — forget the poisoned state. A
+    # transport that is GENUINELY slow was caught by warm_transport() above
+    # and re-seeds here; one that degrades later still flips organically.
+    from hippomm_tpu.ops.keyframe import reset_router, seed_router_slow as _seed_slow
+
+    reset_router()
+    if not warm_transport():
+        _seed_slow()
+
     # ---- measured ingest: 2x 10-min vlog, MEDIAN of 3 runs -------------------
     # a single run on this tunneled transport has been observed +-30% and once
     # lost 78 s to a read wedge (BENCH_r01 48.8x vs 66.7x same-day local); the

@@ -130,6 +130,7 @@ def extract_frames_from_video(
     keep_rgb: bool = True,
     score_hw: Tuple[int, int] = (90, 160),
     timers=None,
+    vision_stream=None,
 ) -> Dict:
     """Dynamic key-frame extraction (reference: batch_process.py:116-255).
 
@@ -143,6 +144,12 @@ def extract_frames_from_video(
         (C++ SWS_AREA scale / y4m Y-plane), so the host never touches full
         RGB except for the few frames actually saved
       * key-frame JPEGs are encoded on a background pool, off the hot loop
+
+    `vision_stream` (a `VisionEncodeStream`) receives each kept frame's RGB
+    the moment its scan mask is flushed, so the ViT tower runs on device
+    DURING the host-bound decode; it is attached to the returned meta as
+    "vision_stream" only when this extraction actually fed it completely
+    (a metadata.yaml resume reads JPEGs instead and feeds nothing).
 
     Idempotent: resumes from metadata.yaml when all frames exist (:137-149).
     """
@@ -183,6 +190,7 @@ def extract_frames_from_video(
         emit_seconds=float("inf"),
         timers=timers,
         _meta_out=meta,
+        vision_stream=vision_stream,
     ):
         chunks.append(item)
     out = dict(meta)
@@ -190,7 +198,29 @@ def extract_frames_from_video(
     if keep_rgb:
         rgbs = [c["frames_rgb"] for c in chunks if c["frames_rgb"] is not None]
         out["frames_rgb"] = np.concatenate(rgbs) if rgbs else None
+    if vision_stream is not None:
+        # the engine consumes the prefetched features instead of
+        # re-dispatching the tower: one row per frames_rgb row, in order —
+        # either fed keyframes directly, or (short clips) every candidate,
+        # indexed down to the kept rows here
+        rows = out.pop("vision_candidate_rows", None)
+        out["vision_stream"] = (
+            _IndexedVisionStream(vision_stream, rows) if rows is not None else vision_stream
+        )
     return out
+
+
+class _IndexedVisionStream:
+    """View of a per-CANDIDATE `VisionEncodeStream` reduced to the kept
+    keyframe rows (short-clip early dispatch — see encode_all_candidates in
+    extract_frames_streaming). Same .result() surface the engine consumes."""
+
+    def __init__(self, stream, rows):
+        self._stream = stream
+        self._rows = np.asarray(rows, dtype=np.int64)
+
+    def result(self) -> np.ndarray:
+        return self._stream.result()[self._rows]
 
 
 def extract_frames_streaming(
@@ -203,6 +233,7 @@ def extract_frames_streaming(
     emit_seconds: float = 300.0,
     timers=None,
     _meta_out: Optional[Dict] = None,
+    vision_stream=None,
 ):
     """Streaming key-frame extraction: yields a chunk dict roughly every
     `emit_seconds` of media WHILE decode continues, so a long video's engine
@@ -240,6 +271,20 @@ def extract_frames_streaming(
     stride = max(1, int(round(info.fps * min_interval_s)))
     candidate_idx = list(range(0, info.num_frames, stride))
     times = [i / info.fps for i in candidate_idx]
+
+    # Short clips (≤2 vision chunks of candidates): encode ALL candidates the
+    # moment their block decodes, instead of waiting for the scan mask to pick
+    # keyframes. Keyframes ⊆ candidates, so the engine just indexes rows —
+    # and since a ≤32-candidate clip is ONE padded 32-wide tower program
+    # whether it holds 10 keyframes or 30 candidates, the early dispatch is
+    # free compute-wise and removes the mask read (which queues behind the
+    # in-flight full-track ASR) from the vision critical path entirely
+    # (VERDICT r2 next-#6: short-clip fixed overhead).
+    encode_all_candidates = (
+        vision_stream is not None
+        and not np.isfinite(emit_seconds)  # whole-video mode: single emit
+        and len(candidate_idx) <= 64
+    )
 
     # scan-block size: 256 candidates per device round trip normally; a
     # smaller fixed shape when the emit cadence is finer than a block (chunks
@@ -279,8 +324,14 @@ def extract_frames_streaming(
         js = np.nonzero(mask)[0]
         if len(js):
             cur_cand.extend(off + int(j) for j in js)
-            cur_rgb.append(blk.take_rgb(js))
+            rgb = blk.take_rgb(js)
+            cur_rgb.append(rgb)
             cur_gray.append(blk.gray[js])
+            if vision_stream is not None and not encode_all_candidates:
+                # async tower dispatch over the kept frames: the ViT forward
+                # runs behind the remaining decode instead of after it
+                with timers.stage("extract_vision_feed"):
+                    vision_stream.feed(rgb)
         blk.close()
 
     def _emit(chunk_end: float) -> Dict:
@@ -325,6 +376,11 @@ def extract_frames_streaming(
                 all_gray_blocks.append(blk.gray)
                 with timers.stage("extract_feed"):
                     handle = scanner.feed(blk.gray, times[b0 : b0 + block])
+                if encode_all_candidates:
+                    # after the (tiny) scan dispatch so the mask is not stuck
+                    # behind the tower forward in the device FIFO
+                    with timers.stage("extract_vision_feed"):
+                        vision_stream.feed(blk.take_rgb(np.arange(len(batch))))
                 with timers.stage("extract_flush"):
                     pending.append((b0, handle, blk))
                     while pending and (len(pending) > max_hold or pending[0][1].is_ready()):
@@ -378,6 +434,9 @@ def extract_frames_streaming(
         yaml.safe_dump(meta, f)
     if _meta_out is not None:
         _meta_out.update(meta)
+        if encode_all_candidates:
+            # stream rows are per-CANDIDATE; kept keyframes are these rows
+            _meta_out["vision_candidate_rows"] = list(all_saved_cand)
     yield final
 
 
@@ -489,9 +548,16 @@ def process_single_video(
             "duration": audio.get("duration"),
         }
         return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
+    vision_stream = None
+    if memory_system is not None and getattr(memory_system, "imagebind", None) is not None:
+        # keyframes dispatch their ViT forward the moment they are flushed,
+        # hiding the vision encode behind the host-bound decode (the engine
+        # consumes the prefetched features via process_sequence)
+        vision_stream = memory_system.imagebind.vision_stream()
     with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
         f_frames = ex.submit(
-            extract_frames_from_video, video_path, memory_store_dir, video_id, timers=timers
+            extract_frames_from_video, video_path, memory_store_dir, video_id,
+            timers=timers, vision_stream=vision_stream,
         )
         f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
         audio = f_audio.result()
@@ -778,6 +844,7 @@ def process_video_folder(
                     video_duration=frames.get("duration"),
                     auto_consolidate=True,
                     frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
+                    vision_stream=frames.get("vision_stream"),
                 )
             stats["processed"] += 1
             stats["media_seconds"] += float(frames.get("duration") or 0.0)
@@ -920,6 +987,7 @@ def ingest_single_file(
             video_duration=frames.get("duration"),
             auto_consolidate=True,
             frame_ssim=np.asarray(fssim, np.float32) if fssim is not None else None,
+            vision_stream=frames.get("vision_stream"),
         )
     except Exception:
         # same per-video purge as the folder driver: callers can hold a

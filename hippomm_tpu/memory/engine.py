@@ -190,6 +190,7 @@ class HippocampalMemory:
         base_time: float = 0.0,
         frame_ssim: Optional[np.ndarray] = None,
         resume: bool = True,
+        vision_stream=None,
     ) -> List[ShortTermMemory]:
         """Segment + perceptually encode a video's frames/audio into STMs
         (reference: hippocampal_memory.py:1116-1275).
@@ -198,12 +199,15 @@ class HippocampalMemory:
         paths (store-compat). Auto-resumes from a checkpoint if present.
         `base_time` offsets all produced timestamps — the reference's chunk
         offset for re-chunked long videos (hippocampal_memory.py:1134).
+        `vision_stream` carries tower forwards ALREADY DISPATCHED during
+        extraction (one per frames_rgb row, in order); when present the vision
+        encode is a fetch instead of an upload+forward+fetch.
         """
         with self._maybe_trace():
             return self._process_sequence_impl(
                 video_id, frame_paths, frame_times, frames_rgb, audio_data,
                 sample_rate, video_duration, auto_consolidate, base_time,
-                frame_ssim, resume,
+                frame_ssim, resume, vision_stream,
             )
 
     def _maybe_trace(self):
@@ -231,6 +235,7 @@ class HippocampalMemory:
         base_time: float,
         frame_ssim,
         resume: bool,
+        vision_stream=None,
     ) -> List[ShortTermMemory]:
         # checkpoint fast-path (reference :1136-1150). Chunked long-video
         # ingest passes resume=False: chunk N+1 must not short-circuit on the
@@ -339,6 +344,7 @@ class HippocampalMemory:
         stms = self._encode_segments(
             video_id, segments, frames_rgb, frame_times, sample_rate,
             base_time=base_time, call_audio=audio_data,
+            vision_stream=vision_stream,
         )
         self._inflight_ingests.add(video_id)
         self.short_term_buffer.setdefault(video_id, []).extend(stms)
@@ -363,6 +369,7 @@ class HippocampalMemory:
         sample_rate: int,
         base_time: float = 0.0,
         call_audio: Optional[np.ndarray] = None,
+        vision_stream=None,
     ) -> List[ShortTermMemory]:
         """Perceptual encoding, batched across segments."""
         ft = np.asarray(list(frame_times), dtype=np.float64)
@@ -379,9 +386,25 @@ class HippocampalMemory:
         vision_feats: Optional[np.ndarray] = None
         if frames_rgb is not None and len(frames_rgb):
             all_idx = np.concatenate([i for i in seg_frame_idx]) if seg_frame_idx else []
-            with self.timers.stage("encode_vision"):
-                flat = self.imagebind.encode_vision(frames_rgb[all_idx])
-            vision_feats = flat
+            feats_all = None
+            if vision_stream is not None:
+                # tower forwards were dispatched during extraction — this is
+                # (usually) just the fetch. One feature row per frames_rgb
+                # row, in order; a mismatch (caller fed different frames)
+                # falls back to a fresh encode rather than mis-indexing.
+                with self.timers.stage("encode_vision"):
+                    feats_all = vision_stream.result()
+                if feats_all.shape[0] != len(frames_rgb):
+                    logger.warning(
+                        "%s: vision prefetch has %d rows for %d frames — "
+                        "re-encoding", video_id, feats_all.shape[0], len(frames_rgb),
+                    )
+                    feats_all = None
+            if feats_all is not None:
+                vision_feats = feats_all[all_idx]
+            else:
+                with self.timers.stage("encode_vision"):
+                    vision_feats = self.imagebind.encode_vision(frames_rgb[all_idx])
 
         # ---- audio features: ONE fbank program + ONE tower forward over all
         # segments' clips (the reference runs a CUDA round-trip per segment,

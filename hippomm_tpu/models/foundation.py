@@ -156,6 +156,13 @@ class ImageBind:
             handles.append((m, self._vision_prog(self.params, x)))
         return np.concatenate([fetch(h[:m], dtype=np.float32) for m, h in handles])
 
+    def vision_stream(self) -> "VisionEncodeStream":
+        """Incremental encode_vision for producers that discover frames over
+        time (the extractor's keyframe flushes): every full 32-frame chunk
+        dispatches immediately, so the ViT forward runs on device WHILE the
+        host is still decoding the rest of the video."""
+        return VisionEncodeStream(self)
+
     def encode_audio(self, pcm: np.ndarray, clips_per_video: int = 3) -> np.ndarray:
         """16 kHz mono float32 -> (1, 1024) fp32 (clip-ensembled)."""
         mel = preprocess_audio(
@@ -191,6 +198,78 @@ class ImageBind:
         if "text" in inputs:
             out["text"] = self.encode_text(inputs["text"])
         return out
+
+
+class VisionEncodeStream:
+    """Incremental form of `ImageBind.encode_vision`.
+
+    The whole-video ingest path used to be strictly serial: the host decodes
+    + scores every candidate frame, and only THEN does the engine dispatch the
+    vision tower over the kept keyframes — for a short clip that exposes the
+    full tower latency (upload + forward + fetch) after an already host-bound
+    extraction. Feeding kept frames here AS THEY ARE FLUSHED dispatches each
+    full 32-frame chunk immediately, so the tower runs behind the decode and
+    `result()` is usually a cheap fetch by the time the engine needs features
+    (VERDICT r2 next-#6: short-clip fixed overhead).
+
+    `result()` returns (N, 1024) fp32 in feed order. Per-frame outputs are
+    identical to `encode_vision` over the concatenation when N < BIG_CHUNK
+    (same 32-wide program; a ViT forward is row-independent, and pad rows are
+    never returned). For larger N `encode_vision` prefers 128-wide bulk
+    chunks — same math through a different XLA tiling, so values can differ
+    by bf16 epsilon; callers needing bit-equality with a one-shot encode
+    should not prefetch.
+    """
+
+    def __init__(self, ib: ImageBind):
+        self._ib = ib
+        self._buf: List[np.ndarray] = []
+        self._buffered = 0
+        self._handles: List[tuple] = []  # (n_real, device handle)
+        self._val: Optional[np.ndarray] = None
+
+    def feed(self, frames_u8: np.ndarray) -> None:
+        """Append uint8 (M, H, W, 3) frames; dispatches every full 32-chunk."""
+        if self._val is not None:
+            raise RuntimeError("VisionEncodeStream.feed() after result()")
+        if frames_u8 is None or len(frames_u8) == 0:
+            return
+        self._buf.append(np.asarray(frames_u8))
+        self._buffered += len(self._buf[-1])
+        while self._buffered >= CHUNK:
+            flat = np.concatenate(self._buf) if len(self._buf) > 1 else self._buf[0]
+            self._dispatch(flat[:CHUNK])
+            rest = flat[CHUNK:]
+            self._buf = [rest] if len(rest) else []
+            self._buffered = len(rest)
+
+    def _dispatch(self, chunk: np.ndarray) -> None:
+        m = len(chunk)
+        if m < CHUNK:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], CHUNK - m, axis=0)])
+        x = self._ib._shard_batch(jnp.asarray(chunk))
+        self._handles.append((m, self._ib._vision_prog(self._ib.params, x)))
+
+    @property
+    def frames_fed(self) -> int:
+        return sum(m for m, _ in self._handles) + self._buffered
+
+    def result(self) -> np.ndarray:
+        """Dispatch the (<32) remainder, fetch everything, concatenate."""
+        if self._val is None:
+            if self._buffered:
+                flat = np.concatenate(self._buf) if len(self._buf) > 1 else self._buf[0]
+                self._dispatch(flat)
+                self._buf, self._buffered = [], 0
+            fed = sum(m for m, _ in self._handles)
+            self._val = (
+                np.concatenate([fetch(h[:m], dtype=np.float32) for m, h in self._handles])
+                if self._handles
+                else np.zeros((0, self._ib.cfg.embed_dim), np.float32)
+            )
+            assert self._val.shape[0] == fed
+            self._handles = []
+        return self._val
 
 
 class StubWhisperSegments:

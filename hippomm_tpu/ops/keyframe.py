@@ -117,6 +117,19 @@ def seed_router_slow() -> None:
     _ROUTER.record_wedge()
 
 
+def reset_router() -> None:
+    """Forget accumulated transport-health state (EMA + host-mode deadline).
+
+    For drivers that KNOW the latency the router observed was not
+    representative: during a warm/compile pass the mask reads sit behind tens
+    of seconds of XLA compiles in the device queue, so the EMA diagnoses
+    "chronically slow transport" from queue wait — and every ingest in the
+    following 600 s reprobe window (the whole measured bench) then pays
+    ~0.2 s/video of host SSIM scoring on a perfectly healthy device path."""
+    global _ROUTER
+    _ROUTER = _ScanRouter()
+
+
 @jax.jit
 def _select_block(
     grays: jax.Array,  # (B, h, w) uint8 candidate frames
@@ -167,7 +180,7 @@ def _host_walk(grays: np.ndarray, times: np.ndarray, ref, cum: float, tlast: flo
     m = len(grays)
     mask = np.zeros(m, np.int32)
     g = np.ascontiguousarray(grays, np.float32)
-    sims = None
+    sims, sims_at = None, 0
     for j in range(m):
         t = float(times[j])
         if ref is None:
@@ -176,9 +189,12 @@ def _host_walk(grays: np.ndarray, times: np.ndarray, ref, cum: float, tlast: flo
             continue
         if t - tlast < gap:
             continue
-        if sims is None:  # one batched SSIM of the whole block vs current ref
-            sims = ssim_pairs_host(np.repeat(ref[None], m, axis=0), g)
-        diff = 1.0 - float(sims[j])
+        if sims is None:
+            # one batched SSIM vs the current ref — only for the REMAINING
+            # candidates (earlier ones are already decided; computing the full
+            # block again after every save roughly doubled host-walk cost)
+            sims, sims_at = ssim_pairs_host(np.repeat(ref[None], m - j, axis=0), g[j:]), j
+        diff = 1.0 - float(sims[j - sims_at])
         cum += diff
         if diff > thr or cum > thr:
             mask[j] = 1

@@ -338,16 +338,27 @@ def test_folder_driver_survives_wedged_video(tmp_path):
     cfg.storage.base_dir = str(tmp_path / "store")
     mem = HippocampalMemory(config=cfg)
 
-    real = mem.imagebind.encode_vision
+    # the folder driver prefetches the vision encode through a stream during
+    # extraction; the wedge (a dead-transport device read) surfaces at its
+    # result() fetch inside process_sequence — the same mid-engine point the
+    # old encode_vision call occupied
+    real_stream = mem.imagebind.vision_stream
     state = {"fired": False}
 
-    def flaky(frames):
-        if not state["fired"]:
-            state["fired"] = True
-            raise TimeoutError("device read wedged; transport appears down")
-        return real(frames)
+    class _FlakyStream:
+        def __init__(self, inner):
+            self._inner = inner
 
-    mem.imagebind.encode_vision = flaky
+        def feed(self, frames):
+            self._inner.feed(frames)
+
+        def result(self):
+            if not state["fired"]:
+                state["fired"] = True
+                raise TimeoutError("device read wedged; transport appears down")
+            return self._inner.result()
+
+    mem.imagebind.vision_stream = lambda: _FlakyStream(real_stream())
     stats = process_video_folder(
         str(videos), cfg.storage.base_dir, config=cfg, memory_system=mem,
         checkpoint_every=0, pipeline_lookahead=False,
@@ -365,3 +376,28 @@ def test_folder_driver_survives_wedged_video(tmp_path):
     assert not mem._full_audio
     assert not mem._full_transcript
     assert not mem._transcript_full_track
+
+
+def test_vision_prefetch_candidate_encode_matches_direct(tmp_path):
+    """Short clips encode ALL candidates during decode (encode_all_candidates
+    fast path) and index down to the kept keyframes — the features the engine
+    receives must equal encode_vision over the extractor's frames_rgb."""
+    from hippomm_tpu.core.batch_process import extract_frames_from_video
+    from hippomm_tpu.models.foundation import ImageBind
+
+    video = tmp_path / "clip.mp4"
+    write_synthetic_video(
+        str(video),
+        SynthSpec(duration=20.0, fps=2.0, width=160, height=120,
+                  scene_changes=(6.0, 13.0), seed=3),
+    )
+    ib = ImageBind(variant="tiny")
+    meta = extract_frames_from_video(
+        str(video), str(tmp_path / "store"), vision_stream=ib.vision_stream()
+    )
+    stream = meta["vision_stream"]
+    assert type(stream).__name__ == "_IndexedVisionStream"  # ≤64 candidates
+    frames = meta["frames_rgb"]
+    assert frames is not None and len(frames) >= 2
+    got = stream.result()
+    np.testing.assert_array_equal(got, ib.encode_vision(frames))

@@ -42,6 +42,29 @@ def test_encode_vision_big_chunk_tier(ib, rng):
     np.testing.assert_allclose(out[130], probe[0], atol=1e-4, rtol=1e-3)
 
 
+def test_vision_stream_matches_encode_vision(ib, rng):
+    """Incremental feeds (the extractor's flush pattern) must reproduce
+    encode_vision over the concatenation — same 32-wide program, so rows are
+    identical for N < 128."""
+    frames = rng.integers(0, 256, size=(71, 64, 96, 3)).astype(np.uint8)
+    s = ib.vision_stream()
+    for lo, hi in ((0, 7), (7, 40), (40, 41), (41, 71)):  # uneven flush sizes
+        s.feed(frames[lo:hi])
+    assert s.frames_fed == 71
+    out = s.result()
+    np.testing.assert_array_equal(out, ib.encode_vision(frames))
+    # result() is idempotent; feed-after-result is a caller bug
+    assert s.result() is out
+    with pytest.raises(RuntimeError):
+        s.feed(frames[:1])
+
+
+def test_vision_stream_empty(ib):
+    s = ib.vision_stream()
+    s.feed(np.zeros((0, 8, 8, 3), np.uint8))
+    assert s.result().shape == (0, 1024)
+
+
 def test_encode_text_deterministic(ib):
     a = ib.encode_text(["hello world"])
     b = ib.encode_text(["hello world"])
