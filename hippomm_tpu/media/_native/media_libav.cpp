@@ -231,6 +231,9 @@ void* hmm_av_open(const char* path) {
   avcodec_parameters_to_context(r->vdec, st->codecpar);
   r->vdec->thread_count = 0;  // auto
   r->vdec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  // NOTE: skip_loop_filter=AVDISCARD_ALL was measured (2026-08-19, 600 s
+  // fps=2 640x360 synth vlog, 1 core): 4.14-4.30 s vs 4.20-4.56 s baseline —
+  // no win; this content is intra-bound (GOP 4), so the knob stays out.
   if (avcodec_open2(r->vdec, codec, nullptr) < 0) {
     avcodec_free_context(&r->vdec);
     avformat_close_input(&r->fmt);

@@ -1,0 +1,146 @@
+"""Dissect the ViT-H b128 forward's non-matmul wall (SCALING.md MFU section).
+
+Measures, read-synced, at the flagship encode shape (B=128, T=257, D=1280,
+H=16, hd=80, 32 layers):
+  1. attention chain as the model runs it (split transposes + flash kernel
+     incl. its fold/pad + merge transpose)
+  2. the pallas kernel alone on pre-padded (g, T', hd') inputs
+  3. the split/merge transposes + the kernel's fold/pad, isolated
+  4. MLP as shipped (fp32 matmul out -> fp32 gelu -> cast) vs bf16-epilogue
+     variant (bf16 matmul out + bf16 bias -> bf16 gelu)
+  5. LN + residual chain alone
+Each row: ms per 32-layer chain, so numbers compare directly to the
+466-470 ms tower forward and the 97.3 ms attention-chain measurement.
+
+Usage: python scripts/vit_op_micro.py
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+import numpy as np, jax.numpy as jnp
+from functools import partial
+
+from hippomm_tpu.utils.device import fetch, warm_transport
+import hippomm_tpu.models.layers as L
+from hippomm_tpu.ops.flash_attention import _flash_mha_fwd_impl, flash_mha
+
+B, T, D, H, LAYERS = 128, 257, 1280, 16, 32
+HD = D // H
+SCALE = 1.0 / np.sqrt(HD)
+
+print("transport:", warm_transport())
+key = jax.random.PRNGKey(0)
+x = jax.device_put(jax.random.normal(key, (B, T, D), jnp.bfloat16))
+w_qkv = jax.device_put(0.02 * jax.random.normal(key, (3 * D, D), jnp.float32))
+b_qkv = jax.device_put(jnp.zeros((3 * D,), jnp.float32))
+w1 = jax.device_put(0.02 * jax.random.normal(key, (4 * D, D), jnp.float32))
+b1 = jax.device_put(jnp.zeros((4 * D,), jnp.float32))
+w2 = jax.device_put(0.02 * jax.random.normal(key, (D, 4 * D), jnp.float32))
+b2 = jax.device_put(jnp.zeros((D,), jnp.float32))
+lnp = {"weight": jax.device_put(jnp.ones((D,), jnp.float32)),
+       "bias": jax.device_put(jnp.zeros((D,), jnp.float32))}
+
+
+def chain(fn, n=LAYERS):
+    """fold fn n times so per-call dispatch overhead amortizes like the model."""
+    @jax.jit
+    def run(x0):
+        def body(h, _):
+            return fn(h), None
+        out, _ = jax.lax.scan(body, x0, None, length=n)
+        return out
+    return run
+
+
+def bench(name, run, x0, reps=3):
+    fetch(run(x0))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fetch(run(x0))
+    dt = (time.perf_counter() - t0) / reps * 1000
+    print(f"{name:44s} {dt:8.2f} ms /{LAYERS}L")
+    return dt
+
+
+def split(t):  # (B, T, D) -> (B, H, T, hd)
+    return t.reshape(B, T, H, HD).transpose(0, 2, 1, 3)
+
+
+# 1. attention chain exactly as attention() runs it (flash path, post-qkv)
+def attn_as_model(h):
+    qkv = jnp.dot(h, w_qkv.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    qkv = qkv + b_qkv
+    q, k, v = (qkv[..., :D].astype(jnp.bfloat16), qkv[..., D:2 * D].astype(jnp.bfloat16),
+               qkv[..., 2 * D:].astype(jnp.bfloat16))
+    o = flash_mha(split(q), split(k), split(v), float(SCALE))
+    return o.transpose(0, 2, 1, 3).reshape(B, T, D).astype(jnp.bfloat16)
+
+
+# 2. kernel alone on pre-split (B, H, T, hd) inputs (incl. its fold/pad)
+q0 = jax.device_put(jax.random.normal(key, (B, H, T, HD), jnp.bfloat16))
+def kernel_only(q):
+    return _flash_mha_fwd_impl(q, q, q, float(SCALE)).astype(jnp.bfloat16)
+
+
+# 3a. split/merge transposes alone
+def transposes_only(h):
+    q = split(h)
+    return q.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+# 3b. the kernel's fold+pad alone (what _flash_mha_fwd_impl does pre-call)
+HDP, TKP = 128, 384
+def foldpad_only(q):
+    t = q.reshape(B * H, T, HD)
+    t = jnp.pad(t, ((0, 0), (0, TKP - T), (0, HDP - HD)))
+    return t[:, :T, :HD].reshape(B, H, T, HD)
+
+
+# 4a. MLP as shipped: fp32 matmul out -> bias -> exact gelu -> cast at fc2
+def mlp_shipped(h):
+    y = jnp.dot(h, w1.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32) + b1
+    y = jax.nn.gelu(y, approximate=False)
+    z = jnp.dot(y.astype(jnp.bfloat16), w2.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + b2
+    return z.astype(jnp.bfloat16)
+
+
+# 4b. bf16-epilogue variant: matmul emits bf16, bias+gelu in bf16
+def mlp_bf16(h):
+    y = jnp.dot(h, w1.T.astype(jnp.bfloat16), preferred_element_type=jnp.bfloat16)
+    y = jax.nn.gelu(y + b1.astype(jnp.bfloat16), approximate=False)
+    z = jnp.dot(y, w2.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32) + b2
+    return z.astype(jnp.bfloat16)
+
+
+# 4c. fp32 accum, fused cast before gelu (gelu in bf16, accum precision kept)
+def mlp_bf16_gelu(h):
+    y = jnp.dot(h, w1.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    y = (y + b1).astype(jnp.bfloat16)
+    y = jax.nn.gelu(y, approximate=False)
+    z = jnp.dot(y, w2.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32) + b2
+    return z.astype(jnp.bfloat16)
+
+
+# 5. LN + residual chain alone (2 LN + 2 adds per layer, like encoder_block)
+def ln_res(h):
+    a = L.layer_norm(lnp, h, 1e-6, out_dtype=jnp.bfloat16)
+    h = h + a
+    b = L.layer_norm(lnp, h, 1e-6, out_dtype=jnp.bfloat16)
+    return h + b
+
+
+rows = {}
+rows["attn_chain_as_model"] = bench("1. attn chain (model path, post-qkv)", chain(attn_as_model), x)
+rows["kernel_only"] = bench("2. pallas kernel alone (pre-split inputs)", chain(kernel_only), q0)
+rows["transposes_only"] = bench("3a. split+merge transposes alone", chain(transposes_only), x)
+rows["foldpad_only"] = bench("3b. kernel fold+pad alone", chain(foldpad_only), q0)
+rows["mlp_shipped"] = bench("4a. MLP shipped (fp32 out -> gelu -> cast)", chain(mlp_shipped), x)
+rows["mlp_bf16"] = bench("4b. MLP bf16 epilogue (bias+gelu bf16)", chain(mlp_bf16), x)
+rows["mlp_bf16_gelu"] = bench("4c. MLP fp32 accum, gelu in bf16", chain(mlp_bf16_gelu), x)
+rows["ln_res"] = bench("5. LN+residual chain (2 LN + 2 adds)", chain(ln_res), x)
+
+import json
+print(json.dumps({k: round(v, 2) for k, v in rows.items()}))
