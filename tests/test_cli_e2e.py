@@ -401,3 +401,62 @@ def test_vision_prefetch_candidate_encode_matches_direct(tmp_path):
     assert frames is not None and len(frames) >= 2
     got = stream.result()
     np.testing.assert_array_equal(got, ib.encode_vision(frames))
+
+
+def test_vision_prefetch_keyframe_feed_matches_direct(tmp_path):
+    """Longer clips (>64 candidates) skip the candidate fast path and feed
+    only the KEPT keyframes as their scan mask flushes — the raw stream is
+    attached unindexed and its rows must equal encode_vision(frames_rgb)."""
+    from hippomm_tpu.core.batch_process import extract_frames_from_video
+    from hippomm_tpu.models.foundation import ImageBind, VisionEncodeStream
+
+    video = tmp_path / "clip.mp4"
+    write_synthetic_video(
+        str(video),
+        SynthSpec(duration=140.0, fps=2.0, width=160, height=120,
+                  scene_changes=(11.0, 40.0, 70.0, 100.0, 130.0), seed=5),
+    )
+    ib = ImageBind(variant="tiny")
+    meta = extract_frames_from_video(
+        str(video), str(tmp_path / "store"), vision_stream=ib.vision_stream()
+    )
+    stream = meta["vision_stream"]
+    assert type(stream) is VisionEncodeStream  # 70 candidates > 64
+    frames = meta["frames_rgb"]
+    assert frames is not None and stream.frames_fed == len(frames)
+    np.testing.assert_array_equal(stream.result(), ib.encode_vision(frames))
+
+
+def test_vision_prefetch_mismatch_falls_back_to_encode(tmp_path):
+    """A stream whose row count disagrees with frames_rgb (caller fed
+    different frames) must be discarded — the engine re-encodes rather than
+    mis-indexing features against frames."""
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.memory.engine import HippocampalMemory
+
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(4, 32, 32, 3)).astype(np.uint8)
+    bad = mem.imagebind.vision_stream()
+    bad.feed(frames[:2])  # 2 rows for 4 frames
+    stms = mem.process_sequence(
+        "v_mismatch",
+        frame_paths=[f"f{i}.jpg" for i in range(4)],
+        frame_times=[0.0, 1.0, 2.0, 3.0],
+        frames_rgb=frames,
+        audio_data=None,
+        sample_rate=16000,
+        video_duration=4.0,
+        auto_consolidate=False,
+        vision_stream=bad,
+    )
+    assert stms
+    want = mem.imagebind.encode_vision(frames)
+    got = np.concatenate([s.features["vision"] for s in stms])
+    np.testing.assert_array_equal(got, want[: len(got)])
