@@ -372,9 +372,8 @@ def main() -> None:
     # compile per bucket; every first execution also stalls seconds on this
     # transport, so warm ONLY what the workloads need — the 256/512 rungs and
     # the 128-wide vision tier belong to longer videos than any bench clip)
-    from hippomm_tpu.ops.similarity import warm_keyframe_buckets
-
-    warm_keyframe_buckets(max_n=128)
+    # (keyframe-dedup bucket warms dropped: n ≤ 256 consolidations now run the
+    # host greedy — no device program to warm at bench scales)
 
     # the warm pass's mask reads sat BEHIND its XLA compiles in the device
     # queue, so the scan router's latency EMA has just diagnosed "chronically

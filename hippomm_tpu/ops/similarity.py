@@ -142,6 +142,28 @@ def warm_keyframe_buckets(max_n: int = 256, threshold: float = 0.9, dim: int = 1
         n = b + 1
 
 
+# Below this row count the greedy dedup runs on host numpy: the sim-matrix
+# build is ~N²·D FLOPs (N=256, D=1024 → 67 MFLOP, ~10 ms single-core) while a
+# device dispatch+read costs a full transport round trip — ~20-30 ms healthy,
+# 0.5-2 s on a degraded tunnel (the measured `consolidate` stage variance).
+# Typical videos consolidate 10-40 keyframes; only hour-scale stores cross this.
+_HOST_DEDUP_MAX_N = 256
+
+
+def _select_keyframes_host(features: np.ndarray, threshold: float) -> np.ndarray:
+    """Host greedy dedup, semantics identical to select_keyframes_mask:
+    take frame 0; take frame i iff max cosine sim to all selected < threshold
+    (the reference's loop, hippocampal_memory.py:944-967)."""
+    norms = np.maximum(np.linalg.norm(features, axis=1, keepdims=True), _EPS)
+    unit = features / norms
+    sims = unit @ unit.T
+    selected = [0]
+    for i in range(1, features.shape[0]):
+        if np.max(sims[i, selected]) < threshold:
+            selected.append(i)
+    return np.asarray(selected, dtype=np.int64)
+
+
 def select_keyframes(features: np.ndarray, threshold: float = 0.9) -> np.ndarray:
     """Host wrapper: returns selected indices (ascending), like the reference."""
     features = np.asarray(features, dtype=np.float32)
@@ -150,6 +172,8 @@ def select_keyframes(features: np.ndarray, threshold: float = 0.9) -> np.ndarray
         return np.zeros((0,), dtype=np.int64)
     if n == 1:
         return np.zeros((1,), dtype=np.int64)
+    if n <= _HOST_DEDUP_MAX_N:
+        return _select_keyframes_host(features, float(threshold))
     b = keyframe_bucket(n)
     if b != n:
         features = np.concatenate(

@@ -35,8 +35,6 @@ from hippomm_tpu.utils.device import warm_transport
 warm_transport()
 process_video_folder(warm, cfg.storage.base_dir, config=cfg, memory_system=mem,
                      checkpoint_every=0)
-from hippomm_tpu.ops.similarity import warm_keyframe_buckets
-warm_keyframe_buckets(max_n=128)
 # the warm pass's mask reads queued behind compiles — drop the poisoned
 # router EMA exactly like bench.py does before its measured runs
 from hippomm_tpu.ops.keyframe import reset_router

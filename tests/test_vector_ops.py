@@ -75,3 +75,16 @@ def test_select_keyframes_matches_greedy_reference(rng):
     got = select_keyframes(feats, threshold=0.9)
     np.testing.assert_array_equal(got, np.array(selected))
     assert 2 <= len(got) <= 8
+
+    # n=28 routed to the host greedy; force the DEVICE scan over the same
+    # input and require identical selections (small-N routing must be a pure
+    # latency decision, never a semantics one)
+    import hippomm_tpu.ops.similarity as sim
+
+    orig = sim._HOST_DEDUP_MAX_N
+    sim._HOST_DEDUP_MAX_N = 0
+    try:
+        dev = select_keyframes(feats, threshold=0.9)
+    finally:
+        sim._HOST_DEDUP_MAX_N = orig
+    np.testing.assert_array_equal(dev, got)
