@@ -410,11 +410,17 @@ def extract_frames_streaming(
 
     # metadata over the WHOLE video (resume path recomputes nothing)
     with timers.stage("extract_seg_ssim"):
-        if all_saved_cand:
+        if not all_saved_cand:
+            full_ssim = None
+        elif not np.isfinite(emit_seconds):
+            # whole-video mode emits exactly once, so the final chunk's
+            # adjacent pairs ARE the whole-video pairs — recomputing them was
+            # a second synchronous device round trip per video (~0.4 s on the
+            # tunneled transport, ~30% of a 30 s clip's post-warm wall)
+            full_ssim = np.asarray(final["frame_ssim"], np.float32)
+        else:
             grays_all = np.concatenate(all_gray_blocks)
             full_ssim = adjacent_similarity_gray(grays_all[all_saved_cand])
-        else:
-            full_ssim = None
     with timers.stage("extract_jpeg_save"):
         for f in jpeg_futs:
             f.result()
