@@ -72,6 +72,14 @@ def test_streaming_selects_identical_keyframes(video_path, tmp_path_factory):
     with open(os.path.join(stream_dir, "frames", "v", "metadata.yaml")) as f:
         meta = yaml.safe_load(f)
     assert meta["frame_times"] == whole["frame_times"]
+    # whole-video mode reuses its single chunk's adjacent SSIM as the metadata
+    # frame_ssim; streaming recomputes cross-chunk pairs — the two must be the
+    # same quantity (guards the single-emit shortcut in extract_frames_streaming)
+    np.testing.assert_allclose(
+        np.asarray(whole["frame_ssim"], np.float32),
+        np.asarray(meta["frame_ssim"], np.float32),
+        rtol=0, atol=1e-5,
+    )
 
 
 def test_streaming_ingest_one_event_full_coverage(video_path, tmp_path_factory):
