@@ -31,6 +31,7 @@ from hippomm_tpu.models.clients import ChatClient, make_client
 from hippomm_tpu.models.imagebind import model as ib_model
 from hippomm_tpu.models.imagebind.preprocess import load_tokenizer, preprocess_audio
 from hippomm_tpu.models.whisper import model as wh_model
+from hippomm_tpu.ops.resize import normalize_nchw, resize_crop_u8
 from hippomm_tpu.models.whisper.transcribe import Segment, WhisperTranscriber
 
 logger = logging.getLogger(__name__)
@@ -101,15 +102,15 @@ class ImageBind:
         self.tokenizer = load_tokenizer(
             tok_dir, vocab_size=self.cfg.vocab_size, context_length=self.cfg.context_length
         )
-        # ONE fused program: uint8 frames -> resize/normalize -> ViT forward.
-        # Separate preprocess + forward programs cost two dispatches per chunk
-        # and leave the normalized tensor bouncing through transfer buffers.
-        from hippomm_tpu.ops.resize import resize_normalize
-
+        # ONE fused program: uint8 224-crops -> normalize -> ViT forward.
+        # The resize+crop runs on HOST (PIL, the reference's own transform
+        # chain) so only (B, S, S, 3) uint8 crosses the link: raw 360x640
+        # frames cost ~425 ms upload per 32-chunk on the tunneled transport
+        # vs ~205 ms for the forward itself (scripts/vision_dispatch_micro).
         cfg, dtype = self.cfg, self.dtype
         self._vision_prog = jax.jit(
-            lambda p, frames_u8: ib_model.vision_forward(
-                p, resize_normalize(frames_u8, cfg.image_size), cfg, dtype
+            lambda p, crops_u8: ib_model.vision_forward(
+                p, normalize_nchw(crops_u8), cfg, dtype
             )
         )
 
@@ -130,14 +131,15 @@ class ImageBind:
     def encode_vision(self, frames: Union[np.ndarray, Sequence[str]]) -> np.ndarray:
         """uint8 (N, H, W, 3) frames or jpeg paths -> (N, 1024) fp32.
         Runs in fixed-size chunks (128-wide bulk tier + 32-wide remainder —
-        exactly two compiled shapes for any N)."""
+        exactly two compiled shapes for any N). Frames are resized+cropped on
+        host (reference's PIL chain) so only S×S uint8 crops cross the link."""
         if len(frames) == 0:
             return np.zeros((0, self.cfg.embed_dim), np.float32)
         if isinstance(frames[0], str):
             from hippomm_tpu.media.io import read_jpeg
 
             frames = np.stack([read_jpeg(p) for p in frames])
-        frames = np.asarray(frames)
+        frames = resize_crop_u8(frames, self.cfg.image_size)
         n = frames.shape[0]
         handles = []  # dispatch ALL chunks async, fetch after: the device
         # pipelines chunk i+1 behind chunk i instead of idling per host sync
@@ -229,12 +231,14 @@ class VisionEncodeStream:
         self._val: Optional[np.ndarray] = None
 
     def feed(self, frames_u8: np.ndarray) -> None:
-        """Append uint8 (M, H, W, 3) frames; dispatches every full 32-chunk."""
+        """Append uint8 (M, H, W, 3) frames; dispatches every full 32-chunk.
+        The host resize+crop runs here, per feed block, so its ~2.8 ms/frame
+        spreads across decode instead of landing on the result() wait."""
         if self._val is not None:
             raise RuntimeError("VisionEncodeStream.feed() after result()")
         if frames_u8 is None or len(frames_u8) == 0:
             return
-        self._buf.append(np.asarray(frames_u8))
+        self._buf.append(resize_crop_u8(frames_u8, self._ib.cfg.image_size))
         self._buffered += len(self._buf[-1])
         while self._buffered >= CHUNK:
             flat = np.concatenate(self._buf) if len(self._buf) > 1 else self._buf[0]

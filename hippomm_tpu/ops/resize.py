@@ -52,6 +52,56 @@ def resize_normalize(
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+@jax.jit
+def normalize_nchw(crops_u8: jax.Array) -> jax.Array:
+    """uint8 (B, S, S, 3) pre-resized crops -> CLIP-normalized (B, 3, S, S)
+    fp32. Device half of the split preprocess: the resize+crop runs on HOST
+    (`resize_crop_u8`) so only 224x224 uint8 crops cross the link — measured
+    on the tunneled v5e transport, uploading raw 360x640 frames cost
+    ~425 ms per 32-chunk (22 MB at ~50 MB/s) vs ~205 ms for the ViT-H forward
+    itself, making ingest upload-bandwidth-bound (scripts/vision_dispatch_micro)."""
+    x = crops_u8.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(CLIP_MEAN, dtype=jnp.float32)
+    std = jnp.asarray(CLIP_STD, dtype=jnp.float32)
+    x = (x - mean) / std
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def resize_crop_u8(frames, size: int = 224):
+    """HOST-side PIL preprocess: uint8 (B, H, W, 3) RGB -> uint8 (B, size,
+    size, 3) resized short-side + center-cropped.
+
+    This IS the reference's transform chain (PIL Resize(short=size, BICUBIC)
+    -> CenterCrop(size), foundation_models.py:48-114) including PIL's uint8
+    quantization of the resized image — closer to reference semantics than
+    the fused fp32 device resize, at 4.6x fewer bytes over the host->device
+    link (the ingest bottleneck on tunneled transports; see `normalize_nchw`).
+    ~2.8 ms/frame single-core; callers on the ingest path spread it across
+    decode blocks via `VisionEncodeStream.feed`.
+    """
+    import numpy as np
+    from PIL import Image
+
+    frames = np.asarray(frames)
+    if frames.dtype != np.uint8:
+        frames = np.clip(frames, 0, 255).astype(np.uint8)
+    n = len(frames)
+    out = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        im = Image.fromarray(frames[i])
+        w, h = im.size
+        # torchvision truncates the long side (int(size * long / short))
+        if h <= w:
+            nh, nw = size, max(size, int(w * size / h))
+        else:
+            nh, nw = max(size, int(h * size / w)), size
+        if (nw, nh) != (w, h):
+            im = im.resize((nw, nh), Image.BICUBIC)
+        top, left = (nh - size) // 2, (nw - size) // 2
+        out[i] = np.asarray(im)[top : top + size, left : left + size]
+    return out
+
+
 @partial(jax.jit, static_argnames=("height", "width"))
 def resize_frames(frames: jax.Array, height: int, width: int) -> jax.Array:
     """Plain bilinear uint8 frame resize (B, H, W, C) -> (B, height, width, C),

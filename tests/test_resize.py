@@ -84,3 +84,19 @@ def test_resize_frames(rng):
     out = np.asarray(resize_frames(frames, 180, 320))
     assert out.shape == (3, 180, 320, 3)
     assert out.dtype == np.uint8
+
+
+def test_host_resize_plus_device_normalize_matches_pil_oracle_exactly(rng):
+    """The split preprocess (HOST resize_crop_u8 -> DEVICE normalize_nchw) is
+    the product vision path (foundation._vision_prog). Unlike the fused fp32
+    device resize (atol 0.02 vs PIL's own uint8 quantization), the host half
+    IS the reference chain, so agreement is fp32-rounding-exact."""
+    from hippomm_tpu.ops.resize import normalize_nchw, resize_crop_u8
+
+    for shape in [(360, 640), (448, 448), (120, 160)]:
+        img = _smooth_image(rng, *shape)
+        want = _pil_oracle(img)
+        crops = resize_crop_u8(img[None], size=224)
+        assert crops.dtype == np.uint8 and crops.shape == (1, 224, 224, 3)
+        got = np.asarray(normalize_nchw(crops))[0]
+        np.testing.assert_allclose(got, want, atol=1e-5), shape
