@@ -383,6 +383,61 @@ class HippocampalMemory:
                 idx = np.zeros((0,), int)
             seg_frame_idx.append(idx)
 
+        # ---- audio features: ONE fbank program + ONE tower forward over all
+        # segments' clips (the reference runs a CUDA round-trip per segment,
+        # :1172-1266; a per-clip loop here would be ~70 dispatches per video).
+        # Dispatched BEFORE the vision fetch below: both towers queue on the
+        # device together and the host pays one drain instead of two
+        # (serialized vision-wait -> audio-dispatch -> audio-wait cost ~0.15 s
+        # per short clip, measured on the clip30 micro).
+        from hippomm_tpu.models.imagebind.preprocess import preprocess_audio_batch
+        from hippomm_tpu.models.imagebind import model as ib_model
+        import jax.numpy as jnp
+
+        audio_embs: Dict[int, np.ndarray] = {}
+        pcm_batch, mel_owner = [], []
+        for si, seg in enumerate(segments):
+            a = seg.audio_data
+            if a is None or len(a) < sample_rate // 10:
+                continue
+            peak = float(np.max(np.abs(a))) or 1.0
+            pcm_batch.append(a / peak)
+            mel_owner.append(si)
+        audio_handles = []
+        if pcm_batch:
+            with self.timers.stage("encode_audio"):
+                # mels stay DEVICE-resident between fbank and the tower — a
+                # fetch+re-upload between the two programs costs two tunnel
+                # round trips for nothing
+                mels = preprocess_audio_batch(
+                    pcm_batch,
+                    mel_bins=self.imagebind.cfg.audio_mel_bins,
+                    target_len=self.imagebind.cfg.audio_target_len,
+                )
+                n_mels = mels.shape[0]
+                # fixed 32-segment chunks: one compiled tower shape for any
+                # segment count (hour-long videos have 100+). Dispatch ALL
+                # chunks first (async), fetch after — the device pipelines
+                # them back-to-back instead of idling at each host sync.
+                for lo in range(0, n_mels, 32):
+                    part = mels[lo : lo + 32]
+                    n_real = part.shape[0]
+                    if n_real < 32:
+                        part = jnp.concatenate(
+                            [part, jnp.repeat(part[-1:], 32 - n_real, axis=0)]
+                        )
+                    audio_handles.append(
+                        (
+                            n_real,
+                            ib_model.audio_forward(
+                                self.imagebind.params,
+                                self.imagebind._shard_batch(part),
+                                self.imagebind.cfg,
+                                self.imagebind.dtype,
+                            ),
+                        )
+                    )
+
         vision_feats: Optional[np.ndarray] = None
         if frames_rgb is not None and len(frames_rgb):
             all_idx = np.concatenate([i for i in seg_frame_idx]) if seg_frame_idx else []
@@ -406,58 +461,10 @@ class HippocampalMemory:
                 with self.timers.stage("encode_vision"):
                     vision_feats = self.imagebind.encode_vision(frames_rgb[all_idx])
 
-        # ---- audio features: ONE fbank program + ONE tower forward over all
-        # segments' clips (the reference runs a CUDA round-trip per segment,
-        # :1172-1266; a per-clip loop here would be ~70 dispatches per video)
-        from hippomm_tpu.models.imagebind.preprocess import preprocess_audio_batch
-        from hippomm_tpu.models.imagebind import model as ib_model
-        import jax.numpy as jnp
-
-        audio_embs: Dict[int, np.ndarray] = {}
-        pcm_batch, mel_owner = [], []
-        for si, seg in enumerate(segments):
-            a = seg.audio_data
-            if a is None or len(a) < sample_rate // 10:
-                continue
-            peak = float(np.max(np.abs(a))) or 1.0
-            pcm_batch.append(a / peak)
-            mel_owner.append(si)
-        if pcm_batch:
+        if audio_handles:
             with self.timers.stage("encode_audio"):
-                # mels stay DEVICE-resident between fbank and the tower — a
-                # fetch+re-upload between the two programs costs two tunnel
-                # round trips for nothing
-                mels = preprocess_audio_batch(
-                    pcm_batch,
-                    mel_bins=self.imagebind.cfg.audio_mel_bins,
-                    target_len=self.imagebind.cfg.audio_target_len,
-                )
-                n_mels = mels.shape[0]
-                # fixed 32-segment chunks: one compiled tower shape for any
-                # segment count (hour-long videos have 100+). Dispatch ALL
-                # chunks first (async), fetch after — the device pipelines
-                # them back-to-back instead of idling at each host sync.
-                handles = []
-                for lo in range(0, n_mels, 32):
-                    part = mels[lo : lo + 32]
-                    n_real = part.shape[0]
-                    if n_real < 32:
-                        part = jnp.concatenate(
-                            [part, jnp.repeat(part[-1:], 32 - n_real, axis=0)]
-                        )
-                    handles.append(
-                        (
-                            n_real,
-                            ib_model.audio_forward(
-                                self.imagebind.params,
-                                self.imagebind._shard_batch(part),
-                                self.imagebind.cfg,
-                                self.imagebind.dtype,
-                            ),
-                        )
-                    )
                 embs = np.concatenate(
-                    [fetch(h, dtype=np.float32)[:n_real] for n_real, h in handles]
+                    [fetch(h, dtype=np.float32)[:n_real] for n_real, h in audio_handles]
                 )
             for si, e in zip(mel_owner, embs):
                 audio_embs[si] = e[None]

@@ -1,11 +1,17 @@
-"""Attribute the short-clip encode_vision wait (clip30: ~0.9 s for ~60 frames).
+"""Attribute the short-clip encode_vision wait (clip30 micro's dominant stage).
 
-Times, read-synced on the real device, for the exact product program
-(`ImageBind._vision_prog`: uint8 -> resize/normalize -> ViT-H forward):
-  a. host->device upload of one 32-wide 360x640 uint8 chunk (device_put alone)
-  b. forward with input ALREADY on device
-  c. forward from host numpy (upload + forward, as the stream dispatches)
-  d. two back-to-back chunks from host numpy (the clip30 shape: 64 candidates)
+History: with the fused on-device resize, uploading raw 360x640 uint8 chunks
+measured ~425 ms per 32-chunk (22 MB at ~50 MB/s effective on the tunneled
+transport) vs ~205 ms for the ViT-H forward itself — ingest was
+upload-bandwidth-bound. The product path now resizes on HOST (PIL, the
+reference's exact transform chain) and uploads only (B, 224, 224, 3) uint8.
+
+Times, read-synced on the real device:
+  a. host PIL resize+crop of one 32-wide 360x640 chunk (pure host)
+  b. upload of the 32x224x224x3 uint8 crops (device_put + 1-elem read)
+  c. vision_prog fwd with crops ALREADY on device (pure compute)
+  d. vision_prog fwd from host crops (upload + fwd, as the stream dispatches)
+  e. two chunks end-to-end from raw frames (the clip30 shape: 64 candidates)
 
 Usage: python scripts/vision_dispatch_micro.py
 """
@@ -16,15 +22,15 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 import numpy as np, jax.numpy as jnp
 
-from hippomm_tpu.config import Config
 from hippomm_tpu.models.foundation import ImageBind
+from hippomm_tpu.ops.resize import resize_crop_u8
 from hippomm_tpu.utils.device import fetch, warm_transport
 
 print("transport:", warm_transport())
-cfg = Config()
 ib = ImageBind(variant="huge", model_path="")
 rng = np.random.default_rng(0)
-chunk = rng.integers(0, 255, (32, 360, 640, 3), dtype=np.uint8)
+raw = rng.integers(0, 255, (32, 360, 640, 3), dtype=np.uint8)
+crops = resize_crop_u8(raw, ib.cfg.image_size)
 
 def timed(name, fn, reps=5):
     fn()  # warm
@@ -35,23 +41,26 @@ def timed(name, fn, reps=5):
     print(f"{name:58s} {dt:8.1f} ms")
     return dt
 
-# a. upload alone (block on the transfer with a tiny reduce read)
+timed("a. host PIL resize+crop 32x360x640 -> 224 (pure host)",
+      lambda: resize_crop_u8(raw, ib.cfg.image_size))
+
 def upload():
-    x = jnp.asarray(chunk)
+    x = jnp.asarray(crops)
     fetch(x[0, 0, 0, 0].astype(jnp.int32))
-timed("a. upload 32x360x640x3 uint8 (22 MB) + 1-elem read", upload)
+timed("b. upload 32x224x224x3 uint8 (4.8 MB) + 1-elem read", upload)
 
-# b. forward, input resident
-xdev = jax.device_put(jnp.asarray(chunk))
+xdev = jax.device_put(jnp.asarray(crops))
 fetch(xdev[0, 0, 0, 0].astype(jnp.int32))
-timed("b. vision_prog fwd, input on device", lambda: fetch(ib._vision_prog(ib.params, xdev), dtype=np.float32))
+timed("c. vision_prog fwd, crops on device",
+      lambda: fetch(ib._vision_prog(ib.params, xdev), dtype=np.float32))
 
-# c. upload + forward (stream dispatch shape)
-timed("c. vision_prog fwd from host numpy (upload+fwd)", lambda: fetch(ib._vision_prog(ib.params, jnp.asarray(chunk)), dtype=np.float32))
+timed("d. vision_prog fwd from host crops (upload+fwd)",
+      lambda: fetch(ib._vision_prog(ib.params, jnp.asarray(crops)), dtype=np.float32))
 
-# d. two chunks dispatched async then both fetched (clip30's 64 candidates)
 def two():
-    h1 = ib._vision_prog(ib.params, jnp.asarray(chunk))
-    h2 = ib._vision_prog(ib.params, jnp.asarray(chunk))
+    c1 = resize_crop_u8(raw, ib.cfg.image_size)
+    h1 = ib._vision_prog(ib.params, jnp.asarray(c1))
+    c2 = resize_crop_u8(raw, ib.cfg.image_size)
+    h2 = ib._vision_prog(ib.params, jnp.asarray(c2))
     fetch(h1, dtype=np.float32); fetch(h2, dtype=np.float32)
-timed("d. 2 chunks async-dispatched, both fetched", two)
+timed("e. 2 chunks from raw frames (resize+upload+fwd, async)", two)
