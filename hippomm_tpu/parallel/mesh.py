@@ -125,6 +125,70 @@ def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(one, params)
 
 
+def zero1_shardings(params, mesh: Mesh):
+    """ZeRO-1 (optimizer-state sharding) specs: each tensor keeps its TP spec
+    and additionally shards its first still-unsharded, divisible dim over
+    "data" — so AdamW's mu/nu (2× params in fp32) split across the data axis
+    instead of replicating. XLA's SPMD partitioner then materializes the
+    classic ZeRO-1 schedule from the sharding constraints alone: the gradient
+    psum becomes psum+slice (reduce_scatter) into the moment update, and
+    optax.apply_updates' param add gathers the sharded update (all_gather) —
+    no hand-written collectives. Deliberately NOT named on the "replica"
+    (DCN) axis: sharding moments across slices would put an all-gather on
+    DCN every step; moments replicate across slices and shard inside one.
+
+    Memory: AdamW on ImageBind-Huge is ~8.6 GB of moments; on an 8-chip
+    (data=4, model=2) v5e mesh, zero1 cuts the per-chip moment residency
+    from ~4.3 GB (TP alone halves it) to ~1.1 GB.
+    """
+    dsize = mesh.shape["data"]
+    base = param_shardings(params, mesh)
+
+    def one(leaf, sh):
+        dims = np.shape(leaf)
+        spec = list(sh.spec) + [None] * (len(dims) - len(sh.spec))
+        for i, d in enumerate(dims):
+            if spec[i] is None and d % dsize == 0 and d >= dsize:
+                spec[i] = "data"
+                break
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(one, params, base)
+
+
+def _path_keys(path_entries) -> tuple:
+    return tuple(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path_entries
+    )
+
+
+def zero1_opt_shardings(opt_state, params, mesh: Mesh):
+    """Sharding tree for an optax opt_state mirroring `zero1_shardings`.
+
+    optax states embed copies of the param pytree (ScaleByAdamState.mu/.nu),
+    so each opt-state leaf is matched to its param by PATH TAIL: the leaf at
+    `[0].mu.vision.blocks...` adopts the zero1 spec of param
+    `vision.blocks...`; leaves with no param tail match (step counts,
+    schedule scalars) replicate. Works for any optax chain without
+    hard-coding its state structure.
+    """
+    z1 = zero1_shardings(params, mesh)
+    flat, _ = jax.tree_util.tree_flatten_with_path(
+        z1, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+    by_tail = {_path_keys(path): sh for path, sh in flat}
+
+    def one(path_entries, leaf):
+        keys = _path_keys(path_entries)
+        for start in range(len(keys)):
+            sh = by_tail.get(keys[start:])
+            if sh is not None and len(sh.spec) <= np.ndim(leaf):
+                return sh
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(one, opt_state)
+
+
 def data_axis_size(mesh: Mesh) -> int:
     """Total ways the batch axis splits under data_sharding — data × replica
     on a multi-slice mesh. Divisibility gates MUST use this, not

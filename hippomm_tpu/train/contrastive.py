@@ -57,13 +57,24 @@ def init_train_state(
     mesh,
     learning_rate: float = 1e-5,
     weight_decay: float = 0.01,
+    zero1: bool = False,
 ):
-    """(params, opt_state, tx) with params placed per the TP sharding rules."""
+    """(params, opt_state, tx, shardings) with params placed per the TP
+    sharding rules. With zero1=True, AdamW's moments are additionally
+    sharded over the "data" axis (ZeRO-1; parallel/mesh.zero1_shardings) —
+    pass make_train_step(opt_shardings=zero1_opt_shardings(...)) to pin the
+    step's opt-state placement to match."""
     params = init_imagebind(key, cfg)
     shardings = param_shardings(params, mesh)
     params = jax.device_put(params, shardings)
     tx = optax.adamw(learning_rate, weight_decay=weight_decay)
     opt_state = tx.init(params)
+    if zero1:
+        from hippomm_tpu.parallel.mesh import zero1_opt_shardings
+
+        opt_state = jax.device_put(
+            opt_state, zero1_opt_shardings(opt_state, params, mesh)
+        )
     return params, opt_state, tx, shardings
 
 
@@ -236,8 +247,15 @@ def make_train_step_moe(
     return run
 
 
-def make_train_step(cfg: ImageBindConfig, mesh, tx, shardings, dtype=jnp.bfloat16):
-    """Jitted pjit train step: (params, opt_state, images, tokens) → updated."""
+def make_train_step(cfg: ImageBindConfig, mesh, tx, shardings, dtype=jnp.bfloat16,
+                    opt_shardings=None):
+    """Jitted pjit train step: (params, opt_state, images, tokens) → updated.
+
+    opt_shardings (from parallel/mesh.zero1_opt_shardings) pins the opt state
+    to its ZeRO-1 placement in AND out, so XLA lowers the moment update as a
+    reduce_scatter of the gradient and apply_updates as an all_gather of the
+    sharded update — without it the moments follow the input placement
+    (replicated over "data" when init_train_state ran with zero1=False)."""
 
     def step(params, opt_state, images, tokens):
         (loss, metrics), grads = jax.value_and_grad(
@@ -247,10 +265,11 @@ def make_train_step(cfg: ImageBindConfig, mesh, tx, shardings, dtype=jnp.bfloat1
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    # opt-state shardings follow params (jit infers them from the input placement)
+    # None: opt-state shardings follow the input placement (jit infers them)
     return jax.jit(
         step,
-        in_shardings=(shardings, None, data_sharding(mesh, 4), data_sharding(mesh, 2)),
-        out_shardings=(shardings, None, None),
+        in_shardings=(shardings, opt_shardings, data_sharding(mesh, 4),
+                      data_sharding(mesh, 2)),
+        out_shardings=(shardings, opt_shardings, None),
         donate_argnums=(0, 1),
     )
