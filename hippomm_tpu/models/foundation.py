@@ -221,23 +221,44 @@ class VisionEncodeStream:
     chunks — same math through a different XLA tiling, so values can differ
     by bf16 epsilon; callers needing bit-equality with a one-shot encode
     should not prefetch.
+
+    The host resize+crop and the device dispatch run on ONE worker thread:
+    PIL's resample and the extractor's C++ decode both release the GIL, so
+    the ~2.8 ms/frame preprocess overlaps the decode AND the extractor's
+    device-mask waits instead of adding to the decode loop's critical path
+    (measured ~4 s/run of extract_vision_feed on the 2×10-min headline when
+    it ran inline). One worker keeps feed order, so the output is unchanged.
+    The same pattern already drives the full-track ASR future
+    (engine.py: whisper.transcribe on a 1-thread executor).
     """
 
     def __init__(self, ib: ImageBind):
         self._ib = ib
-        self._buf: List[np.ndarray] = []
-        self._buffered = 0
-        self._handles: List[tuple] = []  # (n_real, device handle)
+        self._buf: List[np.ndarray] = []  # worker-thread only (until drain)
+        self._buffered = 0  # worker-thread only (until drain)
+        self._handles: List[tuple] = []  # (n_real, device handle); worker only
         self._val: Optional[np.ndarray] = None
+        self._n_fed = 0
+        self._pool = None
+        self._jobs: List = []
 
     def feed(self, frames_u8: np.ndarray) -> None:
-        """Append uint8 (M, H, W, 3) frames; dispatches every full 32-chunk.
-        The host resize+crop runs here, per feed block, so its ~2.8 ms/frame
-        spreads across decode instead of landing on the result() wait."""
+        """Append uint8 (M, H, W, 3) frames; the worker thread resizes and
+        dispatches every full 32-chunk."""
         if self._val is not None:
             raise RuntimeError("VisionEncodeStream.feed() after result()")
         if frames_u8 is None or len(frames_u8) == 0:
             return
+        frames_u8 = np.asarray(frames_u8)
+        self._n_fed += len(frames_u8)
+        if self._pool is None:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        self._jobs.append(self._pool.submit(self._ingest, frames_u8))
+
+    def _ingest(self, frames_u8: np.ndarray) -> None:
+        # worker thread: resize+crop (reference PIL chain), chunk, dispatch
         self._buf.append(resize_crop_u8(frames_u8, self._ib.cfg.image_size))
         self._buffered += len(self._buf[-1])
         while self._buffered >= CHUNK:
@@ -256,22 +277,28 @@ class VisionEncodeStream:
 
     @property
     def frames_fed(self) -> int:
-        return sum(m for m, _ in self._handles) + self._buffered
+        return self._n_fed
 
     def result(self) -> np.ndarray:
-        """Dispatch the (<32) remainder, fetch everything, concatenate."""
+        """Drain the worker, dispatch the (<32) remainder, fetch, concatenate."""
         if self._val is None:
+            for j in self._jobs:  # drain; re-raises a worker failure here
+                j.result()
+            self._jobs = []
+            if self._pool is not None:
+                self._pool.shutdown(wait=True)
+                self._pool = None
             if self._buffered:
                 flat = np.concatenate(self._buf) if len(self._buf) > 1 else self._buf[0]
                 self._dispatch(flat)
                 self._buf, self._buffered = [], 0
             fed = sum(m for m, _ in self._handles)
+            assert fed == self._n_fed, (fed, self._n_fed)
             self._val = (
                 np.concatenate([fetch(h[:m], dtype=np.float32) for m, h in self._handles])
                 if self._handles
                 else np.zeros((0, self._ib.cfg.embed_dim), np.float32)
             )
-            assert self._val.shape[0] == fed
             self._handles = []
         return self._val
 
