@@ -74,11 +74,28 @@ def _emit(record: dict) -> None:
             f.write("\n")
         os.replace(tmp, os.path.join(here, "BENCH_DETAIL.json"))
         if record.get("value"):
-            tmp = os.path.join(here, ".BENCH_LOCAL.tmp")
-            with open(tmp, "w") as f:
-                json.dump(record, f)
-                f.write("\n")
-            os.replace(tmp, os.path.join(here, "BENCH_LOCAL.json"))
+            # "last known GOOD": a run labeled degraded-transport does not
+            # clobber an unlabeled (clean-link) measurement — today's 23x
+            # through a wedging tunnel is not a better fallback label than
+            # yesterday's 63.5x of the same system
+            lp = os.path.join(here, "BENCH_LOCAL.json")
+            degraded = record.get("extra", {}).get("env") == "degraded-transport"
+            prior_clean = False
+            if degraded and os.path.exists(lp):
+                try:
+                    with open(lp) as f:
+                        prior = json.load(f)
+                    prior_clean = bool(prior.get("value")) and (
+                        prior.get("extra", {}).get("env") != "degraded-transport"
+                    )
+                except Exception:
+                    prior_clean = False
+            if not (degraded and prior_clean):
+                tmp = os.path.join(here, ".BENCH_LOCAL.tmp")
+                with open(tmp, "w") as f:
+                    json.dump(record, f)
+                    f.write("\n")
+                os.replace(tmp, lp)
     except Exception as e:  # noqa: BLE001 — persistence must not kill the line
         print(f"warning: could not persist bench detail: {e!r}", file=sys.stderr)
 
@@ -101,7 +118,7 @@ def _emit(record: dict) -> None:
             if src in qa5:
                 extra[dst] = qa5[src]
     for bulky in ("run_stage_s", "stage_timers", "workload", "watchdog",
-                  "last_known_good"):
+                  "last_known_good", "transport_per_run"):
         extra.pop(bulky, None)
     extra["detail"] = "BENCH_DETAIL.json"
     line = json.dumps({**{k: v for k, v in record.items() if k != "extra"},
@@ -110,7 +127,7 @@ def _emit(record: dict) -> None:
         keep = ("platform", "device_kind", "host_cores", "host_calib_s",
                 "ingest_runs_x", "recall_e2e_ms", "detailed_recall_p50_ms",
                 "mfu_vision_b32", "mfu_vision_b128", "qa_accuracy", "qa_n",
-                "detail", "error", "crash_after_partial")
+                "detail", "error", "crash_after_partial", "env")
         extra = {k: extra[k] for k in keep if k in extra}
         line = json.dumps({**{k: v for k, v in record.items() if k != "extra"},
                            "extra": extra})
@@ -402,7 +419,7 @@ def main() -> None:
     # fewer than 3 lie within 2x of the fastest, run up to 2 extra runs and
     # take the median of the fastest 3. ALL runs land in ingest_runs_x so the
     # record shows exactly what happened; a healthy session still runs 3.
-    run_multiples, run_walls, run_stage_s = [], [], []
+    run_multiples, run_walls, run_stage_s, run_transport = [], [], [], []
     media_s = 0.0
 
     def _healthy_done() -> bool:
@@ -420,10 +437,17 @@ def main() -> None:
                 os.path.join(videos, name), os.path.join(vdir, f"r{r}_{name}")
             )
         before = _timer_totals()
+        from hippomm_tpu.utils.device import reset_transport_stats, transport_stats
+
+        reset_transport_stats()
         t0 = time.perf_counter()
         stats = process_video_folder(vdir, cfg.storage.base_dir, config=cfg,
                                      memory_system=mem, checkpoint_every=0)
         wall = time.perf_counter() - t0
+        tstats = transport_stats()
+        run_transport.append(
+            {"wedges": tstats["wedges"], "stall_s": round(tstats["stall_s"], 2)}
+        )
         after = _timer_totals()
         run_stage_s.append({
             k: round(after[k] - before.get(k, 0.0), 2)
@@ -453,6 +477,14 @@ def main() -> None:
     best3_idx = list(np.argsort(run_multiples)[-3:])
     realtime = float(np.median([run_multiples[i] for i in best3_idx]))
     wall = run_walls[best3_idx[1]]
+    # label a record made through a sick link: the median run spending >5% of
+    # its wall in wedge retries / slow fetches means the number measures the
+    # transport, not the system (2026-08-19 session: uniform ~23x with 8-14 s
+    # of mask-read stalls per run vs 63.5x same code in a healthy window)
+    med_tr = run_transport[best3_idx[1]] if run_transport else {"stall_s": 0.0, "wedges": 0}
+    partial.setdefault("extra", {})["transport_per_run"] = run_transport
+    if med_tr["stall_s"] > 0.05 * wall or med_tr["wedges"] >= 4:
+        partial["extra"]["env"] = "degraded-transport"
 
     # Extras run in priority order under a soft wall-clock budget: on a
     # pathological transport session the headline + recall numbers must still
@@ -513,6 +545,9 @@ def main() -> None:
             "headline_runs_completed": len(run_multiples),
             "recall_e2e_ms": round(recall_e2e_ms, 2),
             "detailed_recall_p50_ms": round(p50_ms, 2),
+            # carried from the run loop (this update replaces "extra")
+            **{k: v for k, v in partial.get("extra", {}).items()
+               if k in ("transport_per_run", "env")},
         },
     })
 

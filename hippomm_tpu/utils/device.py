@@ -45,6 +45,21 @@ def _wait_ready(x, timeout_s: float = 120.0) -> None:
 
 _COPY = None  # jitted identity: re-materializes a buffer for a retry read
 
+# process-wide transport-health tally: how many reads wedged (needed a
+# device-copy retry) and how many seconds fetches spent over the slow-log
+# threshold. bench samples this around its measured runs so a record made
+# through a sick link SAYS so instead of reading like a slow system.
+_STATS = {"wedges": 0, "stall_s": 0.0}
+
+
+def transport_stats() -> dict:
+    return dict(_STATS)
+
+
+def reset_transport_stats() -> None:
+    _STATS["wedges"] = 0
+    _STATS["stall_s"] = 0.0
+
 
 def _bounded_read(arr, timeout_s: float):
     """np.asarray on a daemon thread with a timeout. Returns the array, or
@@ -109,6 +124,7 @@ def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
             "device read wedged (>%.0fs, shape=%s attempt %d) — retrying "
             "via device-side copy", timeout, getattr(x, "shape", "?"), i + 1,
         )
+        _STATS["wedges"] += 1
         if _COPY is None:
             import jax
 
@@ -204,6 +220,7 @@ def fetch(x, dtype=None, give_up_s: float = None) -> np.ndarray:
             "slow device fetch: shape=%s dtype=%s wait=%.2fs read=%.2fs",
             getattr(x, "shape", "?"), orig_dtype, t1 - t0, t2 - t1,
         )
+        _STATS["stall_s"] += (t2 - t0) - _SLOW_S
     if narrow:
         out = out.astype(dtype if dtype is not None else orig_dtype)
     elif dtype is not None:

@@ -123,3 +123,46 @@ def test_emit_hard_cap_fallback(bench_in_tmp):
     parsed = json.loads(line)
     assert parsed["value"] == 61.5
     assert parsed["extra"]["detail"] == "BENCH_DETAIL.json"
+
+
+def test_degraded_run_does_not_clobber_clean_local(bench_in_tmp):
+    """BENCH_LOCAL.json is the LAST KNOWN GOOD: a successful run labeled
+    env=degraded-transport must not overwrite a clean-link measurement
+    (2026-08-19: a wedging tunnel produced a 'successful' 23x that clobbered
+    the 63.5x fallback label) — but it DOES write when no clean prior exists,
+    and a clean run always overwrites."""
+    mod, tmp = bench_in_tmp
+    clean = _bulky_record(63.5)
+    _emit_line(mod, clean)
+    local = tmp / "BENCH_LOCAL.json"
+    assert json.loads(local.read_text())["value"] == 63.5
+
+    degraded = _bulky_record(23.2)
+    degraded["extra"]["env"] = "degraded-transport"
+    _emit_line(mod, degraded)
+    assert json.loads(local.read_text())["value"] == 63.5  # preserved
+
+    clean2 = _bulky_record(70.1)
+    _emit_line(mod, clean2)
+    assert json.loads(local.read_text())["value"] == 70.1  # clean overwrites
+
+    local.unlink()
+    _emit_line(mod, degraded)  # no prior at all -> degraded still writes
+    assert json.loads(local.read_text())["value"] == 23.2
+
+
+def test_transport_stats_tally():
+    """Wedge retries and slow fetches land in utils.device.transport_stats so
+    bench can label records made through a sick link."""
+    from hippomm_tpu.utils import device as dev
+
+    dev.reset_transport_stats()
+    assert dev.transport_stats() == {"wedges": 0, "stall_s": 0.0}
+    dev._STATS["wedges"] += 2
+    dev._STATS["stall_s"] += 3.5
+    s = dev.transport_stats()
+    assert s["wedges"] == 2 and s["stall_s"] == 3.5
+    s["wedges"] = 99  # the returned dict is a copy
+    assert dev.transport_stats()["wedges"] == 2
+    dev.reset_transport_stats()
+    assert dev.transport_stats() == {"wedges": 0, "stall_s": 0.0}
