@@ -51,7 +51,7 @@ def _load_native_locked():
     try:
         src_mtime = max(
             os.path.getmtime(os.path.join(_NATIVE_DIR, fn))
-            for fn in ("media_shim.cpp", "media_libav.cpp", "Makefile")
+            for fn in ("media_shim.cpp", "media_libav.cpp", "media_resize.cpp", "Makefile")
         )
         if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
             subprocess.run(
@@ -61,6 +61,12 @@ def _load_native_locked():
         lib.hmm_jpeg_decode.restype = ctypes.c_int
         lib.hmm_jpeg_encode.restype = ctypes.c_int
         lib.hmm_jpeg_decode_batch.restype = ctypes.c_int
+        lib.hmm_resize_bicubic_crop_batch.restype = ctypes.c_int
+        lib.hmm_resize_bicubic_crop_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ]
         lib.hmm_avi_open.restype = ctypes.c_void_p
         lib.hmm_avi_open.argtypes = [ctypes.c_char_p]
         lib.hmm_avi_info.argtypes = [
@@ -170,6 +176,26 @@ def _load_native_locked():
 
 def native_available() -> bool:
     return _load_native() is not None
+
+
+def resize_bicubic_crop_native(frames: np.ndarray, nh: int, nw: int, y0: int,
+                               x0: int, oh: int, ow: int):
+    """Batch Pillow-exact bicubic resize+crop via the C++ shim
+    (media_resize.cpp): uint8 (B, H, W, 3) -> (B, oh, ow, 3), where (nh, nw)
+    are the full resized dims and (y0, x0) the crop origin. Returns None when
+    the native library is unavailable (caller falls back to PIL)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = frames.shape[:3]
+    out = np.empty((n, oh, ow, 3), np.uint8)
+    threads = min(4, os.cpu_count() or 1, n)
+    rc = lib.hmm_resize_bicubic_crop_batch(
+        frames.ctypes.data_as(ctypes.c_void_p), n, h, w, nh, nw, y0, x0,
+        oh, ow, out.ctypes.data_as(ctypes.c_void_p), threads,
+    )
+    return out if rc == 0 else None
 
 
 # ---------------------------------------------------------------------------

@@ -67,8 +67,18 @@ def normalize_nchw(crops_u8: jax.Array) -> jax.Array:
     return jnp.transpose(x, (0, 3, 1, 2))
 
 
+def _resize_dims(h: int, w: int, size: int):
+    """torchvision Resize(short=size) dims — the long side TRUNCATES
+    (int(size * long / short)); round() diverges by 1px on 4:3-ish inputs."""
+    if h <= w:
+        nh, nw = size, max(size, int(w * size / h))
+    else:
+        nh, nw = max(size, int(h * size / w)), size
+    return nh, nw
+
+
 def resize_crop_u8(frames, size: int = 224):
-    """HOST-side PIL preprocess: uint8 (B, H, W, 3) RGB -> uint8 (B, size,
+    """HOST-side preprocess: uint8 (B, H, W, 3) RGB -> uint8 (B, size,
     size, 3) resized short-side + center-cropped.
 
     This IS the reference's transform chain (PIL Resize(short=size, BICUBIC)
@@ -76,28 +86,37 @@ def resize_crop_u8(frames, size: int = 224):
     quantization of the resized image — closer to reference semantics than
     the fused fp32 device resize, at 4.6x fewer bytes over the host->device
     link (the ingest bottleneck on tunneled transports; see `normalize_nchw`).
-    ~2.8 ms/frame single-core; callers on the ingest path spread it across
-    decode blocks via `VisionEncodeStream.feed`.
+
+    Runs through the C++ shim (`media_resize.cpp` — Pillow's exact 8bpc
+    fixed-point resample, 3-channel direct, batch-threaded; bit-equal to PIL
+    by test) when available, PIL per frame otherwise (~2.8 ms/frame/core).
     """
     import numpy as np
-    from PIL import Image
 
     frames = np.asarray(frames)
     if frames.dtype != np.uint8:
         frames = np.clip(frames, 0, 255).astype(np.uint8)
-    n = len(frames)
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (B, H, W, 3) uint8, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    if n == 0:
+        return np.empty((0, size, size, 3), np.uint8)
+    nh, nw = _resize_dims(h, w, size)
+    top, left = (nh - size) // 2, (nw - size) // 2
+
+    from hippomm_tpu.media.io import resize_bicubic_crop_native
+
+    out = resize_bicubic_crop_native(frames, nh, nw, top, left, size, size)
+    if out is not None:
+        return out
+
+    from PIL import Image
+
     out = np.empty((n, size, size, 3), np.uint8)
     for i in range(n):
         im = Image.fromarray(frames[i])
-        w, h = im.size
-        # torchvision truncates the long side (int(size * long / short))
-        if h <= w:
-            nh, nw = size, max(size, int(w * size / h))
-        else:
-            nh, nw = max(size, int(h * size / w)), size
         if (nw, nh) != (w, h):
             im = im.resize((nw, nh), Image.BICUBIC)
-        top, left = (nh - size) // 2, (nw - size) // 2
         out[i] = np.asarray(im)[top : top + size, left : left + size]
     return out
 

@@ -100,3 +100,39 @@ def test_host_resize_plus_device_normalize_matches_pil_oracle_exactly(rng):
         assert crops.dtype == np.uint8 and crops.shape == (1, 224, 224, 3)
         got = np.asarray(normalize_nchw(crops))[0]
         np.testing.assert_allclose(got, want, atol=1e-5), shape
+
+
+def test_native_resize_matches_pil_exactly(rng):
+    """media_resize.cpp reimplements Pillow's 8bpc fixed-point resample
+    (PRECISION_BITS=22, int32 accumulation, uint8 clip between passes) — the
+    product resize_crop_u8 path must be BIT-EQUAL to the PIL chain, including
+    upscale, identity and pure-crop shapes, on worst-case iid-noise inputs."""
+    from PIL import Image
+
+    from hippomm_tpu.media.io import native_available
+    from hippomm_tpu.ops.resize import resize_crop_u8
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native media shim unavailable")
+
+    def pil_chain(img, size=224):
+        h, w = img.shape[:2]
+        if h <= w:
+            nh, nw = size, max(size, int(w * size / h))
+        else:
+            nh, nw = max(size, int(h * size / w)), size
+        im = Image.fromarray(img)
+        if (nw, nh) != (w, h):
+            im = im.resize((nw, nh), Image.BICUBIC)
+        t, l = (nh - size) // 2, (nw - size) // 2
+        return np.asarray(im)[t : t + size, l : l + size]
+
+    for shape in [(360, 640), (448, 448), (720, 1280), (120, 160),
+                  (224, 224), (100, 400)]:
+        imgs = rng.integers(0, 256, (2,) + shape + (3,)).astype(np.uint8)
+        got = resize_crop_u8(imgs, 224)
+        want = np.stack([pil_chain(f) for f in imgs])
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, want), shape
