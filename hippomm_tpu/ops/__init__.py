@@ -13,4 +13,8 @@ from hippomm_tpu.ops.similarity import (  # noqa: F401
 )
 from hippomm_tpu.ops.ssim import batched_ssim, ssim_pairs  # noqa: F401
 from hippomm_tpu.ops.silence import window_rms_db, detect_silence_regions  # noqa: F401
-from hippomm_tpu.ops.resize import resize_normalize  # noqa: F401
+from hippomm_tpu.ops.resize import (  # noqa: F401
+    normalize_nchw,
+    resize_crop_u8,
+    resize_normalize,
+)
