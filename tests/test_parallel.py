@@ -452,3 +452,22 @@ def test_zero1_trajectory_matches_replicated_opt_state(rng):
             assert np.prod(shard_rows) * data_size <= leaf.size * 2  # model axis may also split
             sharded += 1
     assert sharded >= 4, f"only {sharded} moment leaves sharded over data"
+
+
+def test_vision_stream_on_mesh_matches_encode(mesh8, rng):
+    """The stream's worker-thread dispatch (host resize -> sharded device_put
+    -> jitted tower) must equal a one-shot encode_vision on the same mesh."""
+    from hippomm_tpu.models.foundation import ImageBind
+
+    ib = ImageBind(variant="tiny", mesh=mesh8)
+    s = ib.cfg.image_size
+    frames = rng.integers(0, 256, size=(40, s * 2, s * 3, 3)).astype(np.uint8)
+
+    stream = ib.vision_stream()
+    stream.feed(frames[:7])
+    stream.feed(frames[7:25])
+    stream.feed(frames[25:])
+    got = stream.result()
+    want = ib.encode_vision(frames)
+    assert got.shape == want.shape == (40, 1024)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
