@@ -82,6 +82,21 @@ def top_k_cosine_packed_prenorm(
     return jnp.stack([vals, idx.astype(jnp.float32)])
 
 
+@partial(jax.jit, static_argnames=("k",))
+def top_k_cosine_prenorm(query: jax.Array, feats_unit: jax.Array, k: int):
+    """top_k_cosine over a store whose rows are ALREADY unit-norm, returning
+    (values, indices) as TWO arrays (int32 indices exact at any store size —
+    the ≥2^24-row escape hatch from the packed-f32 index encoding)."""
+    q = l2_normalize(jnp.atleast_2d(query.astype(jnp.float32)))
+    sims = jnp.dot(
+        q, feats_unit.T, preferred_element_type=jnp.float32, precision=_FP32
+    )
+    vals, idx = jax.lax.top_k(sims, k)
+    if query.ndim == 1:
+        return vals[0], idx[0]
+    return vals, idx
+
+
 @partial(jax.jit, static_argnames=("threshold",))
 def select_keyframes_mask(features: jax.Array, threshold: float = 0.9, n=None) -> jax.Array:
     """Greedy key-frame selection (reference: hippocampal_memory.py:944-967).

@@ -232,12 +232,15 @@ class FeatureSearchIndex:
             # the packed single-read path encodes row indices as float32,
             # exact only up to 2^24 — beyond that fall back to the two-read
             # int32 path rather than silently corrupt hit indices
-            
-            vals, idx = top_k_cosine(q, self._device_feats(), k)
-            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
-        from hippomm_tpu.ops.similarity import top_k_cosine_packed
+            from hippomm_tpu.ops.similarity import top_k_cosine_prenorm
 
-        packed = fetch(top_k_cosine_packed(q, self._device_feats(), k), give_up_s=bound)
+            vals, idx = top_k_cosine_prenorm(q, self._device_feats(), k)
+            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
+        from hippomm_tpu.ops.similarity import top_k_cosine_packed_prenorm
+
+        packed = fetch(
+            top_k_cosine_packed_prenorm(q, self._device_feats(), k), give_up_s=bound
+        )
         return packed[0], packed[1].astype(np.int64)
 
     def _topk_batch(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -251,12 +254,16 @@ class FeatureSearchIndex:
     def _topk_batch_device(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         bound = self.DEVICE_PROBE_GIVE_UP_S
         if len(self) >= 2**24:
-            
-            vals, idx = top_k_cosine(queries, self._device_feats(), k)
-            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
-        from hippomm_tpu.ops.similarity import top_k_cosine_packed
+            from hippomm_tpu.ops.similarity import top_k_cosine_prenorm
 
-        packed = fetch(top_k_cosine_packed(queries, self._device_feats(), k), give_up_s=bound)
+            vals, idx = top_k_cosine_prenorm(queries, self._device_feats(), k)
+            return fetch(vals, give_up_s=bound), fetch(idx, give_up_s=bound).astype(np.int64)
+        from hippomm_tpu.ops.similarity import top_k_cosine_packed_prenorm
+
+        packed = fetch(
+            top_k_cosine_packed_prenorm(queries, self._device_feats(), k),
+            give_up_s=bound,
+        )
         return packed[0], packed[1].astype(np.int64)
 
     def search(

@@ -420,6 +420,43 @@ def test_topk_host_route_matches_device(rng=None):
         )
 
 
+def test_topk_device_path_uses_prenorm_kernel(monkeypatch):
+    """The device route must call the PRENORM kernels over the once-normalized
+    store (ADVICE r3 medium: _device_feats pre-normalizes, but the route was
+    still paying per-query store normalization via top_k_cosine_packed —
+    the measured 3.7→1.3 ms HBM win never reached production)."""
+    import os
+
+    import hippomm_tpu.ops.similarity as sim
+    from hippomm_tpu.memory.schema import ThetaEvent
+
+    rng = np.random.default_rng(12)
+    events = [
+        ThetaEvent(
+            video_id=f"v{i}",
+            features={"vision": rng.normal(size=(8, 1024)).astype(np.float32)},
+            feature_times={"vision": list(np.arange(8.0))},
+            end_time=8.0,
+        )
+        for i in range(4)
+    ]
+    index = FeatureSearchIndex.build(events, "vision")
+    calls = {"prenorm": 0, "renorm": 0}
+    real = sim.top_k_cosine_packed_prenorm
+    monkeypatch.setattr(
+        sim, "top_k_cosine_packed_prenorm",
+        lambda *a, **k: (calls.__setitem__("prenorm", calls["prenorm"] + 1), real(*a, **k))[1],
+    )
+    monkeypatch.setattr(
+        sim, "top_k_cosine_packed",
+        lambda *a, **k: (_ for _ in ()).throw(AssertionError("re-normalizing kernel on device route")),
+    )
+    monkeypatch.setenv("HIPPOMM_TOPK_ROUTE", "device")
+    hits = index.search(rng.normal(size=1024).astype(np.float32), 5, 5)
+    index.search_batch(rng.normal(size=(2, 1024)).astype(np.float32), 5, 5)
+    assert hits and calls["prenorm"] >= 2
+
+
 def test_topk_router_adapts_to_measured_latency():
     """Routing converges to the faster backend and periodically re-probes the
     slower one so it can recover."""
