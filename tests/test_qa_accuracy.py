@@ -53,9 +53,10 @@ def test_qa_harness_multivideo_with_negatives(tmp_path):
     assert out["failed_videos"] == 0
     assert out["n_videos"] == 2 and out["n_scenes"] == 6
     assert set(out["accuracy_by_type"]) == {
-        "video", "audio", "multimodal", "summary", "video_neg", "audio_neg"
+        "video", "audio", "multimodal", "summary", "count", "xmodal", "order",
+        "video_neg", "audio_neg"
     }
-    assert out["qa_accuracy"] >= 0.85
+    assert out["qa_accuracy"] >= 0.8
     assert out["accuracy_by_type"]["video_neg"] == 1.0
     assert out["accuracy_by_type"]["audio_neg"] == 1.0
 
@@ -77,3 +78,64 @@ def test_score_answer():
     qa = {"type": "audio", "label": "tone240hz"}
     assert score_answer(qa, "heard tones: tone240hz", truth)
     assert not score_answer(qa, "heard tones: tone200hz", truth)
+
+
+def test_score_answer_hard_families():
+    truth = {"scenes": [(0.0, 15.0, "red", 200.0), (15.0, 30.0, "green", 240.0)]}
+    qo = {"type": "order", "pair": ["green", "red"], "expected": "red"}
+    assert score_answer(qo, "red", truth)
+    assert not score_answer(qo, "green", truth)
+    assert not score_answer(qo, "not found", truth)
+    qc = {"type": "count", "expected": 2}
+    assert score_answer(qc, "2", truth)
+    assert not score_answer(qc, "3", truth)
+    assert not score_answer(qc, "several", truth)
+    qx = {"type": "xmodal", "expected_yes": True, "color": "red", "label": "tone200hz"}
+    assert score_answer(qx, "yes", truth)
+    assert not score_answer(qx, "no (the background is green)", truth)
+    assert not score_answer(qx, "unknown", truth)
+    qxn = {"type": "xmodal", "expected_yes": False, "color": "green", "label": "tone200hz"}
+    assert score_answer(qxn, "no (the background is red)", truth)
+    assert not score_answer(qxn, "yes", truth)
+
+
+def test_build_questions_hard_families_and_empty_negatives():
+    """Hard families are generated with oracle-checkable expectations, and a
+    palette-saturating truth (no absent colors) degrades gracefully instead of
+    raising IndexError (ADVICE r3 #4)."""
+    from hippomm_tpu.benchmarks.qa_harness import PALETTE
+
+    truth = {
+        "scenes": [(0.0, 15.0, "red", 200.0), (15.0, 30.0, "green", 240.0),
+                   (0.0, 15.0, "blue", 280.0), (15.0, 30.0, "yellow", 320.0)],
+        "video_scenes": [
+            [(0.0, 15.0, "red", 200.0), (15.0, 30.0, "green", 240.0)],
+            [(0.0, 15.0, "blue", 280.0), (15.0, 30.0, "yellow", 320.0)],
+        ],
+    }
+    qs = build_questions(truth, 27, seed=3, negatives=True)
+    kinds = {q["type"] for q in qs}
+    assert {"order", "count", "xmodal"} <= kinds
+    for q in qs:
+        if q["type"] == "order":
+            # the expected color is the pair member whose scene starts earlier
+            # WITHIN one video (cross-video times overlap)
+            a, b = q["pair"]
+            assert q["expected"] in (a, b)
+            vid = next(v for v in truth["video_scenes"]
+                       if {a, b} <= {c for _, _, c, _ in v})
+            starts = {c: s for s, _, c, _ in vid}
+            assert starts[q["expected"]] == min(starts[a], starts[b])
+        elif q["type"] == "count":
+            assert q["expected"] == 4
+        elif q["type"] == "xmodal":
+            scene = next(s for s in truth["scenes"]
+                         if f"tone{int(s[3])}hz" == q["label"])
+            assert q["expected_yes"] == (scene[2] == q["color"])
+
+    # palette-saturating truth: every color used -> no video_neg, no crash
+    full = {"scenes": [(float(i), float(i + 1), name, 200.0 + 40 * i)
+                       for i, (name, _) in enumerate(PALETTE)]}
+    qs2 = build_questions(full, 30, seed=0, negatives=True)
+    assert all(q["type"] != "video_neg" for q in qs2)
+    assert any(q["type"] == "audio_neg" for q in qs2)
