@@ -222,6 +222,9 @@ class _IndexedVisionStream:
     def result(self) -> np.ndarray:
         return self._stream.result()[self._rows]
 
+    def close(self) -> None:
+        self._stream.close()
+
 
 def extract_frames_streaming(
     video_path: str,
@@ -560,21 +563,31 @@ def process_single_video(
         # hiding the vision encode behind the host-bound decode (the engine
         # consumes the prefetched features via process_sequence)
         vision_stream = memory_system.imagebind.vision_stream()
-    with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
-        f_frames = ex.submit(
-            extract_frames_from_video, video_path, memory_store_dir, video_id,
-            timers=timers, vision_stream=vision_stream,
-        )
-        f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
-        audio = f_audio.result()
-        # Overlap the ASR with frame decode by DISPATCHING it from this thread
-        # (async device programs) and syncing later in process_sequence. A
-        # worker-thread prefetch was measured to fight the single host core
-        # and starve the extraction scan (10-min vlog: 19s -> 34s); eager
-        # dispatch + late sync overlaps the same work with no second thread.
-        if memory_system is not None and audio.get("audio") is not None:
-            memory_system.dispatch_asr(video_id, audio["audio"])
-        frames = f_frames.result()
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=2) as ex:
+            f_frames = ex.submit(
+                extract_frames_from_video, video_path, memory_store_dir, video_id,
+                timers=timers, vision_stream=vision_stream,
+            )
+            f_audio = ex.submit(extract_audio_from_video, video_path, memory_store_dir, video_id)
+            audio = f_audio.result()
+            # Overlap the ASR with frame decode by DISPATCHING it from this
+            # thread (async device programs) and syncing later in
+            # process_sequence. A worker-thread prefetch was measured to fight
+            # the single host core and starve the extraction scan (10-min
+            # vlog: 19s -> 34s); eager dispatch + late sync overlaps the same
+            # work with no second thread.
+            if memory_system is not None and audio.get("audio") is not None:
+                memory_system.dispatch_asr(video_id, audio["audio"])
+            frames = f_frames.result()
+    except BaseException:
+        # audio failed after extraction fed the stream (or vice versa): join
+        # the stream's worker and drop its dispatched ViT buffers so a folder
+        # run with failing videos doesn't accumulate device memory (ADVICE r3
+        # #3). The folder loop's discard_pending handles the engine side.
+        if vision_stream is not None:
+            vision_stream.close()
+        raise
     return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}
 
 
@@ -819,6 +832,7 @@ def process_video_folder(
 
     for pos, (path, video_id, is_long) in enumerate(todo):
         t0 = time.perf_counter()
+        frames = None  # re-bound per video: the except block below inspects it
         try:
             fut, next_fut = next_fut, None
             if is_long:
@@ -865,6 +879,14 @@ def process_video_folder(
             # failed-attempt marker) — replay never ran, so the post-replay
             # eviction that keeps folder RSS flat never fired
             mem.discard_pending(video_id)
+            # ...including an undrained vision prefetch (process_sequence
+            # failed before consuming it): drop its device handles too
+            vs = frames.get("vision_stream") if isinstance(frames, dict) else None
+            if vs is not None and hasattr(vs, "close"):
+                try:
+                    vs.close()
+                except Exception:  # noqa: BLE001 — already on the error path
+                    pass
         # cadence over the videos actually being processed (pos), not the
         # pre-filter enumerate index — skip-existing interleaving would
         # otherwise leave long stretches of processed videos uncheckpointed

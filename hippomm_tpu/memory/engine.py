@@ -439,6 +439,11 @@ class HippocampalMemory:
                     )
 
         vision_feats: Optional[np.ndarray] = None
+        if (frames_rgb is None or not len(frames_rgb)) and vision_stream is not None:
+            # no vision track to index into — release whatever the stream
+            # dispatched instead of leaking its device handles (ADVICE r3 #3)
+            if hasattr(vision_stream, "close"):
+                vision_stream.close()
         if frames_rgb is not None and len(frames_rgb):
             all_idx = np.concatenate([i for i in seg_frame_idx]) if seg_frame_idx else []
             feats_all = None

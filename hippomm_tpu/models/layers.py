@@ -113,13 +113,14 @@ def attention(
     q, k, v = split(q), split(k), split(v)
     scale = 1.0 / np.sqrt(hd)
     if mask is None:
-        # mask-free attention routes to the fused Pallas kernel on TPU where
-        # it measures faster (hd<=64: Whisper encoder, ImageBind audio trunk
-        # — see flash_profitable for the measurements; ViT-H's hd=80 stays on
-        # this einsum path): the (B, H, Tq, Tk) softmax tensor never touches
-        # HBM. Numerics are structurally identical (fp32 logits/softmax,
-        # dtype value matmul, fp32 accumulation); parity pinned by
-        # tests/test_flash_attn.py.
+        # mask-free attention routes to the fused Pallas kernel on TPU for
+        # EVERY supported shape — Whisper encoder (hd=64, 828→672 ms tower
+        # fwd), ImageBind audio trunk (hd=64, 1.15× op-level), and since the
+        # G-blocked grid also ViT-H (hd=80: 32-layer b128 chain 113.4→97.3 ms)
+        # — see flash_profitable for the measured margins. The win is the
+        # removed (B, H, Tq, Tk) softmax HBM round-trip. Numerics are
+        # structurally identical (fp32 logits/softmax, dtype value matmul,
+        # fp32 accumulation); parity pinned by tests/test_flash_attn.py.
         from hippomm_tpu.ops.flash_attention import (
             flash_default,
             flash_mha,

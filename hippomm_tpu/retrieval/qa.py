@@ -368,7 +368,8 @@ class QARecallSystem:
         return hits
 
     def _frames_for_windows(
-        self, video_id: str, windows: Sequence[Tuple[float, float]], fps: float = 1.0
+        self, video_id: str, windows: Sequence[Tuple[float, float]], fps: float = 1.0,
+        source_times: Optional[List[float]] = None,
     ) -> Tuple[List[bytes], List[float]]:
         """Frames inside the windows at ~1 fps, 320×180, with the reference's
         keep-if-changed dedup (reference :2210-2251 — cv2 seek loops re-decoding
@@ -436,7 +437,11 @@ class QARecallSystem:
         # H.264 seek+decode (~400 ms on a degraded 1-core host, the recall
         # e2e bottleneck: VERDICT r2 Next #3) from virtually every recall.
         back_tol = 0.5 / fps
-        plan: List[Tuple[float, str, object]] = []  # (time, kind, path-or-time)
+        # (time, kind, path-or-time, source_time) — source_time is the
+        # substituted keyframe's OWN capture time (== time for true decodes),
+        # kept so evidence can distinguish "captured at t" from "content
+        # unchanged since the keyframe at st" (ADVICE r3 #2)
+        plan: List[Tuple[float, str, object, float]] = []
         seen_src = set()
         for t in times:
             src = None
@@ -465,22 +470,22 @@ class QARecallSystem:
                     # evidence must timestamp the moment the window asked
                     # about (the content is unchanged between saves, so the
                     # caption is valid at t)
-                    src = ("jpg", ev_frames[best][1], t)
+                    src = ("jpg", ev_frames[best][1], t, float(kf_times[best]))
             if src is None and path is not None:
-                src = ("vid", t, t)
+                src = ("vid", t, t, t)
             if src is None:
                 continue
             key = (src[0], src[1])
             if key in seen_src:  # same keyframe/sample hit twice across windows
                 continue
             seen_src.add(key)
-            plan.append((src[2], src[0], src[1]))
+            plan.append((src[2], src[0], src[1], src[3]))
         if not plan:
             return [], []
         plan.sort()
 
         # one batched mp4 decode for the residual samples (if any)
-        vid_times = [s for _, kind, s in plan if kind == "vid"]
+        vid_times = [s for _, kind, s, _ in plan if kind == "vid"]
         decoded: Dict[float, np.ndarray] = {}
         if vid_times:
             try:
@@ -498,6 +503,7 @@ class QARecallSystem:
 
         frames_list: List[np.ndarray] = []
         kept_times: List[float] = []
+        kept_src: List[float] = []
         # keyframes already consumed by 'jpg' plan entries: the decode-failure
         # fallback must not re-emit one of them as a second (identically
         # timestamped) frame — downstream SSIM dedup only compares against the
@@ -505,9 +511,9 @@ class QARecallSystem:
         # duplicate survive into a wasted VLM caption call
         kf_idx_by_path = {p: i for i, (_, p) in enumerate(ev_frames)}
         used_kf = {
-            kf_idx_by_path[p] for _, kind, p in plan if kind == "jpg" and p in kf_idx_by_path
+            kf_idx_by_path[p] for _, kind, p, _ in plan if kind == "jpg" and p in kf_idx_by_path
         }
-        for t, kind, s in plan:
+        for t, kind, s, st in plan:
             if kind == "jpg":
                 try:
                     frames_list.append(read_jpeg(s))
@@ -527,12 +533,13 @@ class QARecallSystem:
                 used_kf.add(best)
                 try:
                     frames_list.append(read_jpeg(ev_frames[best][1]))
-                    t = float(kf_times[best])
+                    t = st = float(kf_times[best])
                 except OSError:
                     continue
             else:
                 continue
             kept_times.append(t)
+            kept_src.append(st)
         if not frames_list:
             return [], []
         frames = frames_list
@@ -562,6 +569,8 @@ class QARecallSystem:
                 if s <= self.recall_dedup:
                     keep.append(i)
                     last = i
+        if source_times is not None:
+            source_times.extend(kept_src[i] for i in keep)
         return [jpeg_encode(small[i]) for i in keep], [times[i] for i in keep]
 
     def _process_video_query(
@@ -578,9 +587,20 @@ class QARecallSystem:
 
         def _decode_and_caption(item) -> List[str]:
             vid, ws = item
-            jpegs, times = self._frames_for_windows(vid, merge_windows(ws))
+            srcs: List[float] = []
+            jpegs, times = self._frames_for_windows(
+                vid, merge_windows(ws), source_times=srcs
+            )
             caps = self._caption_frames(jpegs)
-            return [f"[{t:.1f}s] {c}" for t, c in zip(times, caps)]
+            # a substituted keyframe far from the sample time is labeled with
+            # its own capture time, so evidence never asserts a frame was
+            # decoded at a moment it wasn't (ADVICE r3 #2) — content is
+            # unchanged between saves, hence "since"
+            return [
+                f"[{t:.1f}s] {c}" if abs(st - t) <= 1.0
+                else f"[{t:.1f}s (since keyframe {st:.1f}s)] {c}"
+                for t, st, c in zip(times, srcs, caps)
+            ]
 
         captions: List[str] = []
         if len(windows_by_video) > 1:
@@ -921,9 +941,14 @@ class QARecallSystem:
                     win_by_vid.setdefault(vid, []).append(tuple(s["window"]))
             captions: List[str] = []
             for vid, ws in win_by_vid.items():
-                jpegs, times = self._frames_for_windows(vid, ws)
+                srcs: List[float] = []
+                jpegs, times = self._frames_for_windows(vid, ws, source_times=srcs)
                 caps = self._caption_frames(jpegs)
-                captions += [f"[{t:.1f}s] {c}" for t, c in zip(times, caps)]
+                captions += [
+                    f"[{t:.1f}s] {c}" if abs(st - t) <= 1.0
+                    else f"[{t:.1f}s (since keyframe {st:.1f}s)] {c}"
+                    for t, st, c in zip(times, srcs, caps)
+                ]
             answer, conf = self._final_answer(
                 question,
                 captions=captions,
