@@ -150,7 +150,14 @@ def attention(
 
 
 def mlp(p: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    return linear(p["fc2"], gelu(linear(p["fc1"], x, dtype)), dtype)
+    """fc1 keeps fp32 accumulation (+ fp32 bias), then casts to the compute
+    dtype BEFORE the GELU: the (B, T, 4D) hidden is the largest activation in
+    the model (337 MB fp32 at ViT-H b128), and running the GELU's read/write
+    in bf16 halves its HBM traffic. dtype=fp32 is bit-identical to the old
+    gelu-then-cast order (parity tests run fp32); in bf16 the difference is
+    one rounding of the GELU input, bounded by bf16 eps."""
+    y = linear(p["fc1"], x, dtype).astype(dtype)
+    return linear(p["fc2"], gelu(y), dtype)
 
 
 def encoder_block(

@@ -57,7 +57,11 @@ def _round_up(x: int, m: int) -> int:
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int):
     """One grid step: full attention for G_BLK (batch·head) units × one q-block.
 
-    q_ref: (G, TQ, HD); k_ref/v_ref: (G, TKp, HD); o_ref: (G, TQ, HD) fp32.
+    q_ref: (G, TQ, HD); k_ref/v_ref: (G, TKp, HD); o_ref: (G, TQ, HD) in the
+    COMPUTE dtype — the only consumer (the out-projection matmul) casts to it
+    anyway, so emitting it here is numerically identical to fp32-out-then-cast
+    while halving the kernel's output HBM bytes AND the merge transpose that
+    follows (~170 MB/layer of fp32 out at ViT-H b128).
 
     G units per step (statically unrolled) amortize the per-step grid cost:
     at ViT-H b128 the grid is 2048 (batch·head) units, and one-unit steps
@@ -80,12 +84,14 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int):
         w = e / jnp.sum(e, axis=-1, keepdims=True)
         o_ref[u] = jnp.dot(
             w.astype(q.dtype), v_ref[u], preferred_element_type=jnp.float32
-        )
+        ).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
-    """q: (B, H, Tq, hd); k/v: (B, H, Tk, hd) — returns fp32 (B, H, Tq, hd)."""
+    """q: (B, H, Tq, hd); k/v: (B, H, Tk, hd) — returns (B, H, Tq, hd) in
+    q.dtype (fp32 in → fp32 out; bf16 in → bf16 out, same values as the old
+    fp32 output after the consumer's cast)."""
     b, h, tq, hd = q.shape
     tk = k.shape[2]
     g = b * h
@@ -111,7 +117,7 @@ def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
     # 8-16; Whisper's long-Tk encoder (logits 512×1536 fp32 per unit) at 1-2.
     itemsize = qf.dtype.itemsize
     per_unit = (
-        tq_blk * hdp * (itemsize + 4)  # q in + fp32 out
+        tq_blk * hdp * 2 * itemsize  # q in + compute-dtype out
         + 2 * tkp * hdp * itemsize  # k + v
         + tq_blk * tkp * 4  # logits scratch
     )
@@ -122,7 +128,7 @@ def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
 
     out = pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale, tk_valid=tk),
-        out_shape=jax.ShapeDtypeStruct((g, tqp, hdp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, tqp, hdp), q.dtype),
         grid=(g // g_blk, nq),
         in_specs=[
             pl.BlockSpec((g_blk, tq_blk, hdp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -134,8 +140,8 @@ def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * g * tqp * tkp * hdp,
-            bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize
-            + g * tqp * hdp * 4,
+            bytes_accessed=(qf.size + kf.size + vf.size + g * tqp * hdp)
+            * qf.dtype.itemsize,
             transcendentals=g * tqp * tkp,
         ),
         interpret=interpret,

@@ -460,3 +460,48 @@ def test_vision_prefetch_mismatch_falls_back_to_encode(tmp_path):
     want = mem.imagebind.encode_vision(frames)
     got = np.concatenate([s.features["vision"] for s in stms])
     np.testing.assert_array_equal(got, want[: len(got)])
+
+
+def test_vision_stream_close_paths(tmp_path):
+    """ADVICE r3 #3: a stream abandoned on an error path must release its
+    worker and dispatched handles. close() is idempotent, poisons further
+    feeds, and the engine closes an attached stream when the video has no
+    vision track to index."""
+    from hippomm_tpu.config import Config
+    from hippomm_tpu.memory.engine import HippocampalMemory
+    from hippomm_tpu.models.foundation import ImageBind
+
+    ib = ImageBind(variant="tiny")
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, size=(40, 32, 32, 3)).astype(np.uint8)
+
+    s = ib.vision_stream()
+    s.feed(frames)  # dispatches one full 32-chunk on the worker
+    s.close()
+    s.close()  # idempotent
+    assert s._handles == [] and s._pool is None and s._buffered == 0
+    with pytest.raises(RuntimeError):
+        s.feed(frames[:1])  # closed stream refuses new work
+    assert s.result().shape == (0, 1024)  # drained-empty, not a crash
+
+    # engine side: frames_rgb=None with an attached stream -> engine closes it
+    cfg = Config()
+    cfg.api.mode = "stub"
+    cfg.models.imagebind_variant = "tiny"
+    cfg.models.whisper_variant = "stub"
+    cfg.storage.base_dir = str(tmp_path / "store")
+    mem = HippocampalMemory(config=cfg)
+    leak = mem.imagebind.vision_stream()
+    leak.feed(frames)
+    mem.process_sequence(
+        "v_novision",
+        frame_paths=[],
+        frame_times=[],
+        frames_rgb=None,
+        audio_data=np.zeros(16000, np.float32),
+        sample_rate=16000,
+        video_duration=1.0,
+        auto_consolidate=False,
+        vision_stream=leak,
+    )
+    assert leak._handles == [] and leak._pool is None

@@ -49,8 +49,13 @@ def test_flash_matches_einsum(b, h, tq, tk, hd, dtype, tol):
     scale = 1.0 / np.sqrt(hd)
     got = flash_mha(q, k, v, float(scale), True)
     want = oracle(q, k, v, scale)
-    assert got.dtype == jnp.float32
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=tol, rtol=tol)
+    # the kernel emits the COMPUTE dtype (the out-projection casts to it
+    # anyway): fp32 in -> fp32 out, bf16 in -> bf16 out == cast(fp32 out)
+    assert got.dtype == q.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want.astype(q.dtype), np.float32),
+        atol=tol, rtol=tol,
+    )
 
 
 def test_flash_gradients_match_einsum():
