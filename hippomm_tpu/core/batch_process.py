@@ -207,6 +207,13 @@ def extract_frames_from_video(
         out["vision_stream"] = (
             _IndexedVisionStream(vision_stream, rows) if rows is not None else vision_stream
         )
+        # all frames are fed: dispatch the (<32) remainder NOW so the tower
+        # programs enter the device FIFO before the next video's ASR does —
+        # the engine's later result() becomes a pure fetch (the clean r3
+        # record still paid a 4.7 s/run encode_vision tail to this ordering)
+        fin = getattr(out["vision_stream"], "finalize", None)
+        if fin is not None:  # optional lifecycle on duck-typed streams
+            fin()
     return out
 
 
@@ -222,8 +229,14 @@ class _IndexedVisionStream:
     def result(self) -> np.ndarray:
         return self._stream.result()[self._rows]
 
+    def finalize(self) -> None:
+        fin = getattr(self._stream, "finalize", None)
+        if fin is not None:
+            fin()
+
     def close(self) -> None:
-        self._stream.close()
+        if hasattr(self._stream, "close"):
+            self._stream.close()
 
 
 def extract_frames_streaming(
@@ -585,7 +598,7 @@ def process_single_video(
         # the stream's worker and drop its dispatched ViT buffers so a folder
         # run with failing videos doesn't accumulate device memory (ADVICE r3
         # #3). The folder loop's discard_pending handles the engine side.
-        if vision_stream is not None:
+        if vision_stream is not None and hasattr(vision_stream, "close"):
             vision_stream.close()
         raise
     return {"video_id": video_id, "video_path": video_path, "frames": frames, "audio": audio}

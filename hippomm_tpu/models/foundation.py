@@ -275,6 +275,28 @@ class VisionEncodeStream:
             self._buf = [rest] if len(rest) else []
             self._buffered = len(rest)
 
+    def finalize(self) -> None:
+        """Dispatch the (<32-frame) remainder NOW, without fetching.
+
+        A 10-minute vlog keeps ~25 keyframes — fewer than one full chunk — so
+        under folder ingest ALL of its vision compute used to dispatch inside
+        `result()`, which the engine reaches only after the NEXT video's
+        full-track ASR was already enqueued in the device FIFO; the vision
+        fetch then waited behind seconds of another video's ASR (the clean
+        r3 record's 4.7 s/run encode_vision tail). Extraction calls this the
+        moment the last frame is fed, so the tower programs queue ahead.
+        Idempotent; further feeds raise (extraction is complete)."""
+        if self._val is not None or self._pool is None:
+            return
+
+        def _drain():
+            if self._buffered:
+                flat = np.concatenate(self._buf) if len(self._buf) > 1 else self._buf[0]
+                self._dispatch(flat)
+                self._buf, self._buffered = [], 0
+
+        self._jobs.append(self._pool.submit(_drain))
+
     def _dispatch(self, chunk: np.ndarray) -> None:
         m = len(chunk)
         if m < CHUNK:
