@@ -512,6 +512,10 @@ def main() -> None:
             "extra": {
                 "ingest_runs_x": [round(x, 3) for x in run_multiples],
                 "headline_runs_completed": r + 1,
+                # health evidence so far: a watchdog firing mid-loop must
+                # still emit a record that shows what the link was doing
+                "transport_per_run": list(run_transport),
+                "host_calib_per_run": [round(c, 3) for c in run_host_calib],
             },
         })
     # headline = median of the 3 fastest runs (== plain median of 3 when no
