@@ -420,7 +420,12 @@ class KeyframeScanner:
                 # read — fall to the host walk rather than serializing on it
                 dev = h._fut.result(timeout=self.wedge_patience_s)
                 if dev is None:
-                    raise TimeoutError("dispatch routed to host")  # worker flipped
+                    # the worker already flipped routing (and recorded why) —
+                    # don't double-count it as a fresh wedge
+                    self.host_mode = True
+                    h._val = self._host_mask(h._idx)
+                    h._fut = None
+                    return h._val
                 h._val = fetch(dev, give_up_s=self.wedge_patience_s)
                 dt = self._clock() - t0
                 # the first read of a video often includes program-queue
