@@ -539,9 +539,22 @@ def main() -> None:
     # label sustained host-core contention: the median run's post-run calib
     # 2x over the session's best sample means the host — not the system —
     # set the number (r03: decode_c ran 1.5-2x slow mid-run while the single
-    # start-of-bench sample read healthy)
+    # start-of-bench sample read healthy). The session-relative min alone
+    # misses a host that is slow from bench START, so the last CLEAN record's
+    # calib (BENCH_LOCAL.json without an env label) anchors the comparison
+    # absolutely — a chronically contended session cannot self-certify.
+    calib_refs = list(run_host_calib)
+    try:
+        lp = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+        with open(lp) as f:
+            prior = json.load(f)
+        pc = prior.get("extra", {}).get("host_calib_s")
+        if pc and not prior.get("extra", {}).get("env"):
+            calib_refs.append(float(pc))
+    except Exception:
+        pass
     med_calib = run_host_calib[best3_idx[1] + 1]  # +1: [0] is the start sample
-    if med_calib > 2.0 * min(run_host_calib):
+    if med_calib > 2.0 * min(calib_refs):
         env_labels.append("degraded-host")
     px = partial.setdefault("extra", {})
     px["transport_per_run"] = run_transport

@@ -310,9 +310,11 @@ def build_questions(
                 }
             )
         elif kind == "xmodal":
-            # alternate yes/no pairings: the asked color is the tone's true
-            # scene color (expect yes) or another scene's color (expect no)
-            expect_yes = bool(qi % 2 == 0)
+            # alternate yes/no pairings by a per-KIND counter (counting on qi
+            # parity broke whenever len(kinds) was even: every xmodal question
+            # landed on the same parity, so a constant 'no' answered them all)
+            n_xmodal = sum(1 for q in qs if q["type"] == "xmodal")
+            expect_yes = bool(n_xmodal % 2 == 0)
             if expect_yes or len(scenes) < 2:
                 asked = color
                 expect_yes = True
@@ -511,29 +513,38 @@ class OracleReasoning(ChatClient):
             return json.dumps(frames[:5])
         if "using only the retrieved evidence" in lower:
             ql = question.lower()
-            entries_of = lambda: [  # noqa: E731 — (time, color) caption parse
-                (float(m.group(1)), c)
-                for m in re.finditer(r"\[(\d+\.?\d*)s[^\]]*\] (.*)", text)
-                for c, _ in PALETTE
-                if c in m.group(2)
-            ]
-            if "answer yes or no" in ql:
-                # cross-modal verification: majority color among the retrieved
-                # in-window captions vs the asked color — wrong windows (or a
-                # wrong-video attribution) flip the verdict. Same
-                # (count, latest-time) key as the multimodal rule below: the
-                # ±2 s localization buffer (reference parity) bleeds backward
-                # into the prior scene at onset-aligned events
-                asked = next((c for c, _ in PALETTE if c in ql), None)
-                entries = entries_of()
-                if not entries or asked is None:
-                    return "ANSWER: unknown\nCONFIDENCE: 0.2"
+
+            def entries_of():
+                """(time, color) pairs parsed from the caption evidence lines
+                ('[Ns] ...' or '[Ns (since keyframe Ms)] ...')."""
+                return [
+                    (float(m.group(1)), c)
+                    for m in re.finditer(r"\[(\d+\.?\d*)s[^\]]*\] (.*)", text)
+                    for c, _ in PALETTE
+                    if c in m.group(2)
+                ]
+
+            def majority_color(entries):
+                """Most-mentioned color, tie-broken by LATEST time: the ±2 s
+                localization buffer (reference parity) bleeds backward into
+                the prior scene at onset-aligned events, so later evidence is
+                the in-window evidence."""
                 counts: Dict[str, int] = {}
                 latest: Dict[str, float] = {}
                 for t, c in entries:
                     counts[c] = counts.get(c, 0) + 1
                     latest[c] = max(latest.get(c, -1.0), t)
-                best = max(counts, key=lambda c: (counts[c], latest[c]))
+                return max(counts, key=lambda c: (counts[c], latest[c]))
+
+            if "answer yes or no" in ql:
+                # cross-modal verification: majority color among the retrieved
+                # in-window captions vs the asked color — wrong windows (or a
+                # wrong-video attribution) flip the verdict
+                asked = next((c for c, _ in PALETTE if c in ql), None)
+                entries = entries_of()
+                if not entries or asked is None:
+                    return "ANSWER: unknown\nCONFIDENCE: 0.2"
+                best = majority_color(entries)
                 if best == asked:
                     return "ANSWER: yes\nCONFIDENCE: 0.9"
                 return f"ANSWER: no (the background is {best})\nCONFIDENCE: 0.9"
@@ -554,32 +565,14 @@ class OracleReasoning(ChatClient):
                 return "ANSWER: not found\nCONFIDENCE: 0.2"
             if "color" in ql and not any(c in ql for c in (c for c, _ in PALETTE)):
                 # asked FOR a color (multimodal): majority color among the
-                # retrieved caption entries — wrong windows give wrong colors.
-                # Tie-break by LATEST time: the ±2 s localization buffer
-                # (reference parity) bleeds backward into the prior scene at
-                # onset-aligned events, so the later evidence is in-window.
-                entries = [
-                    (float(m.group(1)), c)
-                    for m in re.finditer(r"\[(\d+\.?\d*)s[^\]]*\] (.*)", text)
-                    for c, _ in PALETTE
-                    if c in m.group(2)
-                ]
+                # retrieved caption entries — wrong windows give wrong colors
+                entries = entries_of()
                 if entries:
-                    counts: Dict[str, int] = {}
-                    latest: Dict[str, float] = {}
-                    for t, c in entries:
-                        counts[c] = counts.get(c, 0) + 1
-                        latest[c] = max(latest.get(c, -1.0), t)
-                    best = max(counts, key=lambda c: (counts[c], latest[c]))
-                    return f"ANSWER: {best}\nCONFIDENCE: 0.9"
+                    return f"ANSWER: {majority_color(entries)}\nCONFIDENCE: 0.9"
                 return "ANSWER: no frames retrieved\nCONFIDENCE: 0.2"
             color = next((c for c, _ in PALETTE if c in question.lower()), None)
             if color:
-                times = [
-                    float(m.group(1))
-                    for m in re.finditer(r"\[(\d+\.?\d*)s[^\]]*\] (.*)", text)
-                    if color in m.group(2)
-                ]
+                times = [t for t, c in entries_of() if c == color]
                 if times:
                     return f"ANSWER: {float(np.median(times)):.1f} seconds\nCONFIDENCE: 0.9"
                 return "ANSWER: not found\nCONFIDENCE: 0.2"

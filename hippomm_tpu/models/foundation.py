@@ -248,12 +248,15 @@ class VisionEncodeStream:
         self._n_fed = 0
         self._pool = None
         self._jobs: List = []
+        self._finalized = False
 
     def feed(self, frames_u8: np.ndarray) -> None:
         """Append uint8 (M, H, W, 3) frames; the worker thread resizes and
         dispatches every full 32-chunk."""
-        if self._val is not None:
-            raise RuntimeError("VisionEncodeStream.feed() after result()")
+        if self._val is not None or self._finalized:
+            raise RuntimeError(
+                "VisionEncodeStream.feed() after result()/finalize()/close()"
+            )
         if frames_u8 is None or len(frames_u8) == 0:
             return
         frames_u8 = np.asarray(frames_u8)
@@ -266,6 +269,8 @@ class VisionEncodeStream:
 
     def _ingest(self, frames_u8: np.ndarray) -> None:
         # worker thread: resize+crop (reference PIL chain), chunk, dispatch
+        if self._val is not None:
+            return  # stream was close()d while this job sat in the queue
         self._buf.append(resize_crop_u8(frames_u8, self._ib.cfg.image_size))
         self._buffered += len(self._buf[-1])
         while self._buffered >= CHUNK:
@@ -286,10 +291,15 @@ class VisionEncodeStream:
         r3 record's 4.7 s/run encode_vision tail). Extraction calls this the
         moment the last frame is fed, so the tower programs queue ahead.
         Idempotent; further feeds raise (extraction is complete)."""
-        if self._val is not None or self._pool is None:
+        if self._val is not None or self._finalized:
             return
+        self._finalized = True
+        if self._pool is None:
+            return  # nothing was ever fed
 
         def _drain():
+            if self._val is not None:
+                return  # close()d while queued
             if self._buffered:
                 flat = np.concatenate(self._buf) if len(self._buf) > 1 else self._buf[0]
                 self._dispatch(flat)
@@ -309,25 +319,24 @@ class VisionEncodeStream:
         return self._n_fed
 
     def close(self) -> None:
-        """Abandon the stream: join the worker (swallowing its failure — the
-        caller is already on an error path) and drop buffered frames and
-        dispatched device handles, so a per-video failure between feed and
-        drain doesn't accumulate ViT output buffers across a folder run
-        (ADVICE r3 #3). Safe to call twice or after result(); feed() after
-        close raises like feed-after-result does."""
-        jobs, self._jobs = self._jobs, []
-        for j in jobs:
-            try:
-                j.result()
-            except Exception:  # noqa: BLE001 — error path; nothing to do
-                pass
+        """Abandon the stream WITHOUT joining the worker: close() runs on
+        error paths (a failing video, a vision-less track) where the worker
+        may be blocked inside a wedged `device_put` for minutes — waiting on
+        it would hang the folder ingest at exactly the moment it is trying to
+        skip a sick video (same rationale as KeyframeScanner.close's
+        wait=False). `_val` is set first so the worker's remaining jobs see a
+        closed stream; buffered frames and dispatched handles are dropped
+        (an in-flight job may append one last handle — it is released when
+        the stream object goes out of scope). Safe to call twice or after
+        result(); feed() after close raises like feed-after-result does."""
+        if self._val is None:
+            self._val = np.zeros((0, self._ib.cfg.embed_dim), np.float32)
+        self._jobs = []
         if self._pool is not None:
-            self._pool.shutdown(wait=True)
+            self._pool.shutdown(wait=False)
             self._pool = None
         self._buf, self._buffered = [], 0
         self._handles = []
-        if self._val is None:
-            self._val = np.zeros((0, self._ib.cfg.embed_dim), np.float32)
 
     def result(self) -> np.ndarray:
         """Drain the worker, dispatch the (<32) remainder, fetch, concatenate."""

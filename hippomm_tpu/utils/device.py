@@ -53,18 +53,24 @@ _COPY = None  # jitted identity: re-materializes a buffer for a retry read
 # samples this around its measured runs so a record made through a sick
 # link SAYS so instead of reading like a slow system.
 _STATS = {"wedges": 0, "stall_s": 0.0, "upload_stalls": 0, "upload_stall_s": 0.0}
+# incremented from the main thread, the kf-feed worker, AND the vision-stream
+# worker — unlocked '+=' read-modify-writes can drop counts right at the
+# labeling thresholds (e.g. upload_stalls >= 4 in bench)
+_STATS_LOCK = __import__("threading").Lock()
 _UPLOAD_SLOW_S = 0.5  # healthy dispatch of a few-MB put is ~ms; >0.5 s is a stall
 
 
 def transport_stats() -> dict:
-    return dict(_STATS)
+    with _STATS_LOCK:
+        return dict(_STATS)
 
 
 def reset_transport_stats() -> None:
-    _STATS["wedges"] = 0
-    _STATS["stall_s"] = 0.0
-    _STATS["upload_stalls"] = 0
-    _STATS["upload_stall_s"] = 0.0
+    with _STATS_LOCK:
+        _STATS["wedges"] = 0
+        _STATS["stall_s"] = 0.0
+        _STATS["upload_stalls"] = 0
+        _STATS["upload_stall_s"] = 0.0
 
 
 def timed_put(x, sharding=None) -> tuple:
@@ -85,8 +91,9 @@ def timed_put(x, sharding=None) -> tuple:
             "slow device upload: shape=%s dtype=%s put=%.2fs",
             getattr(x, "shape", "?"), getattr(x, "dtype", "?"), dt,
         )
-        _STATS["upload_stalls"] += 1
-        _STATS["upload_stall_s"] += dt - _UPLOAD_SLOW_S
+        with _STATS_LOCK:
+            _STATS["upload_stalls"] += 1
+            _STATS["upload_stall_s"] += dt - _UPLOAD_SLOW_S
     return out, dt
 
 
@@ -153,7 +160,8 @@ def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
             "device read wedged (>%.0fs, shape=%s attempt %d) — retrying "
             "via device-side copy", timeout, getattr(x, "shape", "?"), i + 1,
         )
-        _STATS["wedges"] += 1
+        with _STATS_LOCK:
+            _STATS["wedges"] += 1
         if _COPY is None:
             import jax
 
@@ -249,7 +257,8 @@ def fetch(x, dtype=None, give_up_s: float = None) -> np.ndarray:
             "slow device fetch: shape=%s dtype=%s wait=%.2fs read=%.2fs",
             getattr(x, "shape", "?"), orig_dtype, t1 - t0, t2 - t1,
         )
-        _STATS["stall_s"] += (t2 - t0) - _SLOW_S
+        with _STATS_LOCK:
+            _STATS["stall_s"] += (t2 - t0) - _SLOW_S
     if narrow:
         out = out.astype(dtype if dtype is not None else orig_dtype)
     elif dtype is not None:

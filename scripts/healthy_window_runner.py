@@ -54,6 +54,8 @@ STAGES = [
     ("bench", [sys.executable, os.path.join(REPO, "bench.py")], 2400),
 ]
 done = {name: False for name, _, _ in STAGES}
+fails = {name: 0 for name, _, _ in STAGES}
+MAX_FAILS = 2  # a deterministically-failing stage must not starve later ones
 
 
 def log(msg: str) -> None:
@@ -75,7 +77,9 @@ while time.monotonic() < DEADLINE and not all(done.values()):
         time.sleep(180)
         continue
     for name, cmd, budget in STAGES:
-        if done[name] or time.monotonic() + budget > DEADLINE + 600:
+        if done[name] or fails[name] >= MAX_FAILS:
+            continue
+        if time.monotonic() + budget > DEADLINE + 600:
             continue
         log(f"running {name} (budget {budget}s)")
         with open(os.path.join(OUT, f"{name}.log"), "w") as lf:
@@ -87,6 +91,8 @@ while time.monotonic() < DEADLINE and not all(done.values()):
         log(f"{name} rc={rc}")
         if rc == 0:
             done[name] = True
+        else:
+            fails[name] += 1
         # re-probe between stages: a window can close mid-battery
         break
-log(f"runner exiting: done={json.dumps(done)}")
+log(f"runner exiting: done={json.dumps(done)} fails={json.dumps(fails)}")

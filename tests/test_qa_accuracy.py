@@ -139,3 +139,8 @@ def test_build_questions_hard_families_and_empty_negatives():
     qs2 = build_questions(full, 30, seed=0, negatives=True)
     assert all(q["type"] != "video_neg" for q in qs2)
     assert any(q["type"] == "audio_neg" for q in qs2)
+    # xmodal yes/no balance must survive an EVEN kinds count (this config has
+    # 8 kinds): a qi-parity rule gave every xmodal question the same answer,
+    # letting a constant-'no' pipeline score 100% on the family
+    xm = [q["expected_yes"] for q in qs2 if q["type"] == "xmodal"]
+    assert len(xm) >= 2 and True in xm and False in xm
