@@ -197,31 +197,39 @@ def _host_walk(grays: np.ndarray, times: np.ndarray, ref, cum: float, tlast: flo
     Same semantics as the device scan (and select_keyframes_greedy): gate by
     time-since-save, diff vs the LAST-SAVED frame, cumulative trigger, no
     accumulation for gated-out candidates. `ref=None` means nothing saved yet.
-    Returns (mask int32 (m,), ref', cum', tlast')."""
-    from hippomm_tpu.ops.ssim import ssim_pairs_host
+    Returns (mask int32 (m,), ref', cum', tlast').
+
+    SSIM vs the current ref is computed LAZILY in geometrically growing
+    chunks (4 → 8 → … per ref-run): batching all remaining candidates per
+    save cost O(saves·block) pairs — measured 70 s/256-block on cut-heavy
+    content at ~2 ms/pair, the entire degraded-transport fallback budget —
+    while the chunked walk does ~n + 4·saves pairs (static content pays one
+    doubling ladder per block). One-vs-many SSIM computes the shared ref's
+    window statistics once instead of per pair."""
+    from hippomm_tpu.ops.ssim import ssim_one_to_many_host
 
     m = len(grays)
     mask = np.zeros(m, np.int32)
     g = np.ascontiguousarray(grays, np.float32)
-    sims, sims_at = None, 0
+    sims, sims_at, chunk = None, 0, 4
     for j in range(m):
         t = float(times[j])
         if ref is None:
             mask[j] = 1
-            ref, tlast, cum, sims = g[j], t, 0.0, None
+            ref, tlast, cum, sims, chunk = g[j], t, 0.0, None, 4
             continue
         if t - tlast < gap:
             continue
-        if sims is None:
-            # one batched SSIM vs the current ref — only for the REMAINING
-            # candidates (earlier ones are already decided; computing the full
-            # block again after every save roughly doubled host-walk cost)
-            sims, sims_at = ssim_pairs_host(np.repeat(ref[None], m - j, axis=0), g[j:]), j
+        if sims is None or j - sims_at >= len(sims):
+            if sims is not None:  # same ref survived the chunk: look further
+                chunk = min(chunk * 2, m)
+            hi = min(m, j + chunk)
+            sims, sims_at = ssim_one_to_many_host(ref, g[j:hi]), j
         diff = 1.0 - float(sims[j - sims_at])
         cum += diff
         if diff > thr or cum > thr:
             mask[j] = 1
-            ref, tlast, cum, sims = g[j], t, 0.0, None
+            ref, tlast, cum, sims, chunk = g[j], t, 0.0, None, 4
     return mask, ref, cum, tlast
 
 

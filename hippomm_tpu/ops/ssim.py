@@ -92,6 +92,50 @@ def ssim_pairs_host(
     return s.mean(axis=(1, 2)).astype(np.float32)
 
 
+def ssim_one_to_many_host(
+    ref: np.ndarray, batch: np.ndarray, data_range: float = 255.0,
+    dtype=np.float32,
+) -> np.ndarray:
+    """SSIM of ONE reference image against (B, H, W) candidates, on host.
+
+    Same math as ssim_pairs_host, but the reference's window statistics
+    (mean, mean-of-squares) are computed ONCE and broadcast — the greedy
+    keyframe walk scores every candidate against the same last-saved frame,
+    and `ssim_pairs_host(np.repeat(ref, B), batch)` recomputed the identical
+    ref cumsums B times (2/5 of the per-pair work) on top of materializing B
+    copies of it. fp32 default: the DEVICE scan this mirrors runs fp32, and
+    the host walk's job is matching ITS masks, not skimage's f64 bits."""
+
+    def wmean(x):
+        c = np.cumsum(np.cumsum(x, axis=-2, dtype=dtype), axis=-1, dtype=dtype)
+        c = np.pad(c, [(0, 0)] * (c.ndim - 2) + [(1, 0), (1, 0)])
+        s = (
+            c[..., WIN:, WIN:]
+            - c[..., :-WIN, WIN:]
+            - c[..., WIN:, :-WIN]
+            + c[..., :-WIN, :-WIN]
+        )
+        return s / (WIN * WIN)
+
+    x = np.asarray(ref, dtype)  # (H, W)
+    y = np.asarray(batch, dtype)  # (B, H, W)
+    np_ = WIN * WIN
+    cov_norm = np_ / (np_ - 1.0)
+    ux = wmean(x)  # (h', w') — once
+    uxx = wmean(x * x)
+    uy = wmean(y)  # (B, h', w')
+    uyy, uxy = wmean(y * y), wmean(x[None] * y)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux[None] * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    s = ((2.0 * ux[None] * uy + c1) * (2.0 * vxy + c2)) / (
+        (ux * ux + uy * uy + c1) * (vx[None] + vy + c2)
+    )
+    return s.mean(axis=(1, 2)).astype(np.float32)
+
+
 @partial(jax.jit, static_argnames=("data_range",))
 def ssim_pairs(a: jax.Array, b: jax.Array, data_range: float = 255.0) -> jax.Array:
     """SSIM for B image pairs. a, b: (B, H, W) uint8/float. Returns (B,) fp32."""
