@@ -44,17 +44,20 @@ lnp = {"weight": jax.device_put(jnp.ones((D,), jnp.float32)),
 
 
 def chain(fn, n=LAYERS):
-    """fold fn n times so per-call dispatch overhead amortizes like the model."""
+    """fold fn n times so per-call dispatch overhead amortizes like the model.
+    Returns a SCALAR reduction of the final carry: syncing via an 84 MB fetch
+    made the read floor (seconds, +-50% on this tunnel) swamp the 50-150 ms
+    signal — a 4-byte read's floor is just the RPC latency."""
     @jax.jit
     def run(x0):
         def body(h, _):
             return fn(h), None
         out, _ = jax.lax.scan(body, x0, None, length=n)
-        return out
+        return jnp.sum(out[..., :1, :1].astype(jnp.float32))
     return run
 
 
-def bench(name, run, x0, reps=3):
+def bench(name, run, x0, reps=8):
     """Read-synced timing with the read floor subtracted (as bench.py's
     _vision_mfu does): fetching the 84 MB output inside the timed loop made
     every row transport-dominated on a tunneled link — dispatch all reps
@@ -68,7 +71,8 @@ def bench(name, run, x0, reps=3):
     fetch(outs[0])  # ready buffer: fixed read floor
     floor = time.perf_counter() - t0
     dt = max(total - floor, 0.0) / reps * 1000
-    print(f"{name:44s} {dt:8.2f} ms /{LAYERS}L  (read floor {floor*1000:.0f} ms)")
+    print(f"{name:44s} {dt:8.2f} ms /{LAYERS}L  (read floor {floor*1000:.0f} ms)",
+          flush=True)
     return dt
 
 
@@ -166,7 +170,7 @@ def _mha_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
 
 
 @_partial(jax.jit, static_argnames=("scale", "gh"))
-def flash_bthd(q, k, v, scale: float, gh: int = 16):
+def flash_bthd(q, k, v, scale: float, gh: int = 8):
     b, tq, h, hd = q.shape
     tk = k.shape[1]
     return pl.pallas_call(
@@ -193,7 +197,7 @@ def attn_bthd(hh):
     qkv = jnp.dot(hh, w_qkv.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     qkv = (qkv + b_qkv).astype(jnp.bfloat16)
     qkv4 = qkv.reshape(B, T, 3, H, HD)  # free: no transpose
-    o = flash_bthd(qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2], float(SCALE), gh=H)
+    o = flash_bthd(qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2], float(SCALE), gh=8)
     return o.reshape(B, T, D)  # free: no transpose
 
 
