@@ -106,12 +106,39 @@ def attention(
             pad = [(0, 0)] * (mask.ndim - 1) + [(0, 1)]
             mask = jnp.pad(mask, pad)
 
+    scale = 1.0 / np.sqrt(hd)
+    if mask is None:
+        # transpose-free route: the fused kernel ingests the NATIVE
+        # (B, T, H, hd) layout the qkv reshape produces, so the three head
+        # split transposes, the (B·H, T, hd) fold+pad, and the output merge
+        # transpose — four (B, T, D)-sized layout moves per layer that
+        # contribute zero FLOPs — vanish from the program. Gated by
+        # bthd_default() pending the healthy-window measurement
+        # (scripts/vit_op_micro.py row 6 vs row 1).
+        from hippomm_tpu.ops.flash_attention import (
+            bthd_default,
+            bthd_supported,
+            flash_default,
+            flash_mha_bthd,
+        )
+
+        if flash_default() and bthd_default():
+            bq, tq_ = q.shape[0], q.shape[1]
+            tk_ = k.shape[1]
+            if bthd_supported(bq, num_heads, tq_, tk_, hd):
+                out = flash_mha_bthd(
+                    q.reshape(bq, tq_, num_heads, hd),
+                    k.reshape(bq, tk_, num_heads, hd),
+                    v.reshape(bq, tk_, num_heads, hd),
+                    float(scale),
+                )
+                return linear(p["out_proj"], out.reshape(bq, tq_, d), dtype)
+
     def split(t):  # (B, T, D) -> (B, H, T, hd)
         b_, t_, _ = t.shape
         return t.reshape(b_, t_, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = split(q), split(k), split(v)
-    scale = 1.0 / np.sqrt(hd)
     if mask is None:
         # mask-free attention routes to the fused Pallas kernel on TPU for
         # EVERY supported shape — Whisper encoder (hd=64, 828→672 ms tower

@@ -189,6 +189,139 @@ def flash_supported(tq: int, tk: int, hd: int) -> bool:
     return hd <= _LANES and tk <= _MAX_TK and tq >= 1
 
 
+# ---------------------------------------------------------------------------
+# Transpose-free variant: attention in the NATIVE (B, T, H, hd) layout
+# ---------------------------------------------------------------------------
+# The (B, H, T, hd) kernel above needs the caller to head-split q/k/v
+# (reshape + transpose of three (B, T, D) tensors), fold to (B·H, T, hd),
+# zero-pad hd→128 / Tk→lane multiple, and merge-transpose the output back —
+# at ViT-H b128 that is four 84 MB bf16 transposes plus two padded copies of
+# HBM traffic per layer that contribute zero FLOPs. This kernel instead
+# ingests q/k/v exactly as the QKV projection's reshape produces them —
+# (B, T, H, hd), no transpose, no fold, no explicit padding (Mosaic masks the
+# partial hd tile) — and writes the output in the same layout, which the
+# out-projection consumes with a free reshape. Grid is (B, H/GH); each step
+# loads a (1, T, GH, hd) block per operand and loops the GH head planes.
+#
+# Constraint (Mosaic block-spec rule): the second-to-last block dim must be a
+# multiple of 8 or equal the array dim, so GH=8 when H%8==0, GH=H for tiny
+# heads (H<=8); other H fall back to the transposing kernel. GH=16 is also
+# legal by that rule but crashed the remote compile helper on this
+# environment — 8 is the measured-safe blocking.
+
+
+def _mha_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One grid step: (1, TQ, GH, HD) q block vs (1, TK, GH, HD) k/v blocks.
+
+    Head planes are statically unrolled; logits/softmax live only in VMEM
+    (fp32), the value matmul accumulates fp32 and emits the compute dtype —
+    numerically the same schedule as _mha_kernel."""
+    for u in range(q_ref.shape[2]):
+        q = q_ref[0, :, u, :]
+        k = k_ref[0, :, u, :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp(logits - m)
+        w = e / jnp.sum(e, axis=-1, keepdims=True)
+        o_ref[0, :, u, :] = jnp.dot(
+            w.astype(q.dtype), v_ref[0, :, u, :], preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _bthd_gh(h: int):
+    if h % 8 == 0:
+        return 8
+    if h <= 8:
+        return h
+    return None
+
+
+def bthd_supported(b: int, h: int, tq: int, tk: int, hd: int) -> bool:
+    """Static gate for the (B, T, H, hd) kernel: a head-group's q/k/v/out
+    blocks plus one fp32 logits scratch must fit the VMEM budget with the
+    whole sequence resident (this kernel has no q-blocking — it targets the
+    short-sequence towers: ViT 257, audio trunk 231)."""
+    gh = _bthd_gh(h)
+    if gh is None or hd > _LANES:
+        return False
+    per_step = 2 * (2 * tq + 2 * tk) * gh * max(hd, _LANES) * 2 + tq * tk * 4
+    return per_step <= 10 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def _flash_mha_bthd_fwd_impl(q, k, v, scale: float, interpret: bool = False):
+    """q: (B, Tq, H, hd); k/v: (B, Tk, H, hd) — returns (B, Tq, H, hd) in
+    q.dtype. No padding, no layout change: HBM traffic is q/k/v in + out."""
+    b, tq, h, hd = q.shape
+    tk = k.shape[1]
+    gh = _bthd_gh(h)
+    return pl.pallas_call(
+        functools.partial(_mha_kernel_bthd, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((b, tq, h, hd), q.dtype),
+        grid=(b, h // gh),
+        in_specs=[
+            pl.BlockSpec((1, tq, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * tq * tk * hd,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=b * h * tq * tk,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_mha_bthd(q, k, v, scale: float, interpret: bool = False):
+    """Fused attention in the native (B, T, H, hd) layout; differentiable
+    (XLA-recompute backward). Values match flash_mha on the transposed
+    operands exactly — same fp32 logits/softmax, compute-dtype value matmul."""
+    return _flash_mha_bthd_fwd_impl(q, k, v, scale, interpret)
+
+
+def _bthd_fwd(q, k, v, scale, interpret):
+    return _flash_mha_bthd_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _bthd_bwd(scale, interpret, res, grad):
+    q, k, v = res
+    dt = q.dtype
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    )
+    w = jax.nn.softmax(logits, axis=-1)
+    wc = w.astype(dt)
+    g = grad.astype(dt)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", wc, g, preferred_element_type=jnp.float32)
+    dw = jnp.einsum("bqhd,bkhd->bhqk", g, v.astype(dt), preferred_element_type=jnp.float32)
+    dlogits = (w * (dw - jnp.sum(dw * w, axis=-1, keepdims=True)) * scale).astype(dt)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dlogits, k.astype(dt), preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dlogits, q.astype(dt), preferred_element_type=jnp.float32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_mha_bthd.defvjp(_bthd_fwd, _bthd_bwd)
+
+
+@functools.lru_cache(maxsize=1)
+def bthd_default() -> bool:
+    """Route policy for the transpose-free layout: HIPPOMM_FLASH_BTHD=1
+    forces on, =0 forces off. 'auto' (default) is OFF pending a healthy-window
+    hardware measurement (scripts/vit_op_micro.py row 6 vs row 1) — flip this
+    to backend-gated once the margin is banked."""
+    flag = os.environ.get("HIPPOMM_FLASH_BTHD", "auto").lower()
+    if flag in ("1", "true", "on"):
+        return True
+    return False
+
+
 def flash_profitable(tq: int, tk: int, hd: int) -> bool:
     """Measured routing policy (v5e):
 

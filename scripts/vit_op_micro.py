@@ -144,60 +144,20 @@ def ln_res(h):
     return h + b
 
 
-# 6. EXPERIMENT (r4): transpose-free attention — the kernel ingests the
-# natural (B, T, H, hd) layout the qkv reshape produces (no split/merge
-# transposes, no fold, no explicit hd/Tk padding: Mosaic masks partial tiles).
-# If this beats attn_as_model by ~the transpose+foldpad wall, wire it in.
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-from functools import partial as _partial
-
-
-def _mha_kernel_bthd(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # q_ref: (1, TQ, GH, HD); k/v_ref: (1, TK, GH, HD); o_ref like q_ref
-    for u in range(q_ref.shape[2]):
-        q = q_ref[0, :, u, :]
-        k = k_ref[0, :, u, :]
-        logits = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
-        o_ref[0, :, u, :] = jnp.dot(
-            w.astype(q.dtype), v_ref[0, :, u, :], preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
-
-
-@_partial(jax.jit, static_argnames=("scale", "gh"))
-def flash_bthd(q, k, v, scale: float, gh: int = 8):
-    b, tq, h, hd = q.shape
-    tk = k.shape[1]
-    return pl.pallas_call(
-        _partial(_mha_kernel_bthd, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, tq, h, hd), q.dtype),
-        grid=(b, h // gh),
-        in_specs=[
-            pl.BlockSpec((1, tq, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, tq, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * tq * tk * hd,
-            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-            transcendentals=b * h * tq * tk,
-        ),
-    )(q, k, v)
+# 6. Transpose-free attention (r4, now the PRODUCT kernel in
+# ops/flash_attention.py): ingests the natural (B, T, H, hd) layout the qkv
+# reshape produces — no split/merge transposes, no fold, no explicit hd/Tk
+# padding (Mosaic masks partial tiles). If this beats attn_as_model by ~the
+# transpose+foldpad wall, flip bthd_default() to backend-gated.
+from hippomm_tpu.ops.flash_attention import flash_mha_bthd
 
 
 def attn_bthd(hh):
     qkv = jnp.dot(hh, w_qkv.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
     qkv = (qkv + b_qkv).astype(jnp.bfloat16)
-    qkv4 = qkv.reshape(B, T, 3, H, HD)  # free: no transpose
-    o = flash_bthd(qkv4[:, :, 0], qkv4[:, :, 1], qkv4[:, :, 2], float(SCALE), gh=8)
+    q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]  # as attention() slices
+    o = flash_mha_bthd(q.reshape(B, T, H, HD), k.reshape(B, T, H, HD),
+                       v.reshape(B, T, H, HD), float(SCALE))
     return o.reshape(B, T, D)  # free: no transpose
 
 
@@ -205,7 +165,7 @@ def check_bthd_correct():
     qs = jax.random.normal(jax.random.PRNGKey(1), (2, 37, 8, 80), jnp.float32)
     ks = jax.random.normal(jax.random.PRNGKey(2), (2, 37, 8, 80), jnp.float32)
     vs = jax.random.normal(jax.random.PRNGKey(3), (2, 37, 8, 80), jnp.float32)
-    got = flash_bthd(qs, ks, vs, 0.1, gh=8)
+    got = flash_mha_bthd(qs, ks, vs, 0.1)
     ref = _flash_mha_fwd_impl(
         qs.transpose(0, 2, 1, 3), ks.transpose(0, 2, 1, 3), vs.transpose(0, 2, 1, 3), 0.1
     ).transpose(0, 2, 1, 3)

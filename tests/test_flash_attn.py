@@ -101,3 +101,134 @@ def test_product_path_unchanged_on_cpu():
 
     flash_default.cache_clear()
     assert flash_default() is False
+
+
+# ---------------------------------------------------------------------------
+# Transpose-free (B, T, H, hd) kernel
+# ---------------------------------------------------------------------------
+
+
+def oracle_bthd(q, k, v, scale):
+    dt = q.dtype
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", q.astype(dt), k.astype(dt),
+                   preferred_element_type=jnp.float32) * scale
+    )
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", w.astype(dt), v.astype(dt),
+                      preferred_element_type=jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "b,h,tq,tk,hd,dtype,tol",
+    [
+        (2, 16, 257, 257, 80, jnp.float32, 1e-5),   # ViT-H shape (gh=8)
+        (2, 16, 257, 257, 80, jnp.bfloat16, 2e-2),
+        (1, 8, 230, 231, 64, jnp.float32, 1e-5),    # audio trunk (+bias_kv key)
+        (1, 4, 33, 33, 16, jnp.float32, 1e-5),      # tiny heads: gh == h
+    ],
+)
+def test_bthd_matches_einsum(b, h, tq, tk, hd, dtype, tol):
+    from hippomm_tpu.ops.flash_attention import flash_mha_bthd
+
+    q = _mk((b, tq, h, hd), 10, dtype)
+    k = _mk((b, tk, h, hd), 11, dtype)
+    v = _mk((b, tk, h, hd), 12, dtype)
+    scale = float(1.0 / np.sqrt(hd))
+    got = flash_mha_bthd(q, k, v, scale, True)
+    want = oracle_bthd(q, k, v, scale)
+    assert got.dtype == q.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want.astype(q.dtype), np.float32),
+        atol=tol, rtol=tol,
+    )
+
+
+def test_bthd_matches_transposing_kernel():
+    """The two layouts must be the SAME function: bthd(q,k,v) equals the
+    product bhtd kernel on the transposed operands, element for element."""
+    from hippomm_tpu.ops.flash_attention import flash_mha_bthd
+
+    q = _mk((2, 37, 8, 80), 13, jnp.float32)
+    k = _mk((2, 41, 8, 80), 14, jnp.float32)
+    v = _mk((2, 41, 8, 80), 15, jnp.float32)
+    got = flash_mha_bthd(q, k, v, 0.1, True)
+    ref = flash_mha(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        0.1, True,
+    ).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6, rtol=1e-6)
+
+
+def test_bthd_gradients_match_einsum():
+    from hippomm_tpu.ops.flash_attention import flash_mha_bthd
+
+    b, t, h, hd = 1, 24, 2, 32
+    q = _mk((b, t, h, hd), 16, jnp.float32)
+    k = _mk((b, t, h, hd), 17, jnp.float32)
+    v = _mk((b, t, h, hd), 18, jnp.float32)
+    scale = float(1.0 / np.sqrt(hd))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.square(flash_mha_bthd(q, k, v, scale, True)))
+
+    def loss_oracle(q, k, v):
+        return jnp.sum(jnp.square(oracle_bthd(q, k, v, scale)))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_oracle = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, v)
+    for gf, go in zip(g_flash, g_oracle):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go), atol=1e-4, rtol=1e-4)
+
+
+def test_bthd_supported_gate():
+    from hippomm_tpu.ops.flash_attention import bthd_supported
+
+    assert bthd_supported(128, 16, 257, 257, 80)     # ViT-H b128
+    assert bthd_supported(1, 8, 230, 231, 64)        # audio trunk
+    assert bthd_supported(1, 4, 33, 33, 16)          # tiny heads: gh == h
+    assert not bthd_supported(8, 20, 1500, 1500, 64)  # Whisper enc: logits too big
+    assert not bthd_supported(1, 12, 64, 64, 32)      # H=12: no safe head grouping
+    assert not bthd_supported(1, 8, 64, 64, 256)      # head_dim beyond one lane tile
+
+
+def test_bthd_default_off_without_flag(monkeypatch):
+    from hippomm_tpu.ops import flash_attention as fa
+
+    monkeypatch.delenv("HIPPOMM_FLASH_BTHD", raising=False)
+    fa.bthd_default.cache_clear()
+    assert fa.bthd_default() is False
+    monkeypatch.setenv("HIPPOMM_FLASH_BTHD", "1")
+    fa.bthd_default.cache_clear()
+    assert fa.bthd_default() is True
+    fa.bthd_default.cache_clear()
+
+
+def test_attention_routes_bthd_and_matches_einsum(monkeypatch):
+    """Force the transpose-free route through the SHARED attention() and pin
+    it against the default einsum path — proves the product wiring (reshapes,
+    qkv slicing, out-projection) is layout-correct, not just the kernel."""
+    import functools as ft
+
+    from hippomm_tpu.models import layers as L
+    from hippomm_tpu.ops import flash_attention as fa
+
+    key = jax.random.PRNGKey(42)
+    p = L.init_attention(key, 64, packed=True)
+    x = _mk((2, 33, 64), 19, jnp.float32)
+
+    want = L.attention(p, x, num_heads=8, dtype=jnp.float32)
+
+    calls = []
+    real = fa.flash_mha_bthd
+
+    def spy(q, k, v, scale, interpret=False):
+        calls.append(q.shape)
+        return real(q, k, v, scale, True)  # interpret: no Mosaic on CPU
+
+    monkeypatch.setattr(fa, "flash_default", lambda: True)
+    monkeypatch.setattr(fa, "bthd_default", lambda: True)
+    monkeypatch.setattr(fa, "flash_mha_bthd", spy)
+    got = L.attention(p, x, num_heads=8, dtype=jnp.float32)
+    assert calls == [(2, 33, 8, 8)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
