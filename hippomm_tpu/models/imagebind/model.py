@@ -193,16 +193,20 @@ def vision_embed(
     p = params["vision"]
     # (out, in, 2, ph, pw) -> summed temporal kernel (out, in, ph, pw)
     w = p["patch_conv"]["weight"].sum(axis=2).astype(dtype)
+    # NHWC output: token dim lands OUTSIDE the feature dim, so (B, N, W) is a
+    # free reshape — the NCHW layout needed a (B, W, N)→(B, N, W) transpose of
+    # the fp32 conv output (168 MB at ViT-H b128) that moved zero FLOPs.
+    # Same convolution, identical values.
     x = jax.lax.conv_general_dilated(
         images.astype(dtype),
         w,
         window_strides=(cfg.patch_size, cfg.patch_size),
         padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NHWC"),
         preferred_element_type=jnp.float32,
-    )  # (B, W, H/p, W/p)
+    )  # (B, H/p, W/p, W)
     b = x.shape[0]
-    x = x.reshape(b, cfg.vision.width, -1).transpose(0, 2, 1)  # (B, N, W)
+    x = x.reshape(b, -1, cfg.vision.width)  # (B, N, W)
     cls = jnp.broadcast_to(p["cls_token"], (b, 1, cfg.vision.width)).astype(jnp.float32)
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(jnp.float32)
     return L.layer_norm(p["pre_ln"], x, cfg.vision.eps)
@@ -243,16 +247,18 @@ def audio_forward(
         b_, c_ = mel.shape[:2]
         mel = mel.reshape(b_ * c_, *mel.shape[2:])
     p = params["audio"]
+    # NHWC output for the same transpose-free (B, N, W) reshape as the vision
+    # patchify (token order — row-major over the patch grid — is unchanged)
     x = jax.lax.conv_general_dilated(
         mel.astype(dtype),
         p["patch_conv"]["weight"].astype(dtype),
         window_strides=(cfg.audio_stride, cfg.audio_stride),
         padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=("NCHW", "OIHW", "NHWC"),
         preferred_element_type=jnp.float32,
     )
     b = x.shape[0]
-    x = x.reshape(b, cfg.audio.width, -1).transpose(0, 2, 1)
+    x = x.reshape(b, -1, cfg.audio.width)
     x = L.layer_norm(p["patch_norm"], x, cfg.audio.eps)
     cls = jnp.broadcast_to(p["cls_token"], (b, 1, cfg.audio.width)).astype(jnp.float32)
     x = jnp.concatenate([cls, x], axis=1) + p["pos_embed"].astype(jnp.float32)

@@ -176,13 +176,33 @@ def attention(
     return linear(p["out_proj"], out, dtype)
 
 
-def mlp(p: Params, x: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+def mlp(p: Params, x: jax.Array, dtype=jnp.bfloat16, cast_out: bool = False) -> jax.Array:
     """fc1 keeps fp32 accumulation (+ fp32 bias), then casts to the compute
     dtype BEFORE the GELU: the (B, T, 4D) hidden is the largest activation in
     the model (337 MB fp32 at ViT-H b128), and running the GELU's read/write
     in bf16 halves its HBM traffic. dtype=fp32 is bit-identical to the old
     gelu-then-cast order (parity tests run fp32); in bf16 the difference is
-    one rounding of the GELU input, bounded by bf16 eps."""
+    one rounding of the GELU input, bounded by bf16 eps.
+
+    cast_out=True declares the CALLER immediately casts the result to `dtype`
+    (every residual-stream call site does) — permission for the fused Pallas
+    kernel (ops/fused_mlp.py: fc1→bias→GELU→fc2 in one pass, hidden never in
+    HBM, GELU overlaps the MXU) to emit the compute dtype directly. Values
+    after the caller's cast are bit-identical either way; the one call site
+    that keeps the fp32 output (whisper decoder single-token step) must not
+    pass it. Routing is gated by fused_mlp_default() (measurement pending)."""
+    if cast_out and "bias" in p["fc1"] and "bias" in p["fc2"]:
+        from hippomm_tpu.ops import fused_mlp as _fm
+
+        w1 = p["fc1"]["weight"]
+        f, d = w1.shape
+        n = int(np.prod(x.shape[:-1]))
+        if _fm.fused_mlp_default() and _fm.fused_mlp_supported(n, d, f):
+            y = _fm.fused_mlp_vjp(
+                x.reshape(n, d).astype(dtype),
+                w1, p["fc1"]["bias"], p["fc2"]["weight"], p["fc2"]["bias"],
+            )
+            return y.reshape(*x.shape[:-1], d)
     y = linear(p["fc1"], x, dtype).astype(dtype)
     return linear(p["fc2"], gelu(y), dtype)
 
@@ -207,7 +227,10 @@ def encoder_block(
         p["attn"], layer_norm(p["norm_1"], x, eps, out_dtype=dtype),
         num_heads=num_heads, mask=mask, dtype=dtype,
     ).astype(dtype)
-    x = x + mlp(p["mlp"], layer_norm(p["norm_2"], x, eps, out_dtype=dtype), dtype=dtype).astype(dtype)
+    x = x + mlp(
+        p["mlp"], layer_norm(p["norm_2"], x, eps, out_dtype=dtype), dtype=dtype,
+        cast_out=True,
+    ).astype(dtype)
     return x
 
 

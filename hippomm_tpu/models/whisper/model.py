@@ -168,7 +168,10 @@ def _whisper_block(p, x, heads, eps, mask=None, dtype=jnp.bfloat16, cross_kv=Non
             num_heads=heads,
             dtype=dtype,
         ).astype(dtype)
-    x = x + L.mlp(p["mlp"], L.layer_norm(p["final_ln"], x, eps, out_dtype=dtype), dtype=dtype).astype(dtype)
+    x = x + L.mlp(
+        p["mlp"], L.layer_norm(p["final_ln"], x, eps, out_dtype=dtype), dtype=dtype,
+        cast_out=True,
+    ).astype(dtype)
     return x
 
 

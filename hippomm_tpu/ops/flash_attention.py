@@ -246,36 +246,47 @@ def bthd_supported(b: int, h: int, tq: int, tk: int, hd: int) -> bool:
     gh = _bthd_gh(h)
     if gh is None or hd > _LANES:
         return False
-    per_step = 2 * (2 * tq + 2 * tk) * gh * max(hd, _LANES) * 2 + tq * tk * 4
+    per_step = 2 * (2 * tq + 2 * tk) * gh * _round_up(hd, _LANES) * 2 + tq * tk * 4
     return per_step <= 10 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def _flash_mha_bthd_fwd_impl(q, k, v, scale: float, interpret: bool = False):
     """q: (B, Tq, H, hd); k/v: (B, Tk, H, hd) — returns (B, Tq, H, hd) in
-    q.dtype. No padding, no layout change: HBM traffic is q/k/v in + out."""
+    q.dtype. No transposes; hd is zero-padded to the 128-lane width before
+    the call (measured on v5e 2026-08-20: a bf16 4-D block with a NON-lane-
+    multiple last dim crashes the Mosaic compiler — tpu_compile_helper exit 1
+    — for every (b, tq) tried, while the same kernel at hd=128 compiles; the
+    padding is exact since zero lanes add 0 to q·k and produce zero output
+    columns that the final slice drops). One fused pad of each operand is
+    ~⅓ of the bytes the four split/merge transposes + fold moved."""
     b, tq, h, hd = q.shape
     tk = k.shape[1]
     gh = _bthd_gh(h)
-    return pl.pallas_call(
+    hdp = _round_up(hd, _LANES)
+    if hdp != hd:
+        pad = ((0, 0), (0, 0), (0, 0), (0, hdp - hd))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    out = pl.pallas_call(
         functools.partial(_mha_kernel_bthd, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b, tq, h, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tq, h, hdp), q.dtype),
         grid=(b, h // gh),
         in_specs=[
-            pl.BlockSpec((1, tq, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, gh, hdp), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, gh, hdp), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, gh, hdp), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tq, gh, hd), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
+            (1, tq, gh, hdp), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * tq * tk * hd,
+            flops=4 * b * h * tq * tk * hdp,
             bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
             transcendentals=b * h * tq * tk,
         ),
         interpret=interpret,
     )(q, k, v)
+    return out[..., :hd] if hdp != hd else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))

@@ -1,0 +1,209 @@
+"""Pallas TPU kernel: fused transformer MLP (fc1 → bias → GELU → fc2).
+
+Motivation (scripts/vit_op_micro.py, v5e, ViT-H b128): the XLA MLP runs
+199.8 ms per 32-layer chain against a ~140 ms matmul speed-of-light — and the
+bf16-epilogue variant measures the SAME 200 ms, so the ~60 ms residual is not
+HBM traffic but the exact-erf GELU's VPU time serialized between the two
+matmuls. Inside one kernel the GELU of hidden-chunk j overlaps the MXU's
+fc2 matmul of chunk j-1 (Mosaic software-pipelines grid steps), and the
+(N, 4D) hidden activation — the largest tensor in the model, 337 MB bf16 at
+ViT-H b128 — never exists in HBM at all.
+
+Schedule: grid (N/bn, F/bf) with the hidden dim F innermost. Per step:
+load x-tile (bn, D) (resident across the inner dim — same block index),
+W1-tile (bf, D), W2-tile (D, bf); compute h = x @ W1ᵀ (fp32) + b1, cast to
+the compute dtype, GELU, then accumulate x-tile's output: acc += h @ W2-tileᵀ
+(fp32 scratch, revisited across j). On the last j: add b2 and emit in the
+compute dtype.
+
+Numerics follow models/layers.py:mlp op-for-op (fp32 accum + fp32 bias →
+cast → erf GELU in compute dtype → fp32 accum + fp32 bias → cast) with ONE
+deviation: Mosaic has no erf/erfc lowering (probed on v5e 2026-08-20 — the
+exact `jax.nn.gelu` lowers through erfc and fails to compile), so the kernel
+evaluates erf with the Abramowitz–Stegun 7.1.26 rational polynomial in fp32
+(|erf error| ≤ 1.5e-7 absolute, pinned by tests/test_fused_mlp.py's dense
+grid check). At the bf16 output precision (~2e-3 relative rounding) that is
+below one ulp except exactly at rounding boundaries; fp32 outputs agree with
+the XLA path to ~1e-6 absolute (fc2 sums F≈5k bounded-1.5e-7 GELU errors).
+
+Reference behavior being accelerated: the torch nn.Sequential(Linear, GELU,
+Linear) MLPs inside the stock towers the reference loads
+(hippomm/models/foundation_models.py delegates to ImageBind/Whisper).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+# Abramowitz & Stegun 7.1.26: erf(x) = 1 - poly(t)·exp(-x²), t = 1/(1+px),
+# max absolute error 1.5e-7 over x ≥ 0 (fp32 evaluation). Used because
+# Mosaic lowers exp but not erf/erfc.
+_ERF_P = 0.3275911
+_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _erf_as(x):
+    """fp32 erf via A&S 7.1.26 (odd extension), |err| ≤ 1.5e-7."""
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + _ERF_P * a)
+    poly = t * (
+        _ERF_A[0]
+        + t * (_ERF_A[1] + t * (_ERF_A[2] + t * (_ERF_A[3] + t * _ERF_A[4])))
+    )
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_erf(x):
+    """Exact-form GELU with the A&S erf; fp32 internal, emits x.dtype."""
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf_as(xf * _INV_SQRT2))).astype(x.dtype)
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref):
+    """One grid step (i, j): x-tile (bn, D) × hidden chunk j of width bf."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # fc1 for this hidden chunk: (bn, D) @ (bf, D)ᵀ -> (bn, bf) fp32
+    h = jax.lax.dot_general(
+        x_ref[...], w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[...].astype(jnp.float32)
+    # cast BEFORE the GELU, exactly like layers.mlp (one bf16 rounding);
+    # A&S erf since Mosaic has no erf lowering (see module docstring)
+    h = _gelu_erf(h.astype(o_ref.dtype))
+    # fc2 partial: (bn, bf) @ (D, bf)ᵀ -> (bn, D), accumulated fp32
+    acc_ref[...] += jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        o_ref[...] = (acc_ref[...] + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _pick_bn(n: int) -> int:
+    """Largest power-of-two row tile ≤ 512 that divides n (≥ 8 sublanes)."""
+    bn = 512
+    while bn >= 8:
+        if n % bn == 0:
+            return bn
+        bn //= 2
+    return 0
+
+
+def fused_mlp_supported(n: int, d: int, f: int) -> bool:
+    """Static gate: aligned feature dims, a dividing row tile, and a hidden
+    chunk width that divides F (512 preferred, any lane multiple accepted)."""
+    return (
+        d % _LANES == 0
+        and f % _LANES == 0
+        and _pick_bn(n) >= 8
+        and _chunk_f(f) > 0
+    )
+
+
+def _chunk_f(f: int) -> int:
+    for bf in (512, 256, _LANES):
+        if f % bf == 0:
+            return bf
+    return 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
+    """x: (N, D) compute dtype; w1: (F, D); b1: (F,); w2: (D, F); b2: (D,)
+    (torch Linear convention, as stored in the param pytrees — weights are
+    cast to x.dtype here, matching linear()). Returns (N, D) in x.dtype.
+
+    Equivalent to
+        h = cast(x @ w1ᵀ + b1); y = gelu_exact(h); out = cast(y @ w2ᵀ + b2)
+    i.e. models/layers.py:mlp followed by the encoder block's cast.
+    """
+    n, d = x.shape
+    f = w1.shape[0]
+    bn = _pick_bn(n)
+    bf = _chunk_f(f)
+    dt = x.dtype
+    return pl.pallas_call(
+        _mlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, d), dt),
+        grid=(n // bn, f // bf),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * d * f,
+            bytes_accessed=(2 * n * d + 2 * d * f) * dt.itemsize,
+            transcendentals=n * f,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        w1.astype(dt),
+        b1.reshape(1, f),
+        w2.astype(dt),
+        b2.reshape(1, d),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_mlp_vjp(x, w1, b1, w2, b2, interpret: bool = False):
+    """Differentiable wrapper (XLA-recompute backward, like flash_mha —
+    training is the rare path; ingest/serving never differentiates the MLP)."""
+    return fused_mlp(x, w1, b1, w2, b2, interpret)
+
+
+def _ref_mlp(x, w1, b1, w2, b2):
+    dt = x.dtype
+    h = jnp.dot(x, w1.astype(dt).T, preferred_element_type=jnp.float32)
+    h = (h + b1.astype(jnp.float32)).astype(dt)
+    y = jax.nn.gelu(h, approximate=False)
+    out = jnp.dot(y, w2.astype(dt).T, preferred_element_type=jnp.float32)
+    return (out + b2.astype(jnp.float32)).astype(dt)
+
+
+def _vjp_fwd(x, w1, b1, w2, b2, interpret):
+    return fused_mlp(x, w1, b1, w2, b2, interpret), (x, w1, b1, w2, b2)
+
+
+def _vjp_bwd(interpret, res, g):
+    x, w1, b1, w2, b2 = res
+    _, pullback = jax.vjp(_ref_mlp, x, w1, b1, w2, b2)
+    return pullback(g)
+
+
+fused_mlp_vjp.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.lru_cache(maxsize=1)
+def fused_mlp_default() -> bool:
+    """Route policy: HIPPOMM_FUSED_MLP=1 forces on, =0 forces off. 'auto'
+    (default) is OFF pending the healthy-window hardware measurement
+    (scripts/vit_op_micro.py row 4d vs 4a) — flip to backend-gated once the
+    margin is banked."""
+    flag = os.environ.get("HIPPOMM_FUSED_MLP", "auto").lower()
+    if flag in ("1", "true", "on"):
+        return True
+    return False

@@ -174,6 +174,42 @@ def check_bthd_correct():
     return err < 1e-5
 
 
+# 7. qkv dissection: matmul + bias + cast + slices, STOPPING before any
+# layout work — attn chain minus this minus the kernel = the layout wall
+def qkv_only(h):
+    qkv = jnp.dot(h, w_qkv.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    qkv = (qkv + b_qkv).astype(jnp.bfloat16)
+    q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+    return (q + k + v)  # consume all three slices; one extra add pair
+
+
+# 8. fused MLP kernel (ops/fused_mlp.py): fc1 -> bias -> bf16 gelu -> fc2 in
+# one pallas call; the (B,T,4D) hidden never leaves VMEM and the erf GELU
+# overlaps the MXU. Compare against 4a (the shipped XLA path).
+from hippomm_tpu.ops.fused_mlp import fused_mlp
+
+
+def mlp_fused(h):
+    y = fused_mlp(h.reshape(B * T, D), w1, b1, w2, b2)
+    return y.reshape(B, T, D)
+
+
+def check_mlp_fused_correct():
+    hh = jax.random.normal(jax.random.PRNGKey(4), (256, D), jnp.float32)
+    # oracle is 4c (fp32 accum, cast BEFORE gelu) — the product op order the
+    # kernel reproduces; 4a keeps the gelu in fp32 and differs by a bf16
+    # rounding of the gelu input, which is NOT the kernel's deviation
+    got = fused_mlp(hh.astype(jnp.bfloat16), w1.astype(jnp.bfloat16), b1,
+                    w2.astype(jnp.bfloat16), b2)
+    want = mlp_bf16_gelu(hh.astype(jnp.bfloat16).reshape(1, 256, D)).reshape(256, D)
+    g = got.astype(jnp.float32)
+    w = want.astype(jnp.float32)
+    # A&S-erf deviation can flip one bf16 ulp (~0.4% relative); gate at 1%
+    rel = float(jnp.max(jnp.abs(g - w) / (jnp.abs(w) + 1e-2)))
+    print(f"fused mlp max rel err vs 4c op order (bf16): {rel:.2e}")
+    return rel < 1e-2
+
+
 rows = {}
 try:
     ok = check_bthd_correct()
@@ -183,6 +219,14 @@ try:
         )
 except Exception as e:
     print(f"bthd kernel failed: {e!r}"[:300])
+
+try:
+    if check_mlp_fused_correct():
+        rows["mlp_fused"] = bench("8. MLP fused pallas kernel", chain(mlp_fused), x)
+except Exception as e:
+    print(f"fused mlp kernel failed: {e!r}"[:300])
+
+rows["qkv_only"] = bench("7. qkv matmul+bias+cast+slices only", chain(qkv_only), x)
 
 rows["attn_chain_as_model"] = bench("1. attn chain (model path, post-qkv)", chain(attn_as_model), x)
 rows["kernel_only"] = bench("2. pallas kernel alone (pre-split inputs)", chain(kernel_only), q0)
