@@ -48,11 +48,18 @@ for i in range(4):
 sys.exit(0 if ok >= 3 else 1)
 """
 
-STAGES = [
+ALL_STAGES = [
+    ("mlp_fused_micro", [sys.executable, "-u", os.path.join(REPO, "scripts", "mlp_fused_micro.py")], 1200),
     ("vit_op_micro", [sys.executable, os.path.join(REPO, "scripts", "vit_op_micro.py")], 1500),
     ("profile_vlog", [sys.executable, os.path.join(REPO, "scripts", "profile_vlog.py")], 1800),
     ("bench", [sys.executable, os.path.join(REPO, "bench.py")], 2400),
 ]
+# optional 2nd arg: comma-separated stage subset, e.g. "mlp_fused_micro,bench"
+if len(sys.argv) > 2:
+    want = set(sys.argv[2].split(","))
+    STAGES = [s for s in ALL_STAGES if s[0] in want]
+else:
+    STAGES = [s for s in ALL_STAGES if s[0] != "mlp_fused_micro"]
 done = {name: False for name, _, _ in STAGES}
 fails = {name: 0 for name, _, _ in STAGES}
 MAX_FAILS = 2  # a deterministically-failing stage must not starve later ones

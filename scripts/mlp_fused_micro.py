@@ -1,0 +1,90 @@
+"""Focused micro: fused MLP Pallas kernel (ops/fused_mlp.py) vs the XLA MLP
+at the ViT-H b128 shape. Run via the healthy-window runner or standalone;
+all device reads go through utils.device.fetch (retry + wedge tally).
+
+Usage: python -u scripts/mlp_fused_micro.py
+"""
+import sys, time
+
+sys.path.insert(0, "/root/repo")
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import numpy as np
+import jax.numpy as jnp
+
+from hippomm_tpu.utils.device import fetch, warm_transport
+from hippomm_tpu.ops.fused_mlp import fused_mlp
+
+B, T, D, LAYERS = 128, 257, 1280, 32
+
+print("transport:", warm_transport(), flush=True)
+key = jax.random.PRNGKey(0)
+x = jax.device_put(jax.random.normal(key, (B, T, D), jnp.bfloat16))
+w1 = jax.device_put(0.02 * jax.random.normal(key, (4 * D, D), jnp.float32))
+b1 = jax.device_put(jnp.zeros((4 * D,), jnp.float32))
+w2 = jax.device_put(0.02 * jax.random.normal(key, (D, 4 * D), jnp.float32))
+b2 = jax.device_put(jnp.zeros((D,), jnp.float32))
+
+
+def chain(fn, n=LAYERS):
+    @jax.jit
+    def run(x0):
+        def body(h, _):
+            return fn(h), None
+
+        out, _ = jax.lax.scan(body, x0, None, length=n)
+        return jnp.sum(out[..., :1, :1].astype(jnp.float32))
+
+    return run
+
+
+def bench(name, run, x0, reps=8):
+    fetch(run(x0))  # compile + warm
+    t0 = time.perf_counter()
+    outs = [run(x0) for _ in range(reps)]
+    fetch(outs[-1])
+    total = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    fetch(outs[0])
+    floor = time.perf_counter() - t0
+    dt = max(total - floor, 0.0) / reps * 1000
+    print(f"{name:42s} {dt:8.2f} ms /32L (floor {floor*1000:.0f} ms)", flush=True)
+    return dt
+
+
+def mlp_bf16_gelu(h):
+    y = jnp.dot(h, w1.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    y = (y + b1).astype(jnp.bfloat16)
+    y = jax.nn.gelu(y, approximate=False)
+    z = jnp.dot(y, w2.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32) + b2
+    return z.astype(jnp.bfloat16)
+
+
+def mlp_fused(h):
+    return fused_mlp(h.reshape(B * T, D), w1, b1, w2, b2).reshape(B, T, D)
+
+
+def main():
+    # correctness on hardware first (scalar reductions: tiny reads)
+    hh = jax.random.normal(jax.random.PRNGKey(4), (256, D), jnp.float32).astype(jnp.bfloat16)
+    got = fused_mlp(hh, w1.astype(jnp.bfloat16), b1, w2.astype(jnp.bfloat16), b2)
+    want = mlp_bf16_gelu(hh.reshape(1, 256, D)).reshape(256, D)
+    g32 = got.astype(jnp.float32)
+    w32 = want.astype(jnp.float32)
+    rel = float(fetch(jnp.max(jnp.abs(g32 - w32) / (jnp.abs(w32) + 1e-2))))
+    print(f"on-device rel err vs 4c op order: {rel:.2e}", flush=True)
+    assert rel < 1e-2, rel
+
+    rows = {}
+    rows["mlp_xla"] = bench("4c. MLP XLA (fp32 accum, bf16 gelu)", chain(mlp_bf16_gelu), x)
+    rows["mlp_fused"] = bench("8.  MLP fused pallas", chain(mlp_fused), x)
+    rows["mlp_fused_rep"] = bench("8.  MLP fused pallas (rep)", chain(mlp_fused), x)
+    rows["mlp_xla_rep"] = bench("4c. MLP XLA (rep)", chain(mlp_bf16_gelu), x)
+    import json
+
+    print(json.dumps({k: round(v, 2) for k, v in rows.items()}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
