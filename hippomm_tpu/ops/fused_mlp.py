@@ -16,6 +16,17 @@ the compute dtype, GELU, then accumulate x-tile's output: acc += h @ W2-tileᵀ
 (fp32 scratch, revisited across j). On the last j: add b2 and emit in the
 compute dtype.
 
+Row-tile sizing is the schedule's load-bearing choice: the full W1+W2 are
+re-streamed from HBM once per row tile (~25 MB at ViT-H dims), so bn must be
+as LARGE as VMEM allows, not merely a divisor of N. bn=512 puts the step's
+working set (x/out/acc + double-buffered 512-wide weight tiles) at ~13 MB of
+the ~16 MB VMEM and the weight traffic at 65×25 MB ≈ 1.6 GB/layer (≈2 ms,
+hidden under the 4.4 ms matmul floor); the b128 shape's natural power-of-two
+divisor bn=128 would stream 257×25 MB ≈ 6.4 GB/layer — HBM-bound and slower
+than the unfused XLA path. N pads up to the 512 multiple (≤1.2% waste at
+B=128; padded rows compute gelu(b1)·W2+b2 garbage that the caller's slice
+drops).
+
 Numerics follow models/layers.py:mlp op-for-op (fp32 accum + fp32 bias →
 cast → erf GELU in compute dtype → fp32 accum + fp32 bias → cast) with ONE
 deviation: Mosaic has no erf/erfc lowering (probed on v5e 2026-08-20 — the
@@ -97,23 +108,23 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref):
         o_ref[...] = (acc_ref[...] + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _pick_bn(n: int) -> int:
-    """Largest power-of-two row tile ≤ 512 that divides n (≥ 8 sublanes)."""
-    bn = 512
-    while bn >= 8:
-        if n % bn == 0:
-            return bn
-        bn //= 2
-    return 0
+    """512-row tiles (N pads up); smaller 8-multiple tile for short inputs."""
+    return 512 if n >= 512 else _round_up(n, 8)
 
 
 def fused_mlp_supported(n: int, d: int, f: int) -> bool:
-    """Static gate: aligned feature dims, a dividing row tile, and a hidden
-    chunk width that divides F (512 preferred, any lane multiple accepted)."""
+    """Static gate: aligned feature dims, a hidden chunk width that divides F
+    (512 preferred, any lane multiple accepted), and enough rows that the
+    padded row tile is not mostly waste."""
     return (
-        d % _LANES == 0
+        n >= 8
+        and d % _LANES == 0
         and f % _LANES == 0
-        and _pick_bn(n) >= 8
         and _chunk_f(f) > 0
     )
 
@@ -140,10 +151,13 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
     bn = _pick_bn(n)
     bf = _chunk_f(f)
     dt = x.dtype
-    return pl.pallas_call(
+    np_ = _round_up(n, bn)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    out = pl.pallas_call(
         _mlp_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, d), dt),
-        grid=(n // bn, f // bf),
+        out_shape=jax.ShapeDtypeStruct((np_, d), dt),
+        grid=(np_ // bn, f // bf),
         in_specs=[
             pl.BlockSpec((bn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bf, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
@@ -154,9 +168,11 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
         out_specs=pl.BlockSpec((bn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=4 * n * d * f,
-            bytes_accessed=(2 * n * d + 2 * d * f) * dt.itemsize,
-            transcendentals=n * f,
+            flops=4 * np_ * d * f,
+            # weights re-stream once per row tile (the schedule's dominant
+            # HBM term); x/out move once
+            bytes_accessed=(2 * np_ * d + (np_ // bn) * 2 * d * f) * dt.itemsize,
+            transcendentals=np_ * f,
         ),
         interpret=interpret,
     )(
@@ -166,6 +182,7 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
         w2.astype(dt),
         b2.reshape(1, d),
     )
+    return out[:n] if np_ != n else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

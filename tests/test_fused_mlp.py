@@ -59,7 +59,8 @@ def _oracle(p, x, dtype):
     [
         (64, 128, 512, jnp.float32),
         (64, 128, 512, jnp.bfloat16),
-        (257 * 2, 128, 512, jnp.float32),   # N = B*T with odd T: bn falls to 2... padded? no: 514 -> bn=2? unsupported
+        (257 * 2, 128, 512, jnp.float32),   # odd N = B*T: pads 514 -> 520 rows
+        (600, 128, 512, jnp.float32),       # N > bn with remainder: 600 -> 1024
     ],
 )
 def test_fused_mlp_matches_oracle(n, d, f, dtype):
@@ -105,9 +106,11 @@ def test_fused_mlp_multi_row_tiles():
 
 
 def test_fused_mlp_supported_gate():
-    assert fused_mlp_supported(128 * 257, 1280, 5120)   # ViT-H b128
-    assert fused_mlp_supported(32 * 257, 1280, 5120)    # ViT-H b32 (bn=32)
-    assert not fused_mlp_supported(100, 1280, 5120)     # no dividing row tile
+    assert fused_mlp_supported(128 * 257, 1280, 5120)   # ViT-H b128 (pads to 33280)
+    assert fused_mlp_supported(32 * 257, 1280, 5120)    # ViT-H b32
+    assert fused_mlp_supported(100, 1280, 5120)         # rows pad to 104
+    assert fused_mlp_supported(1500, 1280, 5120)        # whisper-enc B=1 pads to 1536
+    assert not fused_mlp_supported(4, 1280, 5120)       # too few rows
     assert not fused_mlp_supported(128, 1280, 5000)     # hidden not lane-aligned
     assert not fused_mlp_supported(128, 1000, 4000)     # feature not lane-aligned
 
