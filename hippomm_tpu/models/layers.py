@@ -152,10 +152,11 @@ def attention(
             flash_default,
             flash_mha,
             flash_profitable,
+            softmax_opt_default,
         )
 
         if flash_default() and flash_profitable(q.shape[2], k.shape[2], hd):
-            out = flash_mha(q, k, v, float(scale))
+            out = flash_mha(q, k, v, float(scale), False, softmax_opt_default())
             b_, h_, t_, _ = out.shape
             out = out.transpose(0, 2, 1, 3).reshape(b_, t_, d)
             return linear(p["out_proj"], out, dtype)

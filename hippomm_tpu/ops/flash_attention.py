@@ -54,7 +54,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int):
+# --- fast exp for the softmax (bf16 compute only) -------------------------
+# exp(x) for x ≤ 0 (post max-subtraction) as 2^n · 2^r: n via int bitcast,
+# 2^r by a degree-6 Taylor polynomial (max rel err ~1e-5 on [-87, 0] — ~400×
+# under bf16 weight resolution). The VPU's transcendental exp retires far
+# fewer lanes per cycle than mul/add; the polynomial runs at mul/add rate.
+_LOG2E = 1.4426950408889634
+_EXP2_C = (1.0, 0.6931471805599453, 0.2402265069591007, 0.05550410866482158,
+           0.009618129107628477, 0.0013333558146428443, 0.0001540353039338161)
+
+
+def _fast_exp(x):
+    z = x * _LOG2E
+    z = jnp.maximum(z, -126.0)
+    n = jnp.floor(z)
+    r = z - n  # [0, 1)
+    c = _EXP2_C
+    p = c[0] + r * (c[1] + r * (c[2] + r * (c[3] + r * (c[4] + r * (c[5] + r * c[6])))))
+    pow2n = jax.lax.bitcast_convert_type(
+        ((n.astype(jnp.int32) + 127) << 23), jnp.float32
+    )
+    return p * pow2n
+
+
+def _mha_kernel(
+    q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int,
+    cls_split: bool = False, fast_exp: bool = False,
+):
     """One grid step: full attention for G_BLK (batch·head) units × one q-block.
 
     q_ref: (G, TQ, HD); k_ref/v_ref: (G, TKp, HD); o_ref: (G, TQ, HD) in the
@@ -68,9 +94,39 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int):
     spent more on step overhead than on the (272, 128)×(128, 384) matmuls —
     measured 3.9 ms/layer vs XLA's 3.6; blocking G=8 units per step cuts the
     step count 8× and the same math wins (see flash_profitable)."""
+    ex = _fast_exp if fast_exp else jnp.exp
     for u in range(q_ref.shape[0]):
         q = q_ref[u]
         k = k_ref[u]
+        if cls_split:
+            # Caller rolled keys so the single odd key (ViT's CLS token) is
+            # row tk_valid-1 and rows 0..tk_valid-2 are an exact lane
+            # multiple: every softmax pass runs on the (TQ, tk_valid-1)
+            # block (2 vregs at Tk=257 instead of the 3-vreg 384-lane padded
+            # block) and the padded-key mask disappears. The odd key is a
+            # rank-1 escape merged into max/sum/output; the division is
+            # deferred to the (TQ, HDp) output — 1/3 the area of the
+            # (TQ, TKp) weight division.
+            main = tk_valid - 1  # static lane multiple (gate: cls_splittable)
+            lm = jax.lax.dot_general(
+                q, k[0:main, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            lc = jax.lax.dot_general(
+                q, k[main:main + 1, :], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            m = jnp.maximum(jnp.max(lm, axis=-1, keepdims=True), lc)
+            em = ex(lm - m)
+            ec = ex(lc - m)
+            s = jnp.sum(em, axis=-1, keepdims=True) + ec
+            o = jnp.dot(
+                em.astype(q.dtype), v_ref[u, 0:main, :],
+                preferred_element_type=jnp.float32,
+            )
+            o = o + ec * v_ref[u, main:main + 1, :].astype(jnp.float32)
+            o_ref[u] = (o * (1.0 / s)).astype(o_ref.dtype)
+            continue
         # (TQ, TKp) fp32 logits — lives only in VMEM
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -80,20 +136,41 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int):
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
             logits = jnp.where(col < tk_valid, logits, _NEG)
         m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp(logits - m)
+        e = ex(logits - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)
         o_ref[u] = jnp.dot(
             w.astype(q.dtype), v_ref[u], preferred_element_type=jnp.float32
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
+def cls_splittable(tk: int) -> bool:
+    """True when Tk is one past a lane multiple (ViT towers: 16² patches +
+    CLS = 257) — the shape where the padded softmax wastes a full extra
+    128-lane vreg on a single key and the CLS-split schedule pays off."""
+    return tk > _LANES and (tk - 1) % _LANES == 0
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "softmax_opt"))
+def _flash_mha_fwd_impl(
+    q, k, v, scale: float, interpret: bool = False, softmax_opt: bool = False
+):
     """q: (B, H, Tq, hd); k/v: (B, H, Tk, hd) — returns (B, H, Tq, hd) in
     q.dtype (fp32 in → fp32 out; bf16 in → bf16 out, same values as the old
-    fp32 output after the consumer's cast)."""
+    fp32 output after the consumer's cast).
+
+    softmax_opt=True enables the measured softmax-floor optimizations where
+    they apply: the CLS-split schedule for Tk ≡ 1 (mod 128) and the
+    polynomial fast-exp for bf16 compute (values within one bf16 ulp of the
+    legacy body — see scripts/attn_dbg.py and tests/test_flash_attn.py)."""
     b, h, tq, hd = q.shape
     tk = k.shape[2]
+    cls_split = softmax_opt and cls_splittable(tk)
+    fast_exp = softmax_opt and q.dtype == jnp.bfloat16
+    if cls_split:
+        # roll keys/values one left: the odd key (row 0, ViT's CLS) moves to
+        # row tk-1; attention is permutation-invariant over keys
+        k = jnp.concatenate([k[:, :, 1:, :], k[:, :, :1, :]], axis=2)
+        v = jnp.concatenate([v[:, :, 1:, :], v[:, :, :1, :]], axis=2)
     g = b * h
     hdp = _round_up(hd, _LANES)
     tkp = _round_up(tk, _LANES)
@@ -127,7 +204,10 @@ def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
         g_blk -= 1
 
     out = pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale, tk_valid=tk),
+        functools.partial(
+            _mha_kernel, scale=scale, tk_valid=tk,
+            cls_split=cls_split, fast_exp=fast_exp,
+        ),
         out_shape=jax.ShapeDtypeStruct((g, tqp, hdp), q.dtype),
         grid=(g // g_blk, nq),
         in_specs=[
@@ -149,22 +229,25 @@ def _flash_mha_fwd_impl(q, k, v, scale: float, interpret: bool = False):
     return out[:, :tq, :hd].reshape(b, h, tq, hd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_mha(q, k, v, scale: float, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_mha(q, k, v, scale: float, interpret: bool = False, softmax_opt: bool = False):
     """Fused attention forward; differentiable (XLA-recompute backward).
 
     Equivalent to
         softmax(q @ k^T * scale, fp32) cast to q.dtype, @ v, fp32 accumulation
     i.e. exactly the einsum pair in models/layers.py:attention with mask=None.
+    softmax_opt=False (default) keeps the legacy bit-compatible softmax;
+    True enables the CLS-split / fast-exp schedule (≤1 bf16 ulp difference,
+    see softmax_opt_default for the routing policy).
     """
-    return _flash_mha_fwd_impl(q, k, v, scale, interpret)
+    return _flash_mha_fwd_impl(q, k, v, scale, interpret, softmax_opt)
 
 
-def _fwd(q, k, v, scale, interpret):
-    return _flash_mha_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+def _fwd(q, k, v, scale, interpret, softmax_opt):
+    return _flash_mha_fwd_impl(q, k, v, scale, interpret, softmax_opt), (q, k, v)
 
 
-def _bwd(scale, interpret, res, grad):
+def _bwd(scale, interpret, softmax_opt, res, grad):
     q, k, v = res
     dt = q.dtype
     logits = (
@@ -348,6 +431,19 @@ def flash_profitable(tq: int, tk: int, hd: int) -> bool:
     every supported shape; both paths sit near the softmax VPU floor, so the
     margin is the removed (B, H, Tq, Tk) HBM round-trip."""
     return flash_supported(tq, tk, hd)
+
+
+@functools.lru_cache(maxsize=1)
+def softmax_opt_default() -> bool:
+    """Route policy for the softmax-floor optimizations (CLS-split schedule
+    + polynomial fast-exp): HIPPOMM_FLASH_SOFTMAX_OPT=1 forces on, =0 forces
+    off. 'auto' (default) is OFF pending the healthy-window measurement
+    (scripts/attn_dbg.py rows f/g vs a) — flip to backend-gated once the
+    margin is banked."""
+    flag = os.environ.get("HIPPOMM_FLASH_SOFTMAX_OPT", "auto").lower()
+    if flag in ("1", "true", "on"):
+        return True
+    return False
 
 
 @functools.lru_cache(maxsize=1)

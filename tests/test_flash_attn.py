@@ -232,3 +232,53 @@ def test_attention_routes_bthd_and_matches_einsum(monkeypatch):
     got = L.attention(p, x, num_heads=8, dtype=jnp.float32)
     assert calls == [(2, 33, 8, 8)]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "b,h,tq,tk,hd,dtype,tol",
+    [
+        (2, 4, 257, 257, 80, jnp.float32, 1e-5),   # CLS-split, exact exp (fp32)
+        (2, 4, 257, 257, 80, jnp.bfloat16, 2e-2),  # CLS-split + fast exp
+        (1, 3, 230, 231, 64, jnp.bfloat16, 2e-2),  # not splittable: fast exp only
+        (1, 2, 600, 600, 64, jnp.bfloat16, 2e-2),  # multi-q-block + fast exp
+    ],
+)
+def test_flash_softmax_opt_matches_einsum(b, h, tq, tk, hd, dtype, tol):
+    """softmax_opt=True (CLS-split schedule where Tk ≡ 1 mod 128, polynomial
+    fast-exp for bf16) stays within the same tolerances as the legacy body."""
+    q = _mk((b, h, tq, hd), 0, dtype)
+    k = _mk((b, h, tk, hd), 1, dtype)
+    v = _mk((b, h, tk, hd), 2, dtype)
+    scale = 1.0 / np.sqrt(hd)
+    got = flash_mha(q, k, v, float(scale), True, True)
+    want = oracle(q, k, v, scale)
+    assert got.dtype == q.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want.astype(q.dtype), np.float32),
+        atol=tol, rtol=tol,
+    )
+
+
+def test_fast_exp_accuracy_grid():
+    """Polynomial exp vs libm over the post-max-subtraction domain."""
+    from hippomm_tpu.ops.flash_attention import _fast_exp
+
+    x = jnp.linspace(-87.0, 0.0, 100_001, dtype=jnp.float32)
+    got = np.asarray(_fast_exp(x), np.float64)
+    want = np.exp(np.asarray(x, np.float64))
+    rel = np.max(np.abs(got - want) / np.maximum(want, 1e-30))
+    assert rel < 2e-5, rel
+    # deep tail flushes to a denormal-scale floor, never NaN/negative
+    deep = _fast_exp(jnp.float32(-3.0e38))
+    assert np.isfinite(float(deep)) and float(deep) >= 0.0
+
+
+def test_cls_splittable_gate():
+    from hippomm_tpu.ops.flash_attention import cls_splittable
+
+    assert cls_splittable(257)       # ViT-H / ViT-L vision towers
+    assert cls_splittable(129)
+    assert not cls_splittable(256)
+    assert not cls_splittable(1500)  # whisper encoder
+    assert not cls_splittable(231)   # audio trunk with bias_kv
+    assert not cls_splittable(1)
