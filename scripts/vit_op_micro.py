@@ -90,6 +90,17 @@ def attn_as_model(h):
     return o.transpose(0, 2, 1, 3).reshape(B, T, D).astype(jnp.bfloat16)
 
 
+# 1b. same chain with the r4 softmax-floor optimizations (CLS-split +
+# fast-exp) — the product path when softmax_opt_default() flips on
+def attn_opt(h):
+    qkv = jnp.dot(h, w_qkv.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+    qkv = qkv + b_qkv
+    q, k, v = (qkv[..., :D].astype(jnp.bfloat16), qkv[..., D:2 * D].astype(jnp.bfloat16),
+               qkv[..., 2 * D:].astype(jnp.bfloat16))
+    o = flash_mha(split(q), split(k), split(v), float(SCALE), False, True)
+    return o.transpose(0, 2, 1, 3).reshape(B, T, D).astype(jnp.bfloat16)
+
+
 # 2. kernel alone on pre-split (B, H, T, hd) inputs (incl. its fold/pad)
 q0 = jax.device_put(jax.random.normal(key, (B, H, T, HD), jnp.bfloat16))
 def kernel_only(q):
@@ -229,6 +240,10 @@ except Exception as e:
 rows["qkv_only"] = bench("7. qkv matmul+bias+cast+slices only", chain(qkv_only), x)
 
 rows["attn_chain_as_model"] = bench("1. attn chain (model path, post-qkv)", chain(attn_as_model), x)
+try:
+    rows["attn_chain_softmax_opt"] = bench("1b. attn chain (softmax_opt)", chain(attn_opt), x)
+except Exception as e:
+    print(f"softmax_opt chain failed: {e!r}"[:300])
 rows["kernel_only"] = bench("2. pallas kernel alone (pre-split inputs)", chain(kernel_only), q0)
 rows["transposes_only"] = bench("3a. split+merge transposes alone", chain(transposes_only), x)
 rows["foldpad_only"] = bench("3b. kernel fold+pad alone", chain(foldpad_only), q0)
