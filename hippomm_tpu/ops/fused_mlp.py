@@ -79,7 +79,41 @@ def _gelu_erf(x):
     return (0.5 * xf * (1.0 + _erf_as(xf * _INV_SQRT2))).astype(x.dtype)
 
 
-def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref):
+# Exp-free erf: erf(x) ≈ sign(x)·min(|x|·P((x/4)²), 1), P a degree-8 power
+# polynomial least-squares fit on Chebyshev nodes of [0, 4] — max abs err
+# 4.5e-4 in fp32 evaluation (validated incl. the u-clamp tail), ~9× under
+# bf16 output resolution. Pure mul/add (no transcendental-unit exp, no
+# divide), for when the A&S exp serializes against the MXU.
+_ERF_POLY = (
+    1.1264969521729415, -5.875269937176926, 25.810512904011844,
+    -79.18880619622263, 164.10575195657955, -222.70827041561742,
+    188.29683320610917, -89.58364554621214, 18.26647628606598,
+)
+
+
+def _gelu_erf_poly(x):
+    """GELU via the exp-free polynomial erf (bf16 compute only — the 4.5e-4
+    erf error is under bf16 rounding but above fp32 parity tolerances)."""
+    xf = x.astype(jnp.float32)
+    a = xf * _INV_SQRT2
+    u = jnp.minimum(a * a * (1.0 / 16.0), 1.0)
+    p = _ERF_POLY[-1]
+    for c in _ERF_POLY[-2::-1]:
+        p = p * u + c
+    e = jnp.minimum(jnp.abs(a) * p, 1.0)
+    e = jnp.where(a < 0.0, -e, e)
+    return (0.5 * xf * (1.0 + e)).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=1)
+def _gelu_impl_flag() -> str:
+    """HIPPOMM_FUSED_MLP_GELU: 'as' (default, A&S erf with exp) or 'poly'
+    (exp-free, bf16 only) — measurement knob, see scripts/mlp_fused_micro."""
+    return os.environ.get("HIPPOMM_FUSED_MLP_GELU", "as").lower()
+
+
+def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref, *,
+                gelu_fn=None):
     """One grid step (i, j): x-tile (bn, D) × hidden chunk j of width bf."""
     j = pl.program_id(1)
     nj = pl.num_programs(1)
@@ -96,7 +130,7 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref):
     h = h + b1_ref[...].astype(jnp.float32)
     # cast BEFORE the GELU, exactly like layers.mlp (one bf16 rounding);
     # A&S erf since Mosaic has no erf lowering (see module docstring)
-    h = _gelu_erf(h.astype(o_ref.dtype))
+    h = (gelu_fn or _gelu_erf)(h.astype(o_ref.dtype))
     # fc2 partial: (bn, bf) @ (D, bf)ᵀ -> (bn, D), accumulated fp32
     acc_ref[...] += jax.lax.dot_general(
         h, w2_ref[...], (((1,), (1,)), ((), ())),
@@ -136,8 +170,8 @@ def _chunk_f(f: int) -> int:
     return 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "gelu_impl"))
+def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False, gelu_impl: str = None):
     """x: (N, D) compute dtype; w1: (F, D); b1: (F,); w2: (D, F); b2: (D,)
     (torch Linear convention, as stored in the param pytrees — weights are
     cast to x.dtype here, matching linear()). Returns (N, D) in x.dtype.
@@ -154,8 +188,10 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False):
     np_ = _round_up(n, bn)
     if np_ != n:
         x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    impl = gelu_impl or _gelu_impl_flag()
+    gelu_fn = _gelu_erf_poly if (impl == "poly" and dt == jnp.bfloat16) else _gelu_erf
     out = pl.pallas_call(
-        _mlp_kernel,
+        functools.partial(_mlp_kernel, gelu_fn=gelu_fn),
         out_shape=jax.ShapeDtypeStruct((np_, d), dt),
         grid=(np_ // bn, f // bf),
         in_specs=[

@@ -80,9 +80,13 @@ def main():
     if rel >= 1e-2:
         print(f"WARNING: rel err {rel:.2e} out of tolerance — window suspect", flush=True)
 
+    def mlp_fused_poly(h):
+        return fused_mlp(h.reshape(B * T, D), w1, b1, w2, b2, False, "poly").reshape(B, T, D)
+
     rows = {}
     rows["mlp_xla"] = bench("4c. MLP XLA (fp32 accum, bf16 gelu)", chain(mlp_bf16_gelu), x)
-    rows["mlp_fused"] = bench("8.  MLP fused pallas", chain(mlp_fused), x)
+    rows["mlp_fused"] = bench("8.  MLP fused pallas (A&S gelu)", chain(mlp_fused), x)
+    rows["mlp_fused_poly"] = bench("8b. MLP fused pallas (poly gelu)", chain(mlp_fused_poly), x)
     rows["mlp_fused_rep"] = bench("8.  MLP fused pallas (rep)", chain(mlp_fused), x)
     rows["mlp_xla_rep"] = bench("4c. MLP XLA (rep)", chain(mlp_bf16_gelu), x)
     import json

@@ -170,3 +170,28 @@ def test_mlp_routes_fused_and_matches(monkeypatch):
     # mlp() returns fp32 (bias add) pre-cast; the fused kernel emits the
     # compute dtype — in fp32 the only deviation is the A&S erf (~1e-5)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_mlp_poly_gelu_close():
+    """The exp-free polynomial GELU (bf16-only option) stays within bf16
+    tolerance of the A&S path through the full kernel."""
+    p = _params(jax.random.PRNGKey(8), 128, 512)
+    x = jax.random.normal(jax.random.PRNGKey(9), (64, 128), jnp.float32).astype(jnp.bfloat16)
+    a = fused_mlp(x, p["fc1"]["weight"], p["fc1"]["bias"], p["fc2"]["weight"],
+                  p["fc2"]["bias"], True, "as")
+    b = fused_mlp(x, p["fc1"]["weight"], p["fc1"]["bias"], p["fc2"]["weight"],
+                  p["fc2"]["bias"], True, "poly")
+    np.testing.assert_allclose(
+        np.asarray(a, np.float32), np.asarray(b, np.float32), atol=2e-2, rtol=2e-2
+    )
+
+
+def test_gelu_erf_poly_accuracy():
+    from hippomm_tpu.ops.fused_mlp import _gelu_erf, _gelu_erf_poly
+
+    x = jnp.linspace(-10.0, 10.0, 100_001, dtype=jnp.float32)
+    a = np.asarray(_gelu_erf(x), np.float64)
+    b = np.asarray(_gelu_erf_poly(x), np.float64)
+    # abs err <= 0.5*|x|*4.5e-4 inside |x|<5.7; exact tails
+    bound = 0.5 * np.abs(np.asarray(x)) * 4.6e-4 + 1e-6
+    assert np.all(np.abs(a - b) <= bound)
