@@ -108,14 +108,16 @@ def _mha_kernel(
             # deferred to the (TQ, HDp) output — 1/3 the area of the
             # (TQ, TKp) weight division.
             main = tk_valid - 1  # static lane multiple (gate: cls_splittable)
+            tq_blk, hdp = q.shape
             lm = jax.lax.dot_general(
                 q, k[0:main, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale
-            lc = jax.lax.dot_general(
-                q, k[main:main + 1, :], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
+            # the CLS row via broadcast·multiply·lane-reduce: N=1 matmuls
+            # (and (TQ,1)×(1,HDp) broadcast products) trip Mosaic's
+            # vector.broadcast elt-type verifier (probed 2026-08-20)
+            kc = jnp.broadcast_to(k[main:main + 1, :], (tq_blk, hdp)).astype(jnp.float32)
+            lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1, keepdims=True) * scale
             m = jnp.maximum(jnp.max(lm, axis=-1, keepdims=True), lc)
             em = ex(lm - m)
             ec = ex(lc - m)
@@ -124,7 +126,8 @@ def _mha_kernel(
                 em.astype(q.dtype), v_ref[u, 0:main, :],
                 preferred_element_type=jnp.float32,
             )
-            o = o + ec * v_ref[u, main:main + 1, :].astype(jnp.float32)
+            vc = jnp.broadcast_to(v_ref[u, main:main + 1, :], (tq_blk, hdp)).astype(jnp.float32)
+            o = o + jnp.broadcast_to(ec, (tq_blk, hdp)) * vc
             o_ref[u] = (o * (1.0 / s)).astype(o_ref.dtype)
             continue
         # (TQ, TKp) fp32 logits — lives only in VMEM

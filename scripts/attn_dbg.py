@@ -74,10 +74,10 @@ def make_kernel(variant: str):
                 lm = jax.lax.dot_general(
                     q, km, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
                 ) * SCALE  # (TQ, 256)
-                kc = k[256:257, :]
-                lc = jax.lax.dot_general(
-                    q, kc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-                ) * SCALE  # (TQ, 1)
+                # CLS row via broadcast-mul-reduce: N=1 matmuls and 2-D
+                # broadcasts trip Mosaic's vector.broadcast verifier
+                kc = jnp.broadcast_to(k[256:257, :], (TQP, HDP)).astype(jnp.float32)
+                lc = jnp.sum(q.astype(jnp.float32) * kc, axis=-1, keepdims=True) * SCALE
                 m = jnp.maximum(jnp.max(lm, axis=-1, keepdims=True), lc)
                 ex = _fast_exp if variant.startswith("f_cls") else jnp.exp
                 em = ex(lm - m)  # (TQ, 256)
@@ -87,7 +87,8 @@ def make_kernel(variant: str):
                     em.astype(q.dtype), v_ref[u, 0:256, :],
                     preferred_element_type=jnp.float32,
                 )
-                o = o + ec * v_ref[u, 256:257, :].astype(jnp.float32)
+                vc = jnp.broadcast_to(v_ref[u, 256:257, :], (TQP, HDP)).astype(jnp.float32)
+                o = o + jnp.broadcast_to(ec, (TQP, HDP)) * vc
                 o_ref[u] = (o * (1.0 / s)).astype(o_ref.dtype)
                 continue
             logits = jax.lax.dot_general(
