@@ -405,10 +405,14 @@ def extract_frames_streaming(
                 last_block = b0 + block >= len(candidate_idx)
                 if not last_block and block_end_t - chunk_start >= emit_seconds:
                     with timers.stage("extract_score"):
+                        # one batched mask read instead of a tunnel round
+                        # trip per block (serial path covers stragglers)
+                        scanner.prefetch_masks([h for _, h, _ in pending])
                         while pending:
                             _flush(pending.popleft())
                     yield _emit(block_end_t + min_interval_s / 2)
         with timers.stage("extract_score"):
+            scanner.prefetch_masks([h for _, h, _ in pending])
             while pending:
                 _flush(pending.popleft())
         completed = True

@@ -417,6 +417,50 @@ class KeyframeScanner:
         self._delivered.add(idx)
         return self._host_masks.pop(idx)
 
+    def prefetch_masks(self, handles) -> None:
+        """Materialize several handles' masks with ONE device round trip.
+
+        The emit-time drain reads each block's mask serially — one ~50-100 ms
+        tunnel read floor per block (~0.3 s/run of extract_score in the clean
+        banked record). Stacking the ready device masks and fetching once
+        pays a single floor. Best-effort: any handle not cleanly ready (still
+        dispatching, host-routed, shape-mismatched) is simply left for the
+        serial path; a wedged batch read leaves ALL handles untouched (their
+        normal per-handle ladder + host fallback still applies)."""
+        if self.host_mode:
+            return
+        todo = []
+        for h in handles:
+            if h._val is not None or h._fut is None:
+                continue
+            dev = h._device_mask()
+            if dev is None:
+                continue
+            todo.append((h, dev))
+        if len(todo) < 2:
+            return
+        shapes = {d.shape for _, d in todo}
+        if len(shapes) != 1:
+            return
+        try:
+            t0 = self._clock()
+            import jax.numpy as _jnp
+
+            vals = fetch(_jnp.stack([d for _, d in todo]),
+                         give_up_s=self.wedge_patience_s)
+            dt = self._clock() - t0
+        except Exception:  # noqa: BLE001 — serial path will handle/fallback
+            return
+        vals = np.asarray(vals)
+        for i, (h, _) in enumerate(todo):
+            h._val = vals[i]
+            h._fut = None
+            self._delivered.add(h._idx)
+        # one batched read ≈ one read: seed the router EMA once; a slow batch
+        # still flips routing for the blocks that follow
+        if self._router.record_read(dt, self.slow_flip_s, warmup=False):
+            self.host_mode = True
+
     def _materialize(self, h: _MaskHandle) -> np.ndarray:
         if h._val is not None:
             return h._val

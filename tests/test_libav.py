@@ -531,3 +531,61 @@ def test_keyframe_scanner_slow_upload_flip(monkeypatch):
     assert not calls
     got = [int(i) for i in np.nonzero(mask)[0]]
     assert got == want
+
+
+def test_keyframe_scanner_prefetch_masks_batched(monkeypatch):
+    """prefetch_masks materializes every ready handle with ONE fetch; the
+    masks are identical to the serial path, and a wedged batch read leaves
+    the serial per-handle ladder (and its host fallback) fully intact."""
+    import time
+
+    import hippomm_tpu.ops.keyframe as kf
+
+    rng = np.random.default_rng(11)
+    n, h, w = 96, 90, 160
+    base = rng.integers(60, 200, size=(h, w)).astype(np.float32)
+    drift = rng.normal(0, 1, size=(h, w))
+    grays = np.empty((n, h, w), np.uint8)
+    for i in range(n):
+        grays[i] = np.clip(base + drift * i * 1.5 + 8 * np.sin(i / 4.0), 0, 255).astype(np.uint8)
+    times = np.arange(n, dtype=np.float32)
+
+    want = kf.select_keyframes_device(grays, times, 0.3, 1.0, block=32)
+
+    scanner = kf.KeyframeScanner(h, w, 0.3, 1.0, block=32)
+    handles = [scanner.feed(grays[b0 : b0 + 32], times[b0 : b0 + 32]) for b0 in range(0, n, 32)]
+    for hd in handles:  # wait out the worker dispatches
+        while hd._fut is not None and not hd._fut.done():
+            time.sleep(0.01)
+
+    calls = []
+    real = kf.fetch
+
+    def counting_fetch(x, *a, **kw):
+        calls.append(getattr(x, "shape", None))
+        return real(x, *a, **kw)
+
+    monkeypatch.setattr(kf, "fetch", counting_fetch)
+    scanner.prefetch_masks(handles)
+    assert calls == [(3, 32)]  # ONE stacked read
+    assert all(hd._val is not None for hd in handles)
+    mask = np.concatenate([hd.get() for hd in handles])
+    assert [int(i) for i in np.nonzero(mask)[0]] == want
+    assert len(calls) == 1  # get() served from the prefetch, no more reads
+
+    # wedged batch: untouched handles, serial fallback still works
+    scanner2 = kf.KeyframeScanner(h, w, 0.3, 1.0, block=32)
+    handles2 = [scanner2.feed(grays[b0 : b0 + 32], times[b0 : b0 + 32]) for b0 in range(0, n, 32)]
+    for hd in handles2:
+        while hd._fut is not None and not hd._fut.done():
+            time.sleep(0.01)
+
+    def wedged_fetch(x, *a, **kw):
+        raise TimeoutError("synthetic wedge")
+
+    monkeypatch.setattr(kf, "fetch", wedged_fetch)
+    scanner2.prefetch_masks(handles2)
+    assert all(hd._val is None for hd in handles2)  # nothing half-applied
+    mask2 = np.concatenate([hd.get() for hd in handles2])  # host fallback
+    assert scanner2.host_mode
+    assert [int(i) for i in np.nonzero(mask2)[0]] == want
