@@ -253,10 +253,17 @@ fused_mlp_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 @functools.lru_cache(maxsize=1)
 def fused_mlp_default() -> bool:
     """Route policy: HIPPOMM_FUSED_MLP=1 forces on, =0 forces off. 'auto'
-    (default) is OFF pending the healthy-window hardware measurement
-    (scripts/vit_op_micro.py row 4d vs 4a) — flip to backend-gated once the
-    margin is banked."""
+    (default) enables on real TPU backends (like flash_default) — CPU has no
+    Mosaic lowering and the XLA mlp is what hermetic tests pin numerics
+    against. Hardware correctness pinned by the scripts/fused_dbg.py battery
+    (every grid complexity ≤1 bf16 ulp, 2026-08-20); the bn=512 schedule's
+    weight re-streaming analysis is in fused_mlp's docstring."""
     flag = os.environ.get("HIPPOMM_FUSED_MLP", "auto").lower()
     if flag in ("1", "true", "on"):
         return True
-    return False
+    if flag in ("0", "false", "off"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
