@@ -220,6 +220,13 @@ def build_questions(
     kinds = ("video", "audio", "multimodal", "summary", "count", "xmodal")
     if any(len(vs) >= 2 for vs in video_scenes):
         kinds = kinds + ("order",)
+    # cross-video aggregation ("which video contains both X and Y?") needs at
+    # least two named videos, each with two scenes to pair — the answer is only
+    # derivable when recall attributes evidence to its source video (the
+    # attribution the multi-video evidence format carries)
+    video_names = truth.get("video_names") or []
+    if len(video_names) >= 2 and any(len(vs) >= 2 for vs in video_scenes):
+        kinds = kinds + ("which_video",)
     if negatives:
         # a palette-saturating truth leaves no absent colors to ask about —
         # degrade to the kinds that still have material instead of indexing
@@ -333,6 +340,26 @@ def build_questions(
                     "label": tone_label(freq),
                 }
             )
+        elif kind == "which_video":
+            # pick a video with >=2 scenes; ask for the pair of its colors —
+            # globally-unique palette colors mean retrieval must surface BOTH
+            # scenes' windows AND recall must attribute them to one video
+            cand = [vi for vi, vs in enumerate(video_scenes) if len(vs) >= 2]
+            vi = cand[int(rng.integers(len(cand)))]
+            v = video_scenes[vi]
+            i, j = sorted(rng.choice(len(v), size=2, replace=False))
+            qs.append(
+                {
+                    "question": (
+                        f"Which video contains both a {v[i][2]} background and "
+                        f"a {v[j][2]} background? Reply with the video name."
+                    ),
+                    "type": "which_video",
+                    "pair": [v[i][2], v[j][2]],
+                    "expected": video_names[vi],
+                    "names": list(video_names),
+                }
+            )
         else:  # audio_neg: a tone frequency the corpus never plays
             neg_freq = scene_freq(max_freq_idx + 3 + (qi % 7))
             qs.append(
@@ -375,6 +402,16 @@ def score_answer(q: Dict, answer: str, truth: Dict) -> bool:
     if q["type"] == "count":
         m = re.search(r"\d+", answer)
         return bool(m) and int(m.group(0)) == q["expected"]
+    if q["type"] == "which_video":
+        # the FIRST corpus video name the answer mentions is the claim
+        # (longest-first so "palette01" can't be claimed by a "palette0" hit)
+        al = answer.lower()
+        hits = sorted(
+            (al.find(nm.lower()), -len(nm), nm)
+            for nm in q["names"]
+            if nm.lower() in al
+        )
+        return bool(hits) and hits[0][2] == q["expected"]
     if q["type"] == "xmodal":
         al = answer.lower()
         said_yes = bool(re.search(r"\byes\b", al))
@@ -485,6 +522,12 @@ class OracleReasoning(ChatClient):
         if "do these two answers" in lower:
             return "YES"
         if "compress this question" in lower or "search query" in lower:
+            # a competent compressor keeps the salient CONTENT words — the
+            # palette colors — not the interrogative scaffolding ("which
+            # video contains both...")
+            colors = [c for c, _ in PALETTE if c in question.lower()]
+            if colors:
+                return " ".join(colors[:4]) + " background"
             return " ".join(re.findall(r"[a-z]+", question.lower())[:4]) or "scene"
         if "return the indices" in lower:
             # caption-selection fallback: pick captions mentioning ANY color
@@ -548,6 +591,25 @@ class OracleReasoning(ChatClient):
                 if best == asked:
                     return "ANSWER: yes\nCONFIDENCE: 0.9"
                 return f"ANSWER: no (the background is {best})\nCONFIDENCE: 0.9"
+            if "which video" in ql:
+                # cross-video aggregation: group attributed evidence lines
+                # ("[video NAME] [Ns] caption") by video, answer the video
+                # whose evidence names ALL asked colors — unattributed or
+                # partial evidence degrades honestly
+                asked = [c for c, _ in PALETTE if c in ql]
+                per_video: Dict[str, set] = {}
+                for m in re.finditer(r"\[video ([^\]]+)\] \[[^\]]*\] (.*)", text):
+                    s = per_video.setdefault(m.group(1), set())
+                    for c, _ in PALETTE:
+                        if c in m.group(2):
+                            s.add(c)
+                full = [v for v, cs in per_video.items() if all(c in cs for c in asked)]
+                if full:
+                    return f"ANSWER: {full[0]}\nCONFIDENCE: 0.9"
+                if per_video and asked:
+                    best = max(per_video, key=lambda v: sum(c in per_video[v] for c in asked))
+                    return f"ANSWER: {best}\nCONFIDENCE: 0.5"
+                return "ANSWER: unknown\nCONFIDENCE: 0.2"
             if "appears first" in ql:
                 # temporal ordering: earliest evidence time per asked color;
                 # missing evidence for one color forces a one-sided guess
@@ -605,6 +667,20 @@ class OracleReasoning(ChatClient):
                 return "ANSWER: a video\nCONFIDENCE: 0.2"
             # direct fast-path probe: defer to detailed recall
             return "ANSWER: unknown\nCONFIDENCE: 0.1"
+        if "summarize these frame captions" in lower:
+            # a faithful summarizer keeps what the question needs: the timed,
+            # attributed color mentions (dropping them would blind the
+            # downstream answer stages whenever >10 captions trigger
+            # summarization)
+            kept = [
+                ln.strip()
+                for ln in text.split("\n")
+                if ln.strip().startswith("[")  # evidence lines, not the header
+                and any(c in ln for c, _ in PALETTE)
+            ]
+            # one entry per line: downstream parsers (and readers) treat each
+            # timed/attributed mention as a distinct evidence item
+            return "\n".join(kept[:40]) or "A synthetic palette video."
         if "summar" in lower:
             return "A synthetic palette video."
         return "unknown"
@@ -675,6 +751,10 @@ def run_harness(
         truth["scenes"] += t_v["scenes"]
         truth["video_scenes"].append(list(t_v["scenes"]))
         media_total += t_v["duration"]
+    # store video_ids are the filename stems (batch_process.py:159) — the
+    # which_video family asks for these names and recall's attributed
+    # evidence lines carry them
+    truth["video_names"] = [f"palette{v:02d}" for v in range(n_videos)]
     questions = build_questions(truth, n_questions, seed=seed, negatives=negatives)
 
     cfg = Config()

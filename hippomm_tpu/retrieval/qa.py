@@ -584,6 +584,14 @@ class QARecallSystem:
         windows_by_video: Dict[str, List[Tuple[float, float]]] = {}
         for h in hits:
             windows_by_video.setdefault(h.video_id, []).append(h.window)
+        # Multi-video stores attribute every evidence line to its source video
+        # so cross-video questions ("which video shows X and Y?") are
+        # answerable from the prompt; per-video timelines restart at 0, so a
+        # bare timestamp is ambiguous the moment a second video exists. The
+        # reference stores video_id per event (hippocampal_memory.py:339) but
+        # never surfaces it to the answer prompt. Single-video stores keep the
+        # exact reference evidence format.
+        multi = len({e.video_id for e in self.events}) > 1
 
         def _decode_and_caption(item) -> List[str]:
             vid, ws = item
@@ -596,9 +604,10 @@ class QARecallSystem:
             # its own capture time, so evidence never asserts a frame was
             # decoded at a moment it wasn't (ADVICE r3 #2) — content is
             # unchanged between saves, hence "since"
+            tag = f"[video {vid}] " if multi else ""
             return [
-                f"[{t:.1f}s] {c}" if abs(st - t) <= 1.0
-                else f"[{t:.1f}s (since keyframe {st:.1f}s)] {c}"
+                f"{tag}[{t:.1f}s] {c}" if abs(st - t) <= 1.0
+                else f"{tag}[{t:.1f}s (since keyframe {st:.1f}s)] {c}"
                 for t, st, c in zip(times, srcs, caps)
             ]
 

@@ -54,11 +54,14 @@ def test_qa_harness_multivideo_with_negatives(tmp_path):
     assert out["n_videos"] == 2 and out["n_scenes"] == 6
     assert set(out["accuracy_by_type"]) == {
         "video", "audio", "multimodal", "summary", "count", "xmodal", "order",
-        "video_neg", "audio_neg"
+        "which_video", "video_neg", "audio_neg"
     }
     assert out["qa_accuracy"] >= 0.8
     assert out["accuracy_by_type"]["video_neg"] == 1.0
     assert out["accuracy_by_type"]["audio_neg"] == 1.0
+    # cross-video aggregation: answerable only because multi-video recall
+    # evidence is attributed to its source video
+    assert out["accuracy_by_type"]["which_video"] == 1.0
 
 
 def test_oracle_asr_labels_tones(tmp_path):
@@ -97,6 +100,14 @@ def test_score_answer_hard_families():
     qxn = {"type": "xmodal", "expected_yes": False, "color": "green", "label": "tone200hz"}
     assert score_answer(qxn, "no (the background is red)", truth)
     assert not score_answer(qxn, "yes", truth)
+    qw = {"type": "which_video", "pair": ["red", "green"],
+          "expected": "palette00", "names": ["palette00", "palette01"]}
+    assert score_answer(qw, "ANSWER: palette00", truth)
+    assert not score_answer(qw, "ANSWER: palette01", truth)
+    assert not score_answer(qw, "unknown", truth)
+    # the FIRST named video is the claim; a later mention of the right name
+    # doesn't rescue a wrong first claim
+    assert not score_answer(qw, "palette01 (not palette00)", truth)
 
 
 def test_build_questions_hard_families_and_empty_negatives():
@@ -116,6 +127,19 @@ def test_build_questions_hard_families_and_empty_negatives():
     qs = build_questions(truth, 27, seed=3, negatives=True)
     kinds = {q["type"] for q in qs}
     assert {"order", "count", "xmodal"} <= kinds
+    # no video names in the truth -> cross-video questions can't be asked
+    assert "which_video" not in kinds
+
+    named = dict(truth, video_names=["vidA", "vidB"])
+    qs_n = build_questions(named, 30, seed=3, negatives=True)
+    wv = [q for q in qs_n if q["type"] == "which_video"]
+    assert wv
+    for q in wv:
+        # both asked colors belong to the expected video's scene set
+        vi = named["video_names"].index(q["expected"])
+        colors = {c for _, _, c, _ in truth["video_scenes"][vi]}
+        assert set(q["pair"]) <= colors
+        assert q["names"] == ["vidA", "vidB"]
     for q in qs:
         if q["type"] == "order":
             # the expected color is the pair member whose scene starts earlier
