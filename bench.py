@@ -74,6 +74,41 @@ def _merge_health(extra: dict, partial_extra: dict) -> dict:
     return extra
 
 
+def _stall_aware_extra(measure, budget_left, max_attempts=2, stall_gate_s=2.0):
+    """Single-shot extras on an oscillating link can measure the TRANSPORT
+    instead of the system: the r4 banked record's single-30s-clip row read
+    3.3x against its own clean-window 24-28x because one slow fetch landed
+    mid-reading. Run `measure` with the transport tally reset; if the tally
+    says the reading was contaminated (a wedge, or >stall_gate_s of
+    stall/upload-stall time), re-measure once. Returns (best_value,
+    all_attempts, per_attempt_tallies) — every attempt stays on record, so a
+    retried row is self-evident, never silently laundered."""
+    from hippomm_tpu.utils.device import reset_transport_stats, transport_stats
+
+    attempts, tallies = [], []
+    for _ in range(max_attempts):
+        if not budget_left():
+            break
+        reset_transport_stats()
+        try:
+            v = measure()
+        except Exception as e:  # noqa: BLE001 — an extra must not kill the bench
+            attempts.append(repr(e)[:80])
+            tallies.append(transport_stats())
+            break
+        attempts.append(v)
+        t = transport_stats()
+        tallies.append(t)
+        contaminated = bool(t.get("wedges", 0)) or (
+            t.get("stall_s", 0.0) + t.get("upload_stall_s", 0.0) > stall_gate_s
+        )
+        if not contaminated:
+            break
+    nums = [v for v in attempts if isinstance(v, (int, float))]
+    best = max(nums) if nums else (attempts[-1] if attempts else None)
+    return best, attempts, tallies
+
+
 def _final_record(realtime: float, partial_extra: dict, sections: dict) -> dict:
     """THE final-record assembly — main()'s success path calls exactly this,
     and tests drive it directly (stubbed sections, injected health state) so
@@ -152,7 +187,7 @@ def _emit(record: dict) -> None:
             if src in qa5:
                 extra[dst] = qa5[src]
     for bulky in ("run_stage_s", "stage_timers", "workload", "watchdog",
-                  "last_known_good", "transport_per_run"):
+                  "last_known_good", "transport_per_run", "extras_transport"):
         extra.pop(bulky, None)
     extra["detail"] = "BENCH_DETAIL.json"
     line = json.dumps({**{k: v for k, v in record.items() if k != "extra"},
@@ -629,38 +664,48 @@ def main() -> None:
     })
 
     # ---- decode-realism ingest: 2 min @ 30 fps -------------------------------
-    realtime30, wall30 = None, None
-    if budget_left():
-        try:
-            t0 = time.perf_counter()
-            stats30 = process_video_folder(fast, cfg.storage.base_dir, config=cfg,
-                                           memory_system=mem, checkpoint_every=0)
-            wall30 = round(time.perf_counter() - t0, 2)
-            realtime30 = round((stats30["media_seconds"] or 1e-9) / wall30, 3)
-        except Exception as e:
-            realtime30 = repr(e)[:80]
+    # every extra below is stall-aware: a contaminated reading re-measures once
+    # and ALL attempts + their transport tallies land in extras_transport
+    extras_transport: dict = {}
+    wall30 = None
+    media30: dict = {}
+
+    def _m30():
+        t0 = time.perf_counter()
+        s = process_video_folder(fast, cfg.storage.base_dir, config=cfg,
+                                 memory_system=mem, checkpoint_every=0,
+                                 skip_existing=False)  # retries re-ingest
+        media30["s"] = s["media_seconds"] or 1e-9
+        return round(media30["s"] / (time.perf_counter() - t0), 3)
+
+    realtime30, att, tal = _stall_aware_extra(_m30, budget_left)
+    extras_transport["ingest_30fps"] = {"attempts": att, "transport": tal}
+    if isinstance(realtime30, (int, float)):
+        wall30 = round(media30["s"] / realtime30, 2)
 
     # ---- single 30 s clip (driver config #1 shape): post-warm, so the number
     # is steady-state per-clip latency, not compile time ----------------------
-    realtime_clip30 = None
+    clip_dir = os.path.join(work, "clip30")
     if budget_left():
-        try:
-            clip_dir = os.path.join(work, "clip30")
-            os.makedirs(clip_dir)
-            write_synthetic_video(
-                os.path.join(clip_dir, "clip.mp4"),
-                SynthSpec(duration=30.0, fps=2.0, width=640, height=360,
-                          scene_changes=(14.0,), silence_regions=((13.0, 15.0),),
-                          seed=5),
-            )
-            t0 = time.perf_counter()
-            stats_c = process_video_folder(clip_dir, cfg.storage.base_dir, config=cfg,
-                                           memory_system=mem, checkpoint_every=0)
-            realtime_clip30 = round(
-                (stats_c["media_seconds"] or 1e-9) / (time.perf_counter() - t0), 3
-            )
-        except Exception as e:
-            realtime_clip30 = repr(e)[:80]
+        os.makedirs(clip_dir, exist_ok=True)
+        write_synthetic_video(
+            os.path.join(clip_dir, "clip.mp4"),
+            SynthSpec(duration=30.0, fps=2.0, width=640, height=360,
+                      scene_changes=(14.0,), silence_regions=((13.0, 15.0),),
+                      seed=5),
+        )
+
+    def _mclip():
+        t0 = time.perf_counter()
+        s = process_video_folder(clip_dir, cfg.storage.base_dir, config=cfg,
+                                 memory_system=mem, checkpoint_every=0,
+                                 skip_existing=False)
+        return round(
+            (s["media_seconds"] or 1e-9) / (time.perf_counter() - t0), 3
+        )
+
+    realtime_clip30, att, tal = _stall_aware_extra(_mclip, budget_left)
+    extras_transport["single_30s_clip"] = {"attempts": att, "transport": tal}
 
     # ---- audio-only ingest: 5 min (driver config #2 shape: silence
     # segmentation + ASR + ImageBind audio embeddings, no frame track) --------
@@ -669,40 +714,43 @@ def main() -> None:
 
     res = generate(SynthSpec(duration=300.0, fps=1.0, width=32, height=32,
                              silence_regions=((60.0, 62.0), (180.0, 183.0)), seed=4))
-    realtime_audio = None
+    aud_dir = os.path.join(work, "audio_only")
     if budget_left():
-        try:
-            aud_dir = os.path.join(work, "audio_only")
-            os.makedirs(aud_dir)
-            write_wav(os.path.join(aud_dir, "talk.wav"), res.audio, 16000)
-            t0 = time.perf_counter()
-            stats_a = process_video_folder(aud_dir, cfg.storage.base_dir, config=cfg,
-                                           memory_system=mem, checkpoint_every=0)
-            realtime_audio = round(
-                (stats_a["media_seconds"] or 1e-9) / (time.perf_counter() - t0), 3
-            )
-        except Exception as e:
-            realtime_audio = repr(e)[:80]
+        os.makedirs(aud_dir, exist_ok=True)
+        write_wav(os.path.join(aud_dir, "talk.wav"), res.audio, 16000)
+
+    def _maudio():
+        t0 = time.perf_counter()
+        s = process_video_folder(aud_dir, cfg.storage.base_dir, config=cfg,
+                                 memory_system=mem, checkpoint_every=0,
+                                 skip_existing=False)
+        return round(
+            (s["media_seconds"] or 1e-9) / (time.perf_counter() - t0), 3
+        )
+
+    realtime_audio, att, tal = _stall_aware_extra(_maudio, budget_left)
+    extras_transport["audio_only"] = {"attempts": att, "transport": tal}
 
     # ---- beam-5 ASR realtime (the reference's decode config, measured
     # standalone so the headline can ship greedy with the tradeoff on record) --
-    asr5_realtime = None
-    if budget_left():
-        try:
-            from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
+    tr5_holder: dict = {}
 
+    def _mbeam5():
+        from hippomm_tpu.models.whisper.transcribe import WhisperTranscriber
+
+        if "tr5" not in tr5_holder:
             imp = mem.whisper._impl
-            tr5 = WhisperTranscriber(
+            tr5_holder["tr5"] = WhisperTranscriber(
                 imp.params, imp.cfg, imp.tokenizer, imp.dtype, beam_size=5, mesh=None
             )
-            tr5.transcribe(res.audio[: 16000 * 30])  # compile + warm (persistent-cached)
-            t0 = time.perf_counter()
-            tr5.transcribe(res.audio)
-            asr5_realtime = round(
-                (len(res.audio) / 16000.0) / (time.perf_counter() - t0), 1
-            )
-        except Exception as e:
-            asr5_realtime = repr(e)[:80]
+            # compile + warm (persistent-cached); retries reuse the warm decoder
+            tr5_holder["tr5"].transcribe(res.audio[: 16000 * 30])
+        t0 = time.perf_counter()
+        tr5_holder["tr5"].transcribe(res.audio)
+        return round((len(res.audio) / 16000.0) / (time.perf_counter() - t0), 1)
+
+    asr5_realtime, att, tal = _stall_aware_extra(_mbeam5, budget_left)
+    extras_transport["asr_beam5"] = {"attempts": att, "transport": tal}
 
     # ---- isolated vision-tower MFU -------------------------------------------
     mfu = {}
@@ -809,6 +857,7 @@ def main() -> None:
             "vision_tower": mfu,
             "topk_200k": topk_ms,
             "qa_accuracy_ci": qa5,
+            "extras_transport": extras_transport,
             "stage_timers": mem.timers.summary(),
         },
     ))
