@@ -228,11 +228,34 @@ def encoder_block(
         p["attn"], layer_norm(p["norm_1"], x, eps, out_dtype=dtype),
         num_heads=num_heads, mask=mask, dtype=dtype,
     ).astype(dtype)
-    x = x + mlp(
-        p["mlp"], layer_norm(p["norm_2"], x, eps, out_dtype=dtype), dtype=dtype,
+    return _mlp_halfblock(p, x, eps, dtype)
+
+
+def _mlp_halfblock(p: Params, x: jax.Array, eps: float, dtype) -> jax.Array:
+    """x + mlp(ln2(x)) — optionally ONE Pallas kernel (ops/fused_mlp.py:
+    fused_ln_mlp_residual: LN prologue + fc1/GELU/fc2 + residual epilogue on
+    the once-read x-tile), gated by fused_block_default() (default OFF
+    pending hardware measurement). Values match the unfused path to the
+    fused-MLP tolerances; the LN and residual arithmetic is bit-equal."""
+    pm = p["mlp"]
+    if "bias" in pm.get("fc1", {}) and "bias" in pm.get("fc2", {}):
+        from hippomm_tpu.ops import fused_mlp as _fm
+
+        w1 = pm["fc1"]["weight"]
+        f, d = w1.shape
+        n = int(np.prod(x.shape[:-1]))
+        if _fm.fused_block_default() and _fm.fused_mlp_supported(n, d, f):
+            y = _fm.fused_ln_mlp_residual_vjp(
+                x.reshape(n, d),
+                p["norm_2"]["weight"], p["norm_2"]["bias"],
+                w1, pm["fc1"]["bias"], pm["fc2"]["weight"], pm["fc2"]["bias"],
+                eps,
+            )
+            return y.reshape(x.shape)
+    return x + mlp(
+        pm, layer_norm(p["norm_2"], x, eps, out_dtype=dtype), dtype=dtype,
         cast_out=True,
     ).astype(dtype)
-    return x
 
 
 def stacked_blocks(

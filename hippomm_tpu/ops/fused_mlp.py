@@ -142,6 +142,49 @@ def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref, *,
         o_ref[...] = (acc_ref[...] + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _ln_mlp_kernel(x_ref, g_ref, bt_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                   acc_ref, t_ref, *, eps, gelu_fn=None):
+    """One grid step (i, j) of the HALF-BLOCK kernel: out = x + mlp(LN(x)).
+
+    Same schedule as _mlp_kernel plus (a) an LN prologue at j==0 that
+    normalizes the resident x-tile once into the t_ref scratch (stats fp32,
+    full rows — D is never blocked), and (b) a residual epilogue that adds
+    the still-resident x-tile at emit. Removes the separate LN write+read
+    and the residual's extra read+write of the (N, D) stream from HBM
+    (VERDICT r3 Next #4: "fusing LN+matmul chains across the residual
+    stream")."""
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        xf = x_ref[...].astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        y = y * g_ref[...].astype(jnp.float32) + bt_ref[...].astype(jnp.float32)
+        t_ref[...] = y.astype(t_ref.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = jax.lax.dot_general(
+        t_ref[...], w1_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = (gelu_fn or _gelu_erf)(h.astype(o_ref.dtype))
+    acc_ref[...] += jax.lax.dot_general(
+        h, w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        # cast-then-add in the stream dtype: bit-identical to the block's
+        # `x + mlp(ln(x)).astype(dtype)`
+        y = (acc_ref[...] + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+        o_ref[...] = x_ref[...] + y
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -219,6 +262,112 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False, gelu_impl: str = None)
         b2.reshape(1, d),
     )
     return out[:n] if np_ != n else out
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "gelu_impl"))
+def fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-6,
+                          interpret: bool = False, gelu_impl: str = None):
+    """Half-block fusion: returns x + mlp(LN(x)) for x: (N, D) in the stream
+    dtype. LN statistics/affine run fp32 (models/layers.py:layer_norm parity);
+    MLP numerics are exactly fused_mlp's. The x-tile is read ONCE from HBM and
+    serves the LN prologue, the residency across hidden chunks, and the
+    residual epilogue — the unfused path writes+reads the LN output and reads
+    x a second time for the residual add."""
+    n, d = x.shape
+    f = w1.shape[0]
+    bn = _pick_bn(n)
+    bf = _chunk_f(f)
+    dt = x.dtype
+    np_ = _round_up(n, bn)
+    if np_ != n:
+        x = jnp.pad(x, ((0, np_ - n), (0, 0)))
+    impl = gelu_impl or _gelu_impl_flag()
+    gelu_fn = _gelu_erf_poly if (impl == "poly" and dt == jnp.bfloat16) else _gelu_erf
+    out = pl.pallas_call(
+        functools.partial(_ln_mlp_kernel, eps=eps, gelu_fn=gelu_fn),
+        out_shape=jax.ShapeDtypeStruct((np_, d), dt),
+        grid=(np_ // bn, f // bf),
+        in_specs=[
+            pl.BlockSpec((bn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bf, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, bf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bn, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        # acc keeps the fp32 fc2 partials; t keeps the LN'd tile (stream
+        # dtype) — +bn*d*2B ≈ 1.3 MB at ViT-H bn=512 on the ~13 MB schedule
+        scratch_shapes=[pltpu.VMEM((bn, d), jnp.float32), pltpu.VMEM((bn, d), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * np_ * d * f,
+            bytes_accessed=(2 * np_ * d + (np_ // bn) * 2 * d * f) * dt.itemsize,
+            transcendentals=np_ * f,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        gamma.reshape(1, d),
+        beta.reshape(1, d),
+        w1.astype(dt),
+        b1.reshape(1, f),
+        w2.astype(dt),
+        b2.reshape(1, d),
+    )
+    return out[:n] if np_ != n else out
+
+
+def _ref_ln(x, gamma, beta, eps):
+    """models/layers.py:layer_norm (fp32 stats/affine), local copy to keep
+    ops/ free of a models/ import."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return y * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+
+
+def _ref_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps):
+    t = _ref_ln(x, gamma, beta, eps).astype(x.dtype)
+    return x + _ref_mlp(t, w1, b1, w2, b2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_ln_mlp_residual_vjp(x, gamma, beta, w1, b1, w2, b2,
+                              eps: float = 1e-6, interpret: bool = False):
+    """Differentiable wrapper (XLA-recompute backward, like fused_mlp_vjp)."""
+    return fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps, interpret)
+
+
+def _blk_vjp_fwd(x, gamma, beta, w1, b1, w2, b2, eps, interpret):
+    return (
+        fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps, interpret),
+        (x, gamma, beta, w1, b1, w2, b2),
+    )
+
+
+def _blk_vjp_bwd(eps, interpret, res, g):
+    x, gamma, beta, w1, b1, w2, b2 = res
+    _, pullback = jax.vjp(
+        lambda *a: _ref_ln_mlp_residual(*a, eps), x, gamma, beta, w1, b1, w2, b2
+    )
+    return pullback(g)
+
+
+fused_ln_mlp_residual_vjp.defvjp(_blk_vjp_fwd, _blk_vjp_bwd)
+
+
+@functools.lru_cache(maxsize=1)
+def fused_block_default() -> bool:
+    """Route policy for the LN+MLP+residual half-block kernel:
+    HIPPOMM_FUSED_BLOCK=1 forces on, =0 forces off. 'auto' (default) is OFF
+    pending the healthy-window hardware measurement (scripts/mlp_fused_micro
+    block rows) — flip to backend-gated once the margin is banked."""
+    flag = os.environ.get("HIPPOMM_FUSED_BLOCK", "auto").lower()
+    if flag in ("1", "true", "on"):
+        return True
+    return False
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))

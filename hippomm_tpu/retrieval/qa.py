@@ -948,14 +948,18 @@ class QARecallSystem:
                 if "window" in s:
                     vid = s.get("video_id") or (self.events[0].video_id if self.events else "")
                     win_by_vid.setdefault(vid, []).append(tuple(s["window"]))
+            # same multi-video attribution rule as _process_video_query:
+            # per-video timelines restart at 0, so evidence names its video
+            multi = len({e.video_id for e in self.events}) > 1
             captions: List[str] = []
             for vid, ws in win_by_vid.items():
                 srcs: List[float] = []
                 jpegs, times = self._frames_for_windows(vid, ws, source_times=srcs)
                 caps = self._caption_frames(jpegs)
+                tag = f"[video {vid}] " if multi else ""
                 captions += [
-                    f"[{t:.1f}s] {c}" if abs(st - t) <= 1.0
-                    else f"[{t:.1f}s (since keyframe {st:.1f}s)] {c}"
+                    f"{tag}[{t:.1f}s] {c}" if abs(st - t) <= 1.0
+                    else f"{tag}[{t:.1f}s (since keyframe {st:.1f}s)] {c}"
                     for t, st, c in zip(times, srcs, caps)
                 ]
             answer, conf = self._final_answer(

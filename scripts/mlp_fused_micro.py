@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from hippomm_tpu.utils.device import fetch, warm_transport
-from hippomm_tpu.ops.fused_mlp import fused_mlp
+from hippomm_tpu.ops.fused_mlp import fused_ln_mlp_residual, fused_mlp
 
 B, T, D, LAYERS = 128, 257, 1280, 32
 
@@ -25,6 +25,8 @@ w1 = jax.device_put(0.02 * jax.random.normal(key, (4 * D, D), jnp.float32))
 b1 = jax.device_put(jnp.zeros((4 * D,), jnp.float32))
 w2 = jax.device_put(0.02 * jax.random.normal(key, (D, 4 * D), jnp.float32))
 b2 = jax.device_put(jnp.zeros((D,), jnp.float32))
+gamma = jax.device_put(1.0 + 0.1 * jax.random.normal(key, (D,), jnp.float32))
+beta = jax.device_put(0.1 * jax.random.normal(key, (D,), jnp.float32))
 
 
 def chain(fn, n=LAYERS):
@@ -83,10 +85,42 @@ def main():
     def mlp_fused_poly(h):
         return fused_mlp(h.reshape(B * T, D), w1, b1, w2, b2, False, "poly").reshape(B, T, D)
 
+    # half-block rows: the real per-layer stream is x + mlp(ln2(x)) — measure
+    # the whole half-block both ways so the LN write+read and residual
+    # traffic the fused kernel removes are IN the baseline
+    def ln_bf16(h):
+        hf = h.astype(jnp.float32)
+        mu = jnp.mean(hf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(hf - mu), axis=-1, keepdims=True)
+        y = (hf - mu) * jax.lax.rsqrt(var + 1e-6)
+        return (y * gamma + beta).astype(jnp.bfloat16)
+
+    def halfblock_xla(h):
+        return h + mlp_bf16_gelu(ln_bf16(h))
+
+    def halfblock_fused(h):
+        return fused_ln_mlp_residual(
+            h.reshape(B * T, D), gamma, beta, w1, b1, w2, b2
+        ).reshape(B, T, D)
+
+    # on-device correctness for the half-block kernel (scalar read; a wedge
+    # window can garble readings — flag, don't veto)
+    hb_got = fused_ln_mlp_residual(hh, gamma, beta, w1.astype(jnp.bfloat16), b1,
+                                   w2.astype(jnp.bfloat16), b2)
+    hb_want = (hh.reshape(1, 256, D) + mlp_bf16_gelu(ln_bf16(hh.reshape(1, 256, D)))).reshape(256, D)
+    hb_rel = float(fetch(jnp.max(
+        jnp.abs(hb_got.astype(jnp.float32) - hb_want.astype(jnp.float32))
+        / (jnp.abs(hb_want.astype(jnp.float32)) + 1e-2)), give_up_s=240.0))
+    print(f"halfblock on-device rel err: {hb_rel:.2e}", flush=True)
+    if hb_rel >= 1e-2:
+        print(f"WARNING: halfblock rel err {hb_rel:.2e} out of tolerance — window suspect", flush=True)
+
     rows = {}
     rows["mlp_xla"] = bench("4c. MLP XLA (fp32 accum, bf16 gelu)", chain(mlp_bf16_gelu), x)
     rows["mlp_fused"] = bench("8.  MLP fused pallas (A&S gelu)", chain(mlp_fused), x)
     rows["mlp_fused_poly"] = bench("8b. MLP fused pallas (poly gelu)", chain(mlp_fused_poly), x)
+    rows["halfblock_xla"] = bench("9.  LN+MLP+resid XLA", chain(halfblock_xla), x)
+    rows["halfblock_fused"] = bench("9b. LN+MLP+resid fused pallas", chain(halfblock_fused), x)
     rows["mlp_fused_rep"] = bench("8.  MLP fused pallas (rep)", chain(mlp_fused), x)
     rows["mlp_xla_rep"] = bench("4c. MLP XLA (rep)", chain(mlp_bf16_gelu), x)
     import json

@@ -70,6 +70,29 @@ def main():
     compile_one("fused_mlp chain (A&S)", chainw(mlp_fused), xa, aw1, ab1, aw2, ab2)
     compile_one("fused_mlp chain (poly)", chainw(mlp_fused_poly), xa, aw1, ab1, aw2, ab2)
 
+    # ---- half-block kernel: LN prologue + MLP + residual epilogue ----
+    from hippomm_tpu.ops.fused_mlp import fused_ln_mlp_residual
+
+    ag = jax.ShapeDtypeStruct((D,), jnp.float32)
+
+    def chainw_hb(fn):
+        def run(x0, g, b, w1, b1, w2, b2):
+            def body(h, _):
+                return fn(h, g, b, w1, b1, w2, b2), None
+
+            out, _ = jax.lax.scan(body, x0, None, length=LAYERS)
+            return jnp.sum(out[..., :1, :1].astype(jnp.float32))
+
+        return run
+
+    def halfblock(h, g, b, w1, b1, w2, b2):
+        return fused_ln_mlp_residual(
+            h.reshape(B * T, D), g, b, w1, b1, w2, b2
+        ).reshape(B, T, D)
+
+    compile_one("halfblock chain (ln+mlp+resid)", chainw_hb(halfblock),
+                xa, ag, ag, aw1, ab1, aw2, ab2)
+
     def mlp_bf16_gelu(h, w1, b1, w2, b2):
         y = jnp.dot(h, w1.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
         y = (y + b1).astype(jnp.bfloat16)

@@ -195,3 +195,118 @@ def test_gelu_erf_poly_accuracy():
     # abs err <= 0.5*|x|*4.5e-4 inside |x|<5.7; exact tails
     bound = 0.5 * np.abs(np.asarray(x)) * 4.6e-4 + 1e-6
     assert np.all(np.abs(a - b) <= bound)
+
+
+# ---------------------------------------------------------------------------
+# Half-block kernel: out = x + mlp(LN(x)) (LN prologue + residual epilogue)
+# ---------------------------------------------------------------------------
+
+
+def _ln_params(key, d):
+    # non-trivial affine so the LN prologue's gamma/beta wiring is exercised
+    k1, k2 = jax.random.split(key)
+    return {
+        "weight": 1.0 + 0.1 * jax.random.normal(k1, (d,), jnp.float32),
+        "bias": 0.1 * jax.random.normal(k2, (d,), jnp.float32),
+    }
+
+
+def _halfblock_oracle(pn, pm, x, dtype, eps=1e-6):
+    return x + L.mlp(
+        pm, L.layer_norm(pn, x, eps, out_dtype=dtype), dtype=dtype, cast_out=True
+    ).astype(dtype)
+
+
+@pytest.mark.parametrize(
+    "n,d,f,dtype",
+    [
+        (64, 128, 512, jnp.float32),
+        (64, 128, 512, jnp.bfloat16),
+        (600, 128, 1024, jnp.float32),  # padded rows + accumulator revisit
+    ],
+)
+def test_fused_ln_mlp_residual_matches_oracle(n, d, f, dtype):
+    from hippomm_tpu.ops.fused_mlp import fused_ln_mlp_residual
+
+    pm = _params(jax.random.PRNGKey(10), d, f)
+    pn = _ln_params(jax.random.PRNGKey(11), d)
+    x = jax.random.normal(jax.random.PRNGKey(12), (n, d), jnp.float32).astype(dtype)
+    got = fused_ln_mlp_residual(
+        x, pn["weight"], pn["bias"],
+        pm["fc1"]["weight"], pm["fc1"]["bias"],
+        pm["fc2"]["weight"], pm["fc2"]["bias"],
+        1e-6, True,
+    )
+    want = _halfblock_oracle(pn, pm, x, dtype)
+    assert got.dtype == want.dtype
+    if dtype == jnp.float32:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+    else:
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
+def test_fused_ln_mlp_residual_gradients():
+    from hippomm_tpu.ops.fused_mlp import fused_ln_mlp_residual_vjp
+
+    pm = _params(jax.random.PRNGKey(13), 128, 512)
+    pn = _ln_params(jax.random.PRNGKey(14), 128)
+    x = jax.random.normal(jax.random.PRNGKey(15), (64, 128), jnp.float32)
+    args = (x, pn["weight"], pn["bias"], pm["fc1"]["weight"], pm["fc1"]["bias"],
+            pm["fc2"]["weight"], pm["fc2"]["bias"])
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.square(fused_ln_mlp_residual_vjp(*a, 1e-6, True)))
+
+    def loss_oracle(x, g, b, w1, b1, w2, b2):
+        pn2 = {"weight": g, "bias": b}
+        pm2 = {"fc1": {"weight": w1, "bias": b1}, "fc2": {"weight": w2, "bias": b2}}
+        return jnp.sum(jnp.square(_halfblock_oracle(pn2, pm2, x, jnp.float32)))
+
+    g_f = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g_o = jax.grad(loss_oracle, argnums=tuple(range(7)))(*args)
+    for gf, go in zip(g_f, g_o):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(go), atol=1e-4, rtol=1e-4)
+
+
+def test_fused_block_default_off_without_flag(monkeypatch):
+    from hippomm_tpu.ops import fused_mlp as fm
+
+    monkeypatch.delenv("HIPPOMM_FUSED_BLOCK", raising=False)
+    fm.fused_block_default.cache_clear()
+    assert fm.fused_block_default() is False
+    monkeypatch.setenv("HIPPOMM_FUSED_BLOCK", "1")
+    fm.fused_block_default.cache_clear()
+    assert fm.fused_block_default() is True
+    fm.fused_block_default.cache_clear()
+
+
+def test_halfblock_routes_fused_and_matches(monkeypatch):
+    """Force the half-block route through the SHARED _mlp_halfblock and pin
+    it against the default path — proves the product wiring (norm_2 params,
+    flatten/unflatten), not just the kernel."""
+    from hippomm_tpu.ops import fused_mlp as fm
+
+    pm = _params(jax.random.PRNGKey(16), 128, 512)
+    pn = _ln_params(jax.random.PRNGKey(17), 128)
+    p = {"mlp": pm, "norm_2": pn}
+    x = jax.random.normal(jax.random.PRNGKey(18), (2, 32, 128), jnp.float32)
+
+    want = L._mlp_halfblock(p, x, 1e-6, jnp.float32)
+
+    calls = []
+    real = fm.fused_ln_mlp_residual
+
+    def spy(xx, g, b, w1, b1, w2, b2, eps=1e-6, interpret=False):
+        calls.append(xx.shape)
+        return real(xx, g, b, w1, b1, w2, b2, eps, True)
+
+    monkeypatch.setattr(fm, "fused_ln_mlp_residual_vjp", spy)
+    monkeypatch.setattr(fm, "fused_block_default", lambda: True)
+    got = L._mlp_halfblock(p, x, 1e-6, jnp.float32)
+    assert calls == [(64, 128)]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)

@@ -820,3 +820,52 @@ def test_index_cache_invalidates_under_eviction():
     idx2 = qa._index("vision")
     assert idx2 is not idx1
     assert "v2" in idx2.videos and "v0" not in idx2.videos
+
+
+def test_video_evidence_attributed_in_multivideo_store(tmp_path):
+    """Detailed-recall caption evidence carries "[video <id>]" when the store
+    holds more than one video (per-video timelines restart at 0, so bare
+    timestamps are ambiguous) and stays in the exact single-video reference
+    format otherwise. Cross-video questions parse this attribution."""
+    from hippomm_tpu.memory.schema import ThetaEvent
+    from hippomm_tpu.retrieval.search import SearchHit
+
+    def build(num_videos):
+        cfg = Config()
+        cfg.api.mode = "stub"
+        cfg.models.imagebind_variant = "tiny"
+        cfg.models.whisper_variant = "stub"
+        cfg.storage.base_dir = str(tmp_path / f"store{num_videos}")
+        mem = HippocampalMemory(config=cfg)
+        mem.long_term_store = [
+            ThetaEvent(video_id=f"vid{chr(65 + i)}", start_time=0.0, end_time=30.0)
+            for i in range(num_videos)
+        ]
+        qa = QARecallSystem(mem, cfg)
+        qa._frames_for_windows = (
+            lambda vid, ws, fps=1.0, source_times=None: (
+                source_times.extend([3.0]) if source_times is not None else None,
+                ([b"jpg"], [3.0]),
+            )[1]
+        )
+        qa._caption_frames = lambda jpegs: [f"a scene"] * len(jpegs)
+        prompts = []
+
+        class Recorder:
+            def chat(self, messages, max_tokens=256, **kw):
+                prompts.append(messages[-1]["content"])
+                return "ANSWER: ok\nCONFIDENCE: 0.9"
+
+        qa.reasoning = Recorder()
+        return qa, prompts
+
+    hits = [SearchHit("e0", "vidA", 3.0, 0.9, 0, (2.0, 4.0))]
+    qa, prompts = build(2)
+    qa._process_video_query("what is shown?", hits=hits)
+    final = prompts[-1]
+    assert "[video vidA] [3.0s] a scene" in final
+
+    qa1, prompts1 = build(1)
+    qa1._process_video_query("what is shown?", hits=hits)
+    final1 = prompts1[-1]
+    assert "[3.0s] a scene" in final1 and "[video" not in final1
