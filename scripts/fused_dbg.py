@@ -94,6 +94,41 @@ b2 = jnp.zeros((D,), jnp.float32)
 r = relerr(fused_mlp(hh, w1, b1, w2, b2), ref(hh, w1, b1, w2, b2))
 print(f"7. micro shape (256,1280,5120) grid(1,10): rel={r:.3e}", flush=True)
 
+# 7b. half-block kernel (LN prologue + residual epilogue) at the same
+# escalating grid complexities + the micro shape
+from hippomm_tpu.ops.fused_mlp import fused_ln_mlp_residual, _ref_ln
+
+
+def ref_hb(x, g, bt, w1, b1, w2, b2):
+    t = _ref_ln(x, g, bt, 1e-6).astype(x.dtype)
+    return x + ref(t, w1, b1, w2, b2)
+
+
+for n, d, f, label in [
+    (64, 128, 512, "7b. halfblock (1,1)"),
+    (1024, 128, 1024, "7c. halfblock (2,2)"),
+]:
+    x = jax.random.normal(jax.random.PRNGKey(5), (n, d), jnp.float32).astype(jnp.bfloat16)
+    g = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(6), (d,), jnp.float32)
+    bt = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (d,), jnp.float32)
+    w1h = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (f, d), jnp.float32)
+    b1h = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (f,), jnp.float32)
+    w2h = 0.05 * jax.random.normal(jax.random.PRNGKey(3), (d, f), jnp.float32)
+    b2h = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (d,), jnp.float32)
+    r = relerr(
+        fused_ln_mlp_residual(x, g, bt, w1h, b1h, w2h, b2h),
+        ref_hb(x, g, bt, w1h, b1h, w2h, b2h),
+    )
+    print(f"{label}: rel={r:.3e}", flush=True)
+
+gd = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(6), (D,), jnp.float32)
+btd = 0.1 * jax.random.normal(jax.random.PRNGKey(7), (D,), jnp.float32)
+r = relerr(
+    fused_ln_mlp_residual(hh, gd, btd, w1, b1, w2, b2),
+    ref_hb(hh, gd, btd, w1, b1, w2, b2),
+)
+print(f"7d. halfblock micro shape grid(1,10): rel={r:.3e}", flush=True)
+
 # 8. where: compare per-column max error to localize (fetch 1 row of stats)
 got = fused_mlp(hh, w1, b1, w2, b2).astype(jnp.float32)
 want = ref(hh, w1, b1, w2, b2).astype(jnp.float32)
