@@ -79,7 +79,7 @@ def _fast_exp(x):
 
 def _mha_kernel(
     q_ref, k_ref, v_ref, o_ref, *, scale: float, tk_valid: int,
-    cls_split: bool = False, fast_exp: bool = False,
+    cls_split: bool = False, fast_exp: bool = False, defer_div: bool = False,
 ):
     """One grid step: full attention for G_BLK (batch·head) units × one q-block.
 
@@ -140,10 +140,21 @@ def _mha_kernel(
             logits = jnp.where(col < tk_valid, logits, _NEG)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = ex(logits - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)
-        o_ref[u] = jnp.dot(
-            w.astype(q.dtype), v_ref[u], preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+        if defer_div:
+            # divide the (TQ, HDp) OUTPUT instead of the (TQ, TKp) weights —
+            # 1/3 the VPU area at ViT shapes (hd 128 lanes vs Tk 384), and one
+            # fewer full-width elementwise pass. Measured 49.37 vs 57.78
+            # ms/32L at ViT-H b128 (scripts/attn_dbg.py row b, 2026-08-21).
+            s = jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(
+                e.astype(q.dtype), v_ref[u], preferred_element_type=jnp.float32
+            )
+            o_ref[u] = (o * (1.0 / s)).astype(o_ref.dtype)
+        else:
+            w = e / jnp.sum(e, axis=-1, keepdims=True)
+            o_ref[u] = jnp.dot(
+                w.astype(q.dtype), v_ref[u], preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
 
 
 def cls_splittable(tk: int) -> bool:
@@ -162,13 +173,22 @@ def _flash_mha_fwd_impl(
     fp32 output after the consumer's cast).
 
     softmax_opt=True enables the measured softmax-floor optimizations where
-    they apply: the CLS-split schedule for Tk ≡ 1 (mod 128) and the
-    polynomial fast-exp for bf16 compute (values within one bf16 ulp of the
-    legacy body — see scripts/attn_dbg.py and tests/test_flash_attn.py)."""
+    they apply: the CLS-split schedule for Tk ≡ 1 (mod 128) and the deferred
+    output division for every other shape (values within one bf16 ulp of the
+    legacy body — see scripts/attn_dbg.py and tests/test_flash_attn.py; the
+    polynomial fast-exp measured a loss and sits behind
+    HIPPOMM_FLASH_FASTEXP)."""
     b, h, tq, hd = q.shape
     tk = k.shape[2]
     cls_split = softmax_opt and cls_splittable(tk)
-    fast_exp = softmax_opt and q.dtype == jnp.bfloat16
+    # fast-exp measured a LOSS at ViT-H b128 (66.89 vs 57.78 ms/32L product,
+    # 53.78 vs 45.91 under CLS-split — attn_dbg rows c/f vs a/g, 2026-08-21):
+    # the exp is not the bottleneck once the division is deferred, and the
+    # polynomial's extra mul/adds contend with the softmax's own VPU work.
+    # Kept behind HIPPOMM_FLASH_FASTEXP=1 as a measured-loss reference.
+    fast_exp = (
+        softmax_opt and q.dtype == jnp.bfloat16 and _fast_exp_enabled()
+    )
     if cls_split:
         # roll keys/values one left: the odd key (row 0, ViT's CLS) moves to
         # row tk-1; attention is permutation-invariant over keys
@@ -209,7 +229,7 @@ def _flash_mha_fwd_impl(
     out = pl.pallas_call(
         functools.partial(
             _mha_kernel, scale=scale, tk_valid=tk,
-            cls_split=cls_split, fast_exp=fast_exp,
+            cls_split=cls_split, fast_exp=fast_exp, defer_div=softmax_opt,
         ),
         out_shape=jax.ShapeDtypeStruct((g, tqp, hdp), q.dtype),
         grid=(g // g_blk, nq),
@@ -437,16 +457,33 @@ def flash_profitable(tq: int, tk: int, hd: int) -> bool:
 
 
 @functools.lru_cache(maxsize=1)
+def _fast_exp_enabled() -> bool:
+    """HIPPOMM_FLASH_FASTEXP=1 re-enables the polynomial fast-exp inside the
+    softmax_opt body. Default OFF: measured a loss at ViT-H b128 (attn_dbg
+    2026-08-21 — row c 66.89 vs product 57.78; row f 53.78 vs row g 45.91
+    ms/32L) — kept as a reference for hardware where transcendental exp is
+    the actual floor."""
+    return os.environ.get("HIPPOMM_FLASH_FASTEXP", "0").lower() in ("1", "true", "on")
+
+
+@functools.lru_cache(maxsize=1)
 def softmax_opt_default() -> bool:
     """Route policy for the softmax-floor optimizations (CLS-split schedule
-    + polynomial fast-exp): HIPPOMM_FLASH_SOFTMAX_OPT=1 forces on, =0 forces
-    off. 'auto' (default) is OFF pending the healthy-window measurement
-    (scripts/attn_dbg.py rows f/g vs a) — flip to backend-gated once the
-    margin is banked."""
+    where Tk ≡ 1 mod 128 + deferred output division): HIPPOMM_FLASH_SOFTMAX_OPT
+    =1 forces on, =0 forces off. 'auto' (default) enables on real TPU backends:
+    measured 45.91 vs 57.78 ms per 32-layer ViT-H b128 attention chain
+    (scripts/attn_dbg.py row g_cls_exact vs a_product, 2026-08-21); the
+    non-splittable deferred-division body measured 49.37 (row b). CPU keeps
+    the exact path (no Mosaic lowering; hermetic tests pin numerics there)."""
     flag = os.environ.get("HIPPOMM_FLASH_SOFTMAX_OPT", "auto").lower()
     if flag in ("1", "true", "on"):
         return True
-    return False
+    if flag in ("0", "false", "off"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 @functools.lru_cache(maxsize=1)

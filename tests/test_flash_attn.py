@@ -282,3 +282,26 @@ def test_cls_splittable_gate():
     assert not cls_splittable(1500)  # whisper encoder
     assert not cls_splittable(231)   # audio trunk with bias_kv
     assert not cls_splittable(1)
+
+
+def test_softmax_opt_policy_gating(monkeypatch):
+    """softmax_opt auto-enables on TPU backends only (measured 45.91 vs 57.78
+    ms/32L at ViT-H b128); fast-exp stays OFF by default (measured loss) and
+    needs its own flag."""
+    from hippomm_tpu.ops import flash_attention as fa
+
+    monkeypatch.delenv("HIPPOMM_FLASH_SOFTMAX_OPT", raising=False)
+    fa.softmax_opt_default.cache_clear()
+    assert fa.softmax_opt_default() is False  # tests run on CPU
+    monkeypatch.setenv("HIPPOMM_FLASH_SOFTMAX_OPT", "1")
+    fa.softmax_opt_default.cache_clear()
+    assert fa.softmax_opt_default() is True
+    fa.softmax_opt_default.cache_clear()
+
+    monkeypatch.delenv("HIPPOMM_FLASH_FASTEXP", raising=False)
+    fa._fast_exp_enabled.cache_clear()
+    assert fa._fast_exp_enabled() is False
+    monkeypatch.setenv("HIPPOMM_FLASH_FASTEXP", "1")
+    fa._fast_exp_enabled.cache_clear()
+    assert fa._fast_exp_enabled() is True
+    fa._fast_exp_enabled.cache_clear()
