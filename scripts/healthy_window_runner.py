@@ -51,6 +51,7 @@ sys.exit(0 if ok >= 3 else 1)
 ALL_STAGES = [
     ("fused_dbg", [sys.executable, "-u", os.path.join(REPO, "scripts", "fused_dbg.py")], 900),
     ("attn_dbg", [sys.executable, "-u", os.path.join(REPO, "scripts", "attn_dbg.py")], 1200),
+    ("attn_opt_probe", [sys.executable, "-u", os.path.join(REPO, "scripts", "attn_opt_probe.py")], 600),
     ("mlp_fused_micro", [sys.executable, "-u", os.path.join(REPO, "scripts", "mlp_fused_micro.py")], 1200),
     ("vit_op_micro", [sys.executable, os.path.join(REPO, "scripts", "vit_op_micro.py")], 1500),
     ("profile_vlog", [sys.executable, os.path.join(REPO, "scripts", "profile_vlog.py")], 1800),
