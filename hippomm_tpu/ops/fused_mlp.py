@@ -264,18 +264,24 @@ def fused_mlp(x, w1, b1, w2, b2, interpret: bool = False, gelu_impl: str = None)
     return out[:n] if np_ != n else out
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret", "gelu_impl"))
+@functools.partial(jax.jit, static_argnames=("eps", "interpret", "gelu_impl", "bn"))
 def fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-6,
-                          interpret: bool = False, gelu_impl: str = None):
+                          interpret: bool = False, gelu_impl: str = None,
+                          bn: int = None):
     """Half-block fusion: returns x + mlp(LN(x)) for x: (N, D) in the stream
     dtype. LN statistics/affine run fp32 (models/layers.py:layer_norm parity);
     MLP numerics are exactly fused_mlp's. The x-tile is read ONCE from HBM and
     serves the LN prologue, the residency across hidden chunks, and the
     residual epilogue — the unfused path writes+reads the LN output and reads
-    x a second time for the residual add."""
+    x a second time for the residual add.
+
+    `bn` overrides the row-tile (default _pick_bn): the extra (bn, D) LN
+    scratch puts the bn=512 worst case near the VMEM ceiling at ViT-H dims —
+    bn=384 is the fallback schedule (weight re-stream 87×25 MB ≈ 2.2 GB/layer,
+    still under the ~4.4 ms matmul floor)."""
     n, d = x.shape
     f = w1.shape[0]
-    bn = _pick_bn(n)
+    bn = bn or _pick_bn(n)
     bf = _chunk_f(f)
     dt = x.dtype
     np_ = _round_up(n, bn)

@@ -108,6 +108,12 @@ def main():
             h.reshape(B * T, D), gamma, beta, w1, b1, w2, b2
         ).reshape(B, T, D)
 
+    def halfblock_fused_384(h):
+        # fallback schedule if bn=512 + LN scratch overruns VMEM
+        return fused_ln_mlp_residual(
+            h.reshape(B * T, D), gamma, beta, w1, b1, w2, b2, bn=384
+        ).reshape(B, T, D)
+
     # on-device correctness for the half-block kernel (scalar read; a wedge
     # window can garble readings — flag, don't veto)
     try:
@@ -129,6 +135,7 @@ def main():
     rows["mlp_fused_poly"] = bench("8b. MLP fused pallas (poly gelu)", chain(mlp_fused_poly), x)
     rows["halfblock_xla"] = bench("9.  LN+MLP+resid XLA", chain(halfblock_xla), x)
     rows["halfblock_fused"] = bench("9b. LN+MLP+resid fused pallas", chain(halfblock_fused), x)
+    rows["halfblock_fused_384"] = bench("9c. LN+MLP+resid fused bn=384", chain(halfblock_fused_384), x)
     rows["mlp_fused_rep"] = bench("8.  MLP fused pallas (rep)", chain(mlp_fused), x)
     rows["mlp_xla_rep"] = bench("4c. MLP XLA (rep)", chain(mlp_bf16_gelu), x)
     import json

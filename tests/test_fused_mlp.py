@@ -310,3 +310,18 @@ def test_halfblock_routes_fused_and_matches(monkeypatch):
     got = L._mlp_halfblock(p, x, 1e-6, jnp.float32)
     assert calls == [(64, 128)]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_ln_mlp_residual_bn_override():
+    """The static bn override (VMEM-fallback schedule) pads N to the chosen
+    tile and matches the default-schedule output exactly."""
+    from hippomm_tpu.ops.fused_mlp import fused_ln_mlp_residual
+
+    pm = _params(jax.random.PRNGKey(19), 128, 512)
+    pn = _ln_params(jax.random.PRNGKey(20), 128)
+    x = jax.random.normal(jax.random.PRNGKey(21), (600, 128), jnp.float32)
+    args = (x, pn["weight"], pn["bias"], pm["fc1"]["weight"], pm["fc1"]["bias"],
+            pm["fc2"]["weight"], pm["fc2"]["bias"])
+    a = fused_ln_mlp_residual(*args, 1e-6, True)
+    b = fused_ln_mlp_residual(*args, 1e-6, True, None, 256)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
