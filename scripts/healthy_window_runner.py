@@ -36,16 +36,18 @@ PROBE = r"""
 import time, sys, jax, jax.numpy as jnp
 x = jnp.ones((1024, 1024), jnp.float32)
 x.block_until_ready()
-ok = 0
+dts = []
 for i in range(4):
     t0 = time.perf_counter()
     import numpy as np
     np.asarray(x + i)
-    dt = time.perf_counter() - t0
-    print(f"probe {dt*1000:.0f} ms", flush=True)
-    if dt < 0.2:
-        ok += 1
-sys.exit(0 if ok >= 3 else 1)
+    dts.append(time.perf_counter() - t0)
+    print(f"probe {dts[-1]*1000:.0f} ms", flush=True)
+# the FIRST read often absorbs the wedge-clear (observed 68s then 141 ms);
+# judge the last 3 at a 250 ms bar — marginal windows still beat no window,
+# and every stage carries its own transport tally for labeling
+ok = sum(1 for d in dts[1:] if d < 0.25)
+sys.exit(0 if ok >= 2 else 1)
 """
 
 ALL_STAGES = [
