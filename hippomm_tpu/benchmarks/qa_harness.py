@@ -225,7 +225,9 @@ def build_questions(
     # derivable when recall attributes evidence to its source video (the
     # attribution the multi-video evidence format carries)
     video_names = truth.get("video_names") or []
-    if len(video_names) >= 2 and any(len(vs) >= 2 for vs in video_scenes):
+    if len(video_names) >= 2 and any(
+        len(vs) >= 2 for vs in video_scenes[: len(video_names)]
+    ):
         kinds = kinds + ("which_video",)
     if negatives:
         # a palette-saturating truth leaves no absent colors to ask about —
@@ -344,7 +346,11 @@ def build_questions(
             # pick a video with >=2 scenes; ask for the pair of its colors —
             # globally-unique palette colors mean retrieval must surface BOTH
             # scenes' windows AND recall must attribute them to one video
-            cand = [vi for vi, vs in enumerate(video_scenes) if len(vs) >= 2]
+            # vi < len(video_names): a truth dict with more video_scenes
+            # entries than names (possible for direct build_questions callers)
+            # must not IndexError below (ADVICE r4 #5)
+            cand = [vi for vi, vs in enumerate(video_scenes)
+                    if len(vs) >= 2 and vi < len(video_names)]
             vi = cand[int(rng.integers(len(cand)))]
             v = video_scenes[vi]
             i, j = sorted(rng.choice(len(v), size=2, replace=False))

@@ -238,7 +238,12 @@ def _mlp_halfblock(p: Params, x: jax.Array, eps: float, dtype) -> jax.Array:
     pending hardware measurement). Values match the unfused path to the
     fused-MLP tolerances; the LN and residual arithmetic is bit-equal."""
     pm = p["mlp"]
-    if "bias" in pm.get("fc1", {}) and "bias" in pm.get("fc2", {}):
+    # x.dtype == dtype gate: the fused kernel computes in (and emits) x.dtype,
+    # the unfused path in `dtype` — encoder_block always casts x first so the
+    # routes agree today, but a direct caller with x.dtype != dtype must get
+    # identical numerics from both routes (ADVICE r4 #3)
+    if ("bias" in pm.get("fc1", {}) and "bias" in pm.get("fc2", {})
+            and x.dtype == dtype):
         from hippomm_tpu.ops import fused_mlp as _fm
 
         w1 = pm["fc1"]["weight"]

@@ -470,18 +470,20 @@ def _fast_exp_enabled() -> bool:
 def softmax_opt_default() -> bool:
     """Route policy for the softmax-floor optimizations (CLS-split schedule
     where Tk ≡ 1 mod 128 + deferred output division): HIPPOMM_FLASH_SOFTMAX_OPT
-    =1 forces on, =0 forces off. 'auto' (default) enables on real TPU backends:
+    =1 forces on, =0 forces off. 'auto' (default) enables on TPU ONLY:
     measured 45.91 vs 57.78 ms per 32-layer ViT-H b128 attention chain
     (scripts/attn_dbg.py row g_cls_exact vs a_product, 2026-08-21); the
-    non-splittable deferred-division body measured 49.37 (row b). CPU keeps
-    the exact path (no Mosaic lowering; hermetic tests pin numerics there)."""
+    non-splittable deferred-division body measured 49.37 (row b). The
+    measurement is TPU-specific — other accelerator backends keep the exact
+    body unless forced (ADVICE r4 #4), and CPU keeps the exact path (no
+    Mosaic lowering; hermetic tests pin numerics there)."""
     flag = os.environ.get("HIPPOMM_FLASH_SOFTMAX_OPT", "auto").lower()
     if flag in ("1", "true", "on"):
         return True
     if flag in ("0", "false", "off"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 

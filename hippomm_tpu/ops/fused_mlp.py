@@ -194,6 +194,32 @@ def _pick_bn(n: int) -> int:
     return 512 if n >= 512 else _round_up(n, 8)
 
 
+#: per-step VMEM budget for the half-block schedule (v5e has ~16 MB; leave
+#: headroom for Mosaic's own buffers — mirrors flash_attention's g_blk guard)
+_BLOCK_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def _pick_bn_block(n: int, d: int, f: int, itemsize: int) -> int:
+    """Row tile for fused_ln_mlp_residual, VMEM-budget aware.
+
+    The half-block schedule carries an extra (bn, D) LN scratch on top of
+    fused_mlp's working set, which puts bn=512 near the VMEM ceiling at ViT-H
+    dims (D=1280, F=5120) — the compiler rejects it outright on some shapes.
+    Walk 512 → 384 → 256 → 128 until the estimated per-step working set
+    (double-buffered x/out tiles + fp32 acc + LN scratch + double-buffered
+    weight chunks) fits _BLOCK_VMEM_BUDGET, so the product route never hands
+    the compiler a schedule it must refuse (ADVICE r4 #2)."""
+    if n < 512:
+        return _round_up(n, 8)
+    bf = _chunk_f(f)
+    for bn in (512, 384, 256, 128):
+        tiles = bn * d * (2 * itemsize + 4 + itemsize + 2 * itemsize)
+        weights = 2 * (2 * bf * d * itemsize)
+        if tiles + weights <= _BLOCK_VMEM_BUDGET:
+            return bn
+    return 128
+
+
 def fused_mlp_supported(n: int, d: int, f: int) -> bool:
     """Static gate: aligned feature dims, a hidden chunk width that divides F
     (512 preferred, any lane multiple accepted), and enough rows that the
@@ -275,13 +301,14 @@ def fused_ln_mlp_residual(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-6,
     residual epilogue — the unfused path writes+reads the LN output and reads
     x a second time for the residual add.
 
-    `bn` overrides the row-tile (default _pick_bn): the extra (bn, D) LN
-    scratch puts the bn=512 worst case near the VMEM ceiling at ViT-H dims —
-    bn=384 is the fallback schedule (weight re-stream 87×25 MB ≈ 2.2 GB/layer,
-    still under the ~4.4 ms matmul floor)."""
+    `bn` overrides the row-tile (default _pick_bn_block, which falls back
+    512 → 384 when the working set would exceed the VMEM budget): the extra
+    (bn, D) LN scratch puts the bn=512 worst case near the VMEM ceiling at
+    ViT-H dims — bn=384 is the fallback schedule (weight re-stream
+    87×25 MB ≈ 2.2 GB/layer, still under the ~4.4 ms matmul floor)."""
     n, d = x.shape
     f = w1.shape[0]
-    bn = bn or _pick_bn(n)
+    bn = bn or _pick_bn_block(n, d, f, x.dtype.itemsize)
     bf = _chunk_f(f)
     dt = x.dtype
     np_ = _round_up(n, bn)

@@ -10,7 +10,7 @@ tiny arrays in the reference and are not on any hot path).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -70,9 +70,10 @@ def top_k_cosine_similarity(
     return np.asarray(idx), np.asarray(vals)
 
 
-def compute_entropy(distribution) -> float:
-    """Shannon entropy of a probability distribution (reference: vector_ops.py:22-35)."""
-    p = np.asarray(distribution, dtype=np.float64)
+def compute_entropy(features) -> float:
+    """Entropy of a feature vector: |features| normalized to a probability
+    distribution, then Shannon entropy (reference: vector_ops.py:22-35)."""
+    p = np.abs(np.asarray(features, dtype=np.float64).reshape(-1))
     s = p.sum()
     if s <= 0:
         return 0.0
@@ -81,64 +82,81 @@ def compute_entropy(distribution) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-def temporal_overlap(start1, end1, start2, end2) -> float:
-    """Fractional overlap of [start1,end1] and [start2,end2] relative to the shorter
-    interval (reference: vector_ops.py:37-54)."""
-    overlap = max(0.0, min(end1, end2) - max(start1, start2))
-    shorter = max(_EPS, min(end1 - start1, end2 - start2))
-    return float(overlap / shorter)
+def temporal_overlap(
+    t1: Tuple[float, float], t2: Tuple[float, float], threshold: float = 0.5
+) -> bool:
+    """True when two (start, end) intervals overlap by at least `threshold` of
+    the shorter interval (reference: vector_ops.py:37-54 — same tuple
+    signature and bool contract)."""
+    start1, end1 = t1
+    start2, end2 = t2
+    overlap = min(end1, end2) - max(start1, start2)
+    if overlap <= 0:
+        return False
+    shorter = min(end1 - start1, end2 - start2)
+    return bool(overlap / max(shorter, _EPS) >= threshold)
 
 
-def spatial_distance(feat1, feat2, metric: str = "euclidean") -> float:
-    """Distance between two feature vectors (reference: vector_ops.py:56-70)."""
-    a = np.asarray(feat1, dtype=np.float32)
-    b = np.asarray(feat2, dtype=np.float32)
-    if metric == "euclidean":
-        return float(np.linalg.norm(a - b))
-    if metric == "cosine":
-        return float(1.0 - cosine_similarity(a, b))
-    raise ValueError(f"unknown metric: {metric}")
+def spatial_distance(
+    coord1: Tuple[int, int],
+    coord2: Tuple[int, int],
+    grid_size: Tuple[int, int] = (16, 16),
+) -> float:
+    """Euclidean distance between grid coordinates, normalized by the grid
+    diagonal (reference: vector_ops.py:56-70 — grid-coordinate semantics)."""
+    x1, y1 = coord1
+    x2, y2 = coord2
+    dist = float(np.sqrt((x1 - x2) ** 2 + (y1 - y2) ** 2))
+    max_dist = float(np.sqrt(grid_size[0] ** 2 + grid_size[1] ** 2))
+    return dist / max(max_dist, _EPS)
 
 
-def feature_flow(features: np.ndarray) -> np.ndarray:
-    """Per-step feature deltas over a (T, D) trajectory (reference: vector_ops.py:72-79)."""
-    f = np.asarray(features, dtype=np.float32)
-    if f.shape[0] < 2:
-        return np.zeros((0,) + f.shape[1:], dtype=np.float32)
-    return np.diff(f, axis=0)
+def feature_flow(features1, features2, threshold: float = 0.7) -> bool:
+    """True when two feature vectors are cosine-similar enough to be a smooth
+    flow (reference: vector_ops.py:72-79 — two vectors + threshold → bool)."""
+    return bool(cosine_similarity(features1, features2) >= threshold)
 
 
 def merge_features(features_list, weights=None) -> np.ndarray:
-    """Weighted mean of a list of feature vectors (reference: vector_ops.py:81-100)."""
-    feats = np.stack([np.asarray(f, dtype=np.float32) for f in features_list])
+    """Weighted sum of feature vectors, L2-normalized (reference:
+    vector_ops.py:81-100 — weights are NOT normalized before summing; the
+    merged vector IS)."""
     if weights is None:
-        return feats.mean(axis=0)
+        weights = [1.0] * len(features_list)
+    feats = np.stack(
+        [np.asarray(f, dtype=np.float32).reshape(-1) for f in features_list]
+    )
     w = np.asarray(weights, dtype=np.float32)
-    w = w / max(w.sum(), _EPS)
-    return (feats * w[:, None]).sum(axis=0)
+    merged = (feats * w[:, None]).sum(axis=0)
+    return merged / max(np.linalg.norm(merged), _EPS)
 
 
 def gaussian_temporal_weighting(times, center, sigma: float = 1.0) -> np.ndarray:
-    """Gaussian weights of timestamps around a center (reference: vector_ops.py:102-108)."""
-    t = np.asarray(times, dtype=np.float32)
-    return np.exp(-0.5 * ((t - center) / max(sigma, _EPS)) ** 2)
+    """Gaussian *pdf* of timestamps around a center (reference:
+    vector_ops.py:102-108 uses scipy.stats.norm.pdf — the 1/(σ√2π) factor is
+    part of the contract, weights do not peak at 1)."""
+    t = np.asarray(times, dtype=np.float64)
+    sigma = max(float(sigma), _EPS)
+    return np.exp(-0.5 * ((t - center) / sigma) ** 2) / (sigma * np.sqrt(2 * np.pi))
 
 
-def compute_feature_statistics(features: np.ndarray) -> Dict[str, np.ndarray]:
-    """Mean/std/min/max over a (N, D) feature matrix (reference: vector_ops.py:110-122)."""
-    f = np.asarray(features, dtype=np.float32)
-    return {
-        "mean": f.mean(axis=0),
-        "std": f.std(axis=0),
-        "min": f.min(axis=0),
-        "max": f.max(axis=0),
-    }
+def compute_feature_statistics(features) -> Tuple[float, float, float]:
+    """(mean, std, entropy) of a flattened feature vector (reference:
+    vector_ops.py:110-122 — scalar tuple, not per-dimension arrays)."""
+    f = np.asarray(features, dtype=np.float32).reshape(-1)
+    return float(f.mean()), float(f.std()), float(compute_entropy(f))
 
 
-def normalize_features(features: np.ndarray) -> np.ndarray:
-    """L2-normalize rows of a feature matrix (reference: vector_ops.py:124-149)."""
-    f = np.asarray(features, dtype=np.float32)
-    if f.ndim == 1:
-        return f / max(np.linalg.norm(f), _EPS)
-    norms = np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), _EPS)
-    return f / norms
+def normalize_features(features, method: str = "l2") -> np.ndarray:
+    """Normalize a flattened feature vector by l2 / l1 / max norm (reference:
+    vector_ops.py:124-149 — flattens, method-selectable)."""
+    f = np.asarray(features, dtype=np.float32).reshape(-1)
+    if method == "l2":
+        denom = np.linalg.norm(f)
+    elif method == "l1":
+        denom = np.sum(np.abs(f))
+    elif method == "max":
+        denom = np.max(np.abs(f))
+    else:
+        raise ValueError(f"Unknown normalization method: {method}")
+    return f / max(float(denom), _EPS)

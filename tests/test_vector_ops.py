@@ -29,28 +29,49 @@ def test_top_k_clamps_k(rng):
 
 
 def test_entropy():
+    # reference semantics (vector_ops.py:22-35): abs → prob dist → Shannon
     assert abs(vo.compute_entropy([0.5, 0.5]) - 1.0) < 1e-9
+    assert abs(vo.compute_entropy([-0.5, 0.5]) - 1.0) < 1e-9  # abs() applied
     assert vo.compute_entropy([1.0, 0.0]) == 0.0
 
 
 def test_temporal_overlap():
-    assert vo.temporal_overlap(0, 10, 5, 15) == 0.5
-    assert vo.temporal_overlap(0, 10, 20, 30) == 0.0
-    assert vo.temporal_overlap(0, 10, 2, 4) == 1.0
+    # reference signature (vector_ops.py:37-54): two tuples + threshold → bool
+    assert vo.temporal_overlap((0, 10), (5, 15), threshold=0.5) is True
+    assert vo.temporal_overlap((0, 10), (5, 15), threshold=0.6) is False
+    assert vo.temporal_overlap((0, 10), (20, 30)) is False
+    assert vo.temporal_overlap((0, 10), (2, 4)) is True  # full containment
 
 
 def test_misc_helpers(rng):
     f = rng.normal(size=(5, 16)).astype(np.float32)
-    assert vo.feature_flow(f).shape == (4, 16)
+    # feature_flow (vector_ops.py:72-79): two vectors + threshold → bool
+    assert vo.feature_flow(f[0], f[0]) is True
+    assert vo.feature_flow(f[0], -f[0], threshold=0.0) is False
+    # merge_features (vector_ops.py:81-100): unnormalized weights, L2-normed out
     merged = vo.merge_features([f[0], f[1]], weights=[1.0, 3.0])
-    np.testing.assert_allclose(merged, 0.25 * f[0] + 0.75 * f[1], rtol=1e-5)
+    expected = 1.0 * f[0] + 3.0 * f[1]
+    np.testing.assert_allclose(
+        merged, expected / np.linalg.norm(expected), rtol=1e-5
+    )
+    assert abs(np.linalg.norm(vo.merge_features([f[0], f[1]])) - 1.0) < 1e-5
+    # gaussian_temporal_weighting (vector_ops.py:102-108): norm.pdf semantics
     w = vo.gaussian_temporal_weighting([0.0, 1.0, 2.0], center=1.0, sigma=1.0)
-    assert w[1] == 1.0 and w[0] < 1.0
-    stats = vo.compute_feature_statistics(f)
-    np.testing.assert_allclose(stats["mean"], f.mean(0), rtol=1e-5)
+    assert abs(w[1] - 1.0 / np.sqrt(2 * np.pi)) < 1e-9 and w[0] < w[1]
+    # compute_feature_statistics (vector_ops.py:110-122): (mean, std, entropy)
+    mean, std, ent = vo.compute_feature_statistics(f)
+    assert abs(mean - f.mean()) < 1e-5 and abs(std - f.std()) < 1e-5
+    assert ent == vo.compute_entropy(f)
+    # normalize_features (vector_ops.py:124-149): flattens, method-selectable
     nf = vo.normalize_features(f)
-    np.testing.assert_allclose(np.linalg.norm(nf, axis=1), 1.0, rtol=1e-5)
-    assert vo.spatial_distance(f[0], f[0]) == 0.0
+    assert nf.shape == (80,) and abs(np.linalg.norm(nf) - 1.0) < 1e-5
+    n1 = vo.normalize_features(f[0], method="l1")
+    assert abs(np.sum(np.abs(n1)) - 1.0) < 1e-5
+    nmax = vo.normalize_features(f[0], method="max")
+    assert abs(np.max(np.abs(nmax)) - 1.0) < 1e-5
+    # spatial_distance (vector_ops.py:56-70): grid coords / grid diagonal
+    assert vo.spatial_distance((0, 0), (0, 0)) == 0.0
+    assert abs(vo.spatial_distance((0, 0), (16, 16)) - 1.0) < 1e-9
 
 
 def test_select_keyframes_matches_greedy_reference(rng):
