@@ -190,6 +190,33 @@ def _read_with_retry(x, give_up_s: float = None) -> np.ndarray:
     )
 
 
+def probe_transport(bar_ms: float = 250.0, read_timeout_s: float = 15.0):
+    """One transport-health probe: four bounded 4 MB device reads, judged on
+    the LAST three at `bar_ms` (the first read absorbs a wedge-clear — the
+    same judgment scripts/healthy_window_runner.py uses in its subprocess
+    probe, here callable in-process so bench.py can gate headline runs on it).
+
+    Returns (healthy, dts_ms): dts_ms holds per-read milliseconds, -1.0 for a
+    read that timed out. Never raises and never blocks longer than roughly
+    4 × read_timeout_s — a wedged transport must yield an honest False, not
+    hang the caller."""
+    import jax.numpy as jnp
+
+    base = jnp.ones((1024, 1024), jnp.float32)
+    dts = []
+    for i in range(4):
+        arr = base + i  # fresh dispatch per read: measures program+read RTT
+        t0 = time.monotonic()
+        try:
+            out = _bounded_read(arr, read_timeout_s)
+        except Exception:  # noqa: BLE001 — a raising backend is an unhealthy probe
+            out = None
+        dts.append(round((time.monotonic() - t0) * 1000, 1) if out is not None
+                   else -1.0)
+    healthy = sum(1 for d in dts[1:] if 0 <= d < bar_ms) >= 2
+    return healthy, dts
+
+
 def warm_transport(max_seconds: float = 60.0, consecutive: int = 3) -> bool:
     """Exercise tiny device→host reads until they are consistently fast.
 

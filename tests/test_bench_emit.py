@@ -271,3 +271,120 @@ def test_stall_aware_extra_retries_contaminated_reading(bench_in_tmp):
     # out of budget: nothing runs
     best, attempts, tallies = mod._stall_aware_extra(measure, lambda: False)
     assert best is None and attempts == [] and tallies == []
+
+
+def test_stall_aware_extra_prefers_clean_over_warm_retry(bench_in_tmp):
+    """ADVICE r4 #1: when the FIRST attempt is clean, a warmer retry never
+    happens; when the first is contaminated and the retry is clean, the clean
+    retry is reported; when EVERY attempt is contaminated, fall back to max
+    (least transport-damaged of a bad set)."""
+    mod, _ = bench_in_tmp
+    from hippomm_tpu.utils import device as dev
+
+    calls = {"n": 0}
+
+    def always_contaminated():
+        calls["n"] += 1
+        dev._STATS["wedges"] += 1
+        return 10.0 + calls["n"]  # retries read warmer
+
+    best, attempts, tallies = mod._stall_aware_extra(
+        always_contaminated, lambda: True
+    )
+    assert attempts == [11.0, 12.0]
+    assert best == 12.0  # all contaminated -> max fallback
+    assert all(t["wedges"] == 1 for t in tallies)
+
+
+def test_gate_headline_run_waits_out_degraded_window(bench_in_tmp):
+    """VERDICT r4 Next #1: a degraded probe sleeps and re-probes instead of
+    burning a measured run; a healthy probe starts the run immediately; an
+    exhausted budget proceeds (the run gets env-labeled downstream)."""
+    mod, _ = bench_in_tmp
+
+    # healthy immediately: no wait
+    gate = mod._gate_headline_run(
+        {"s": 480.0}, calib_anchor=0.12, elapsed=lambda: 10.0,
+        probe=lambda: (True, [40.0, 38.0, 41.0, 39.0]),
+        calib=lambda: 0.13, sleep=lambda s: None,
+    )
+    assert gate["healthy"] is True and gate["waited_s"] == 0.0
+    assert gate["probes"] == 1
+
+    # degraded for two probes, then healthy: waited two naps
+    seq = iter([(False, [-1.0] * 4), (False, [900.0] * 4),
+                (True, [42.0, 40.0, 41.0, 43.0])])
+    naps = []
+    budget = {"s": 480.0}
+    gate = mod._gate_headline_run(
+        budget, calib_anchor=0.12, elapsed=lambda: 10.0,
+        probe=lambda: next(seq), calib=lambda: 0.13,
+        sleep=naps.append, nap_s=45.0,
+    )
+    assert gate["healthy"] is True and gate["probes"] == 3
+    assert naps == [45.0, 45.0] and gate["waited_s"] == 90.0
+    assert budget["s"] == 480.0 - 90.0
+
+    # chronically degraded: budget drains, run proceeds labeled-unhealthy
+    budget = {"s": 90.0}
+    gate = mod._gate_headline_run(
+        budget, calib_anchor=0.12, elapsed=lambda: 10.0,
+        probe=lambda: (False, [-1.0] * 4), calib=lambda: 0.13,
+        sleep=lambda s: None, nap_s=45.0,
+    )
+    assert gate["healthy"] is False and budget["s"] == 0.0
+
+    # a degraded HOST (calib over 2x anchor) gates exactly like transport
+    budget = {"s": 45.0}
+    gate = mod._gate_headline_run(
+        budget, calib_anchor=0.12, elapsed=lambda: 10.0,
+        probe=lambda: (True, [40.0] * 4), calib=lambda: 0.30,
+        sleep=lambda s: None, nap_s=45.0,
+    )
+    assert gate["healthy"] is False and gate["host_calib_s"] == 0.30
+
+    # hard stop: late in the bench, never sleep even with budget left
+    budget = {"s": 480.0}
+    gate = mod._gate_headline_run(
+        budget, calib_anchor=0.12, elapsed=lambda: 1200.0,
+        probe=lambda: (False, [-1.0] * 4), calib=lambda: 0.13,
+        sleep=lambda s: None,
+    )
+    assert gate["healthy"] is False and budget["s"] == 480.0
+
+
+def test_emit_summarizes_probe_gate(bench_in_tmp):
+    """The compact line carries probe_wait_s + probe_degraded_starts; the full
+    per-run gate list lives only in BENCH_DETAIL.json."""
+    mod, tmp = bench_in_tmp
+    rec = _bulky_record()
+    rec["extra"]["probe_gate"] = [
+        {"healthy": True, "probe_ms": [40.0] * 4, "host_calib_s": 0.12,
+         "waited_s": 0.0, "probes": 1},
+        {"healthy": False, "probe_ms": [-1.0] * 4, "host_calib_s": 0.3,
+         "waited_s": 135.0, "probes": 4},
+        {"healthy": True, "probe_ms": [39.0] * 4, "host_calib_s": 0.12,
+         "waited_s": 45.0, "probes": 2},
+    ]
+    line = _emit_line(mod, rec)
+    e = json.loads(line)["extra"]
+    assert e["probe_wait_s"] == 180.0
+    assert e["probe_degraded_starts"] == 1
+    assert "probe_gate" not in e
+    detail = json.load(open(tmp / "BENCH_DETAIL.json"))
+    assert len(detail["extra"]["probe_gate"]) == 3
+
+
+def test_emit_flags_retried_extras(bench_in_tmp):
+    """ADVICE r4 #1: a stall-aware extra that took >1 attempt is flagged in
+    the compact record as <row>_attempts."""
+    mod, _ = bench_in_tmp
+    rec = _bulky_record()
+    rec["extra"]["extras_transport"] = {
+        "single_30s_clip": {"attempts": [3.3, 24.6], "transport": [{}, {}]},
+        "audio_only": {"attempts": [23.1], "transport": [{}]},
+    }
+    e = json.loads(_emit_line(mod, rec))["extra"]
+    assert e["single_30s_clip_attempts"] == 2
+    assert "audio_only_attempts" not in e
+    assert "extras_transport" not in e
