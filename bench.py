@@ -241,7 +241,8 @@ def _emit(record: dict) -> None:
     qa5 = extra.pop("qa_accuracy_ci", None) or {}
     if isinstance(qa5, dict):
         for src, dst in (("qa_accuracy", "qa_accuracy"), ("n_questions", "qa_n"),
-                         ("ci95", "qa_ci95")):
+                         ("ci95", "qa_ci95"), ("caption_noise", "qa_noise"),
+                         ("accuracy_by_type", "qa_by_type")):
             if src in qa5:
                 extra[dst] = qa5[src]
     # retried extras must be self-evident in the COMPACT record too, not only
@@ -904,16 +905,22 @@ def main() -> None:
             import subprocess
 
             remaining = max(60.0, 1560.0 - (time.perf_counter() - t_bench_start))
-            # 3 videos x 12 scenes, globally unique colors/tones, 108 questions
-            # over NINE families incl. negatives AND the hard gradient families
-            # (order/count/xmodal — VERDICT r3 Next #5: temporal ordering,
-            # counting, cross-modal verification the pipeline can get wrong);
-            # the Wilson CI ships in the compact line
+            # 3 videos x 12 scenes, 120 questions over TWELVE families incl.
+            # negatives, the r3 gradient families (order/count/xmodal), and
+            # the r4 Next #4 de-saturation set: after_tone (multi-hop
+            # temporal), count_video (cross-video counting), --distractors
+            # (near-duplicate scenes: the last video reuses video 0's
+            # colors), and --caption-noise 0.15 (query-time VLM confusion,
+            # calibrated 2026-08-21 to land headline accuracy in the
+            # 0.85-0.98 band: measured 0.967 [0.917, 0.987], after_tone 0.8 /
+            # video 0.9 / multimodal 0.9 — the gauge now has gradient).
+            # Wilson CI + per-family breakdown ship in the compact line.
             proc = subprocess.run(
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts", "qa_accuracy.py"),
                  "--cpu", "--videos", "3", "--duration", "180",
-                 "--scene-seconds", "15", "--questions", "108"],
+                 "--scene-seconds", "15", "--questions", "120",
+                 "--caption-noise", "0.15", "--distractors"],
                 capture_output=True, text=True, timeout=min(900.0, remaining),
                 env={**os.environ, "JAX_PLATFORMS": "cpu"},
             )

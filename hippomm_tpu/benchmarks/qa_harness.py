@@ -111,6 +111,7 @@ def write_palette_video(
     height: int = 180,
     seed: int = 0,
     scene_offset: int = 0,
+    tone_offset: Optional[int] = None,
 ) -> Dict:
     """H.264 mp4 + embedded AAC: scene i = solid palette color + a small
     moving square; audio = the scene's unique tone. Returns the ground truth
@@ -118,17 +119,22 @@ def write_palette_video(
 
     `scene_offset` shifts both the color and tone assignment: video v of a
     multi-video corpus passes v·n_scenes so every scene in the corpus gets a
-    globally unique color and tone."""
+    globally unique color and tone. `tone_offset` (default = scene_offset)
+    decouples the two: the distractor mode gives a video ANOTHER video's
+    colors (near-duplicate distractor scenes) while keeping its tones
+    globally unique, so audio-keyed questions stay well-defined."""
     from hippomm_tpu.media import io as mio
 
     rng = np.random.default_rng(seed)
+    if tone_offset is None:
+        tone_offset = scene_offset
     n_scenes = max(1, int(np.ceil(duration / scene_seconds)))
     scenes = []
     for i in range(n_scenes):
         s = i * scene_seconds
         e = min(duration, (i + 1) * scene_seconds)
         scenes.append((s, e, scene_color(scene_offset + i)[0],
-                       scene_freq(scene_offset + i)))
+                       scene_freq(tone_offset + i)))
 
     n_frames = int(round(duration * fps))
     sq = max(8, height // 8)
@@ -152,7 +158,7 @@ def write_palette_video(
         tt = np.arange(int(duration * SAMPLE_RATE)) / SAMPLE_RATE
         scene_idx = np.minimum((tt // scene_seconds).astype(int), n_scenes - 1)
         freqs = np.asarray(
-            [scene_freq(scene_offset + i) for i in range(n_scenes)]
+            [scene_freq(tone_offset + i) for i in range(n_scenes)]
         )[scene_idx]
         phase = np.cumsum(2 * np.pi * freqs / SAMPLE_RATE)
         wr.write_audio((0.3 * np.sin(phase)).astype(np.float32))
@@ -220,6 +226,11 @@ def build_questions(
     kinds = ("video", "audio", "multimodal", "summary", "count", "xmodal")
     if any(len(vs) >= 2 for vs in video_scenes):
         kinds = kinds + ("order",)
+        # multi-hop temporal (VERDICT r4 Next #4): localize a tone, then name
+        # the color of the NEXT scene — needs the localization window's +2 s
+        # buffer to actually capture frames past the tone's end, and the
+        # answer stage to read the latest-timed evidence, not the majority
+        kinds = kinds + ("after_tone",)
     # cross-video aggregation ("which video contains both X and Y?") needs at
     # least two named videos, each with two scenes to pair — the answer is only
     # derivable when recall attributes evidence to its source video (the
@@ -229,6 +240,12 @@ def build_questions(
         len(vs) >= 2 for vs in video_scenes[: len(video_names)]
     ):
         kinds = kinds + ("which_video",)
+    if len(video_names) >= 2:
+        # cross-video counting (VERDICT r4 Next #4): "how many distinct
+        # colors in video X" — only answerable when the fast path's evidence
+        # is attributed to its source video (a lost scene OR a
+        # cross-attributed caption both move the count)
+        kinds = kinds + ("count_video",)
     if negatives:
         # a palette-saturating truth leaves no absent colors to ask about —
         # degrade to the kinds that still have material instead of indexing
@@ -349,11 +366,30 @@ def build_questions(
             # vi < len(video_names): a truth dict with more video_scenes
             # entries than names (possible for direct build_questions callers)
             # must not IndexError below (ADVICE r4 #5)
-            cand = [vi for vi, vs in enumerate(video_scenes)
-                    if len(vs) >= 2 and vi < len(video_names)]
-            vi = cand[int(rng.integers(len(cand)))]
+            # the chosen (video, pair) must UNIQUELY identify the video: the
+            # distractor mode duplicates whole color SETS across videos, so
+            # any pair drawn from a duplicated video has two correct answers.
+            # Enumerate the unique combos and draw among them (a distractor
+            # corpus leaves only the non-duplicated videos eligible).
+            color_sets = [{sc[2] for sc in vs} for vs in video_scenes]
+            combos = [
+                (vi, i, j)
+                for vi, vs in enumerate(video_scenes)
+                if len(vs) >= 2 and vi < len(video_names)
+                for i in range(len(vs))
+                for j in range(i + 1, len(vs))
+                if not any(
+                    oi != vi and {vs[i][2], vs[j][2]} <= cs
+                    for oi, cs in enumerate(color_sets)
+                )
+            ]
+            if not combos:  # every pair ambiguous: fall back to any pair
+                combos = [
+                    (vi, 0, 1) for vi, vs in enumerate(video_scenes)
+                    if len(vs) >= 2 and vi < len(video_names)
+                ]
+            vi, i, j = combos[int(rng.integers(len(combos)))]
             v = video_scenes[vi]
-            i, j = sorted(rng.choice(len(v), size=2, replace=False))
             qs.append(
                 {
                     "question": (
@@ -364,6 +400,36 @@ def build_questions(
                     "pair": [v[i][2], v[j][2]],
                     "expected": video_names[vi],
                     "names": list(video_names),
+                }
+            )
+        elif kind == "after_tone":
+            # multi-hop: tone of scene i → color of scene i+1 (same video)
+            vs = [v for v in video_scenes if len(v) >= 2]
+            v = vs[int(rng.integers(len(vs)))]
+            i = int(rng.integers(len(v) - 1))
+            qs.append(
+                {
+                    "question": (
+                        f"What is the background color in the scene immediately "
+                        f"after tone {tone_label(v[i][3])} stops playing? "
+                        "Reply with one color."
+                    ),
+                    "type": "after_tone",
+                    "label": tone_label(v[i][3]),
+                    "expected": v[i + 1][2],
+                }
+            )
+        elif kind == "count_video":
+            vi = int(rng.integers(len(video_names)))
+            qs.append(
+                {
+                    "question": (
+                        f"How many distinct background colors appear in the "
+                        f"video {video_names[vi]}? Reply with a number."
+                    ),
+                    "type": "count_video",
+                    "video": video_names[vi],
+                    "expected": len({sc[2] for sc in video_scenes[vi]}),
                 }
             )
         else:  # audio_neg: a tone frequency the corpus never plays
@@ -405,9 +471,15 @@ def score_answer(q: Dict, answer: str, truth: Dict) -> bool:
             (al.find(c), c) for c in q["pair"] if c in al
         )
         return bool(hits) and hits[0][1] == q["expected"]
-    if q["type"] == "count":
+    if q["type"] in ("count", "count_video"):
         m = re.search(r"\d+", answer)
         return bool(m) and int(m.group(0)) == q["expected"]
+    if q["type"] == "after_tone":
+        # the FIRST palette color named is the claim (echoing the in-window
+        # color instead of the next scene's scores 0)
+        al = answer.lower()
+        hits = sorted((al.find(c), c) for c, _ in PALETTE if c in al)
+        return bool(hits) and hits[0][1] == q["expected"]
     if q["type"] == "which_video":
         # the FIRST corpus video name the answer mentions is the claim
         # (longest-first so "palette01" can't be claimed by a "palette0" hit)
@@ -441,7 +513,35 @@ def score_answer(q: Dict, answer: str, truth: Dict) -> bool:
 
 class OracleVLM(ChatClient):
     """Captions frames by their actual mean color; also stands in for the
-    Qwen summary endpoint."""
+    Qwen summary endpoint.
+
+    `caption_noise` is the harness's difficulty knob (VERDICT r4 Next #4):
+    with that probability a caption names the NEAREST-BY-RGB other corpus
+    color instead of the true one — the confusion model of a real VLM mixing
+    up two similar shades. The pipeline's evidence aggregation (majority
+    voting, latest-time tie-breaks, per-video attribution) determines how
+    much corruption it absorbs, so retrieval-quality regressions move the
+    measured accuracy instead of hiding under a saturated 1.0."""
+
+    def __init__(self, caption_noise: float = 0.0,
+                 noise_colors: Optional[Sequence[str]] = None, seed: int = 0):
+        super().__init__()
+        self.caption_noise = float(caption_noise)
+        self._rng = np.random.default_rng(seed)
+        name_to_rgb = dict(PALETTE)
+        pool = [c for c in (noise_colors or []) if c in name_to_rgb]
+        # nearest-other-color confusion table over the corpus palette
+        self._confuse: Dict[str, str] = {}
+        for c in pool:
+            others = [o for o in pool if o != c]
+            if others:
+                self._confuse[c] = min(
+                    others,
+                    key=lambda o: sum(
+                        (a - b) ** 2
+                        for a, b in zip(name_to_rgb[c], name_to_rgb[o])
+                    ),
+                )
 
     def caption_images(self, jpeg_batches: Sequence[bytes], prompt: str, max_workers: int = 8) -> List[str]:
         from hippomm_tpu.media.io import jpeg_decode
@@ -450,9 +550,11 @@ class OracleVLM(ChatClient):
         for data in jpeg_batches:
             try:
                 rgb = jpeg_decode(data)
-                out.append(
-                    f"A scene with a {nearest_color(rgb.mean(axis=(0, 1)))} background."
-                )
+                color = nearest_color(rgb.mean(axis=(0, 1)))
+                if (self.caption_noise > 0.0 and color in self._confuse
+                        and self._rng.random() < self.caption_noise):
+                    color = self._confuse[color]
+                out.append(f"A scene with a {color} background.")
             except Exception:
                 out.append("[Error processing image]")
         return out
@@ -549,19 +651,57 @@ class OracleReasoning(ChatClient):
         if "json list" in lower and "time frames" in lower:
             # speech localization: snippets "N: [s-e s] text" containing the
             # tone; cite the snippet number so the pipeline can attribute the
-            # window to the right VIDEO in a multi-video store
+            # window to the right VIDEO in a multi-video store. A competent
+            # LLM returns the CONTIGUOUS SPANS of matching content, not the
+            # first five seconds of it — truncating per-second snippets to 5
+            # clipped every >5 s tone to its first seconds, so the buffered
+            # window never reached the tone's END (which the after_tone
+            # multi-hop family needs to look past)
             label = next(iter(re.findall(r"tone\d+hz", question)), None)
-            frames = [
-                {"start_time": float(m.group(2)), "end_time": float(m.group(3)),
-                 "snippet": int(m.group(1))}
+            matches = sorted(
+                (float(m.group(2)), float(m.group(3)), int(m.group(1)))
                 for m in re.finditer(
                     r"(?m)^(\d+): \[(\d+\.?\d*)-(\d+\.?\d*)s\] (.*)$", text
                 )
                 if label and label in m.group(4)
-            ]
-            return json.dumps(frames[:5])
+            )
+            spans: List[List[float]] = []
+            for s, e, sn in matches:
+                if spans and s - spans[-1][1] <= 1.0:
+                    spans[-1][1] = max(spans[-1][1], e)
+                else:
+                    spans.append([s, e, sn])
+            return json.dumps([
+                {"start_time": s, "end_time": e, "snippet": int(sn)}
+                for s, e, sn in spans[:5]
+            ])
         if "using only the retrieved evidence" in lower:
             ql = question.lower()
+
+            def windows_of():
+                """Audio-localized windows from the evidence header; each
+                includes the pipeline's ±2 s buffer."""
+                m = re.search(r"(?m)^Audio-localized windows[^:]*: (.*)$", text)
+                if not m:
+                    return []
+                return [
+                    (float(w.group(1)), float(w.group(2)))
+                    for w in re.finditer(r"(\d+\.?\d*)-(\d+\.?\d*)s", m.group(1))
+                ]
+
+            def in_tone(entries, wins):
+                """Entries inside the un-buffered window cores (a window
+                start of 0 was clamped, so its core starts at 0)."""
+                if not wins:
+                    return entries
+                sel = []
+                for t, c in entries:
+                    for ws, we in wins:
+                        lo = ws + 2.0 if ws > 0 else 0.0
+                        if lo <= t < we - 2.0:
+                            sel.append((t, c))
+                            break
+                return sel or entries
 
             def entries_of():
                 """(time, color) pairs parsed from the caption evidence lines
@@ -574,10 +714,20 @@ class OracleReasoning(ChatClient):
                 ]
 
             def majority_color(entries):
-                """Most-mentioned color, tie-broken by LATEST time: the ±2 s
-                localization buffer (reference parity) bleeds backward into
-                the prior scene at onset-aligned events, so later evidence is
-                the in-window evidence."""
+                """Most-mentioned color among the window's INTERIOR evidence,
+                tie-broken by LATEST time. The localization stage's ±2 s
+                buffer (reference parity) bleeds one entry into each
+                neighboring scene, and recall's SSIM dedup collapses the many
+                near-identical in-window frames to a few entries — so a
+                competent reasoner discounts the edge entries (when interior
+                ones exist) before voting."""
+                if len(entries) >= 3:
+                    tmin = min(t for t, _ in entries)
+                    tmax = max(t for t, _ in entries)
+                    inner = [(t, c) for t, c in entries
+                             if tmin + 2.0 < t < tmax - 2.0]
+                    if inner:
+                        entries = inner
                 counts: Dict[str, int] = {}
                 latest: Dict[str, float] = {}
                 for t, c in entries:
@@ -590,7 +740,7 @@ class OracleReasoning(ChatClient):
                 # in-window captions vs the asked color — wrong windows (or a
                 # wrong-video attribution) flip the verdict
                 asked = next((c for c, _ in PALETTE if c in ql), None)
-                entries = entries_of()
+                entries = in_tone(entries_of(), windows_of())
                 if not entries or asked is None:
                     return "ANSWER: unknown\nCONFIDENCE: 0.2"
                 best = majority_color(entries)
@@ -631,10 +781,31 @@ class OracleReasoning(ChatClient):
                     best = min(earliest, key=lambda c: earliest[c])
                     return f"ANSWER: {best}\nCONFIDENCE: 0.5"
                 return "ANSWER: not found\nCONFIDENCE: 0.2"
+            if "immediately after" in ql or "right after" in ql:
+                # multi-hop: the color right after the tone stops = the
+                # earliest caption evidence PAST the window core's end (the
+                # +2 s buffer reaches past the tone, so a correct pipeline
+                # retrieves a few next-scene frames). No window header or no
+                # past-end evidence → the latest entry is the best guess;
+                # no timestamps at all → scored wrong.
+                entries = entries_of()
+                wins = windows_of()
+                if entries and wins:
+                    tone_end = max(we - 2.0 for _, we in wins)
+                    after = [(t, c) for t, c in entries if t >= tone_end]
+                    if after:
+                        _, c_after = min(after)
+                        return f"ANSWER: {c_after}\nCONFIDENCE: 0.8"
+                if entries:
+                    _, c_last = max(entries)
+                    return f"ANSWER: {c_last}\nCONFIDENCE: 0.5"
+                return "ANSWER: not found\nCONFIDENCE: 0.2"
             if "color" in ql and not any(c in ql for c in (c for c, _ in PALETTE)):
                 # asked FOR a color (multimodal): majority color among the
-                # retrieved caption entries — wrong windows give wrong colors
-                entries = entries_of()
+                # retrieved caption entries, restricted to the audio window
+                # cores when the evidence names them — wrong windows give
+                # wrong colors
+                entries = in_tone(entries_of(), windows_of())
                 if entries:
                     return f"ANSWER: {majority_color(entries)}\nCONFIDENCE: 0.9"
                 return "ANSWER: no frames retrieved\nCONFIDENCE: 0.2"
@@ -653,9 +824,20 @@ class OracleReasoning(ChatClient):
             if "how many" in ql:
                 # counting: distinct palette colors the retrieved context
                 # actually names — a scene whose keyframe/caption was lost in
-                # ingest is invisible here and the count comes out short
+                # ingest is invisible here and the count comes out short.
+                # A per-video count ("in the video NAME") restricts to the
+                # evidence lines ATTRIBUTED to that video; without
+                # attribution the whole-context count answers (honestly
+                # wrong for a multi-video store)
                 context = text.rsplit("Question:", 1)[0].lower()
-                found = {c for c, _ in PALETTE if c in context}
+                m = re.search(r"video\s+([a-z0-9_\-]+)", ql)
+                if m and f"[video {m.group(1)}]" in context:
+                    lines = [ln for ln in context.splitlines()
+                             if f"[video {m.group(1)}]" in ln]
+                    found = {c for c, _ in PALETTE
+                             if any(c in ln for ln in lines)}
+                else:
+                    found = {c for c, _ in PALETTE if c in context}
                 if found:
                     return f"ANSWER: {len(found)}\nCONFIDENCE: 0.9"
                 return "ANSWER: 0\nCONFIDENCE: 0.2"
@@ -723,6 +905,8 @@ def run_harness(
     seed: int = 0,
     n_videos: int = 1,
     negatives: bool = True,
+    caption_noise: float = 0.0,
+    distractors: bool = False,
 ) -> Dict:
     """Build the workload, ingest via the real batch pipeline, answer the QA
     set via the real QARecallSystem, return accuracy + throughput + latency.
@@ -730,7 +914,18 @@ def run_harness(
     `n_videos` > 1 ingests a CORPUS of distinct palette vlogs into one store
     (duration is per video). Scene colors and tones are globally unique across
     the corpus, so every question also implicitly tests that retrieval picked
-    the right VIDEO, not just the right window."""
+    the right VIDEO, not just the right window.
+
+    Difficulty knobs (VERDICT r4 Next #4 — see benchmarks/README.md):
+      * `caption_noise` — per-caption probability that the oracle VLM names
+        the nearest-by-RGB OTHER corpus color (a real VLM's similar-shade
+        confusion), applied to QUERY-TIME re-captioning only. Swept upward
+        it takes headline accuracy off 1.0 and makes evidence-aggregation
+        regressions measurable.
+      * `distractors` — the LAST video reuses the FIRST video's scene colors
+        (near-duplicate distractor scenes) while keeping unique tones:
+        color→video stops being a function, so which_video / per-video
+        counting must rely on attributed evidence, not color uniqueness."""
     from hippomm_tpu.config import Config
     from hippomm_tpu.core.batch_process import process_video_folder
     from hippomm_tpu.memory.engine import HippocampalMemory
@@ -748,11 +943,15 @@ def run_harness(
     truth: Dict = {"scenes": [], "video_scenes": [], "duration": duration, "fps": fps}
     media_total = 0.0
     for v in range(n_videos):
+        # distractor mode: the last video REUSES video 0's colors (its scenes
+        # are near-duplicates of video 0's) but keeps globally unique tones
+        color_off = (0 if (distractors and n_videos >= 2 and v == n_videos - 1)
+                     else v * scenes_per_video)
         t_v = write_palette_video(
             os.path.join(videos, f"palette{v:02d}.mp4"),
             duration=duration, scene_seconds=scene_seconds,
             fps=fps, width=width, height=height, seed=seed + 17 * v,
-            scene_offset=v * scenes_per_video,
+            scene_offset=color_off, tone_offset=v * scenes_per_video,
         )
         truth["scenes"] += t_v["scenes"]
         truth["video_scenes"].append(list(t_v["scenes"]))
@@ -773,9 +972,17 @@ def run_harness(
     # cosine gate (real ImageBind separates them); raise the gate so keyframe
     # retention reflects the production behavior the harness is measuring
     cfg.processing.keyframe_dedup_threshold = 0.999
+    used_colors = sorted({c for _, _, c, _ in truth["scenes"]})
+    # noise applies to QUERY-TIME re-captioning only (flipped on after
+    # ingest): the knob measures how much VLM confusion the RETRIEVAL
+    # pipeline's evidence aggregation absorbs. Ingest-stored captions stay
+    # clean so the counting/summary families remain exact gauges of scene
+    # retention (a single corrupted stored caption would binary-fail a
+    # distinct-color count — a cliff, not a gradient).
+    vlm = OracleVLM(caption_noise=0.0, noise_colors=used_colors, seed=seed)
     mem = HippocampalMemory(
         config=cfg,
-        models={"whisper": OracleASR(), "frame_client": OracleVLM(), "qwen": OracleVLM()},
+        models={"whisper": OracleASR(), "frame_client": vlm, "qwen": vlm},
     )
 
     t0 = time.perf_counter()
@@ -784,6 +991,7 @@ def run_harness(
     ingest_wall = time.perf_counter() - t0
     ingest_x = (stats["media_seconds"] or 1e-9) / ingest_wall
 
+    vlm.caption_noise = float(caption_noise)  # query-time corruption from here
     qa = QARecallSystem(mem, cfg, reasoning_client=OracleReasoning())
     lat: List[float] = []
     correct = 0
@@ -820,6 +1028,8 @@ def run_harness(
         "n_questions": len(questions),
         "n_videos": n_videos,
         "n_scenes": len(truth["scenes"]),
+        "caption_noise": caption_noise,
+        "distractors": bool(distractors),
         "ingest_x": round(ingest_x, 2),
         "ingest_wall_s": round(ingest_wall, 2),
         "media_s": stats["media_seconds"],

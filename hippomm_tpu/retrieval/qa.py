@@ -256,11 +256,21 @@ class QARecallSystem:
     def _try_direct_answer(self, question: str, qtype: str) -> Tuple[str, float]:
         """(reference :1923-2062)"""
         events = self.events
-        summaries = [f"[{e.start_time:.0f}-{e.end_time:.0f}s] {e.summary}" for e in events if e.summary]
+        # multi-video stores attribute fast-path evidence to its source video
+        # (same honest-attribution deviation as the detailed pathways below —
+        # the reference's single-store prompt has no ids, :1923-2062): without
+        # it, cross-video aggregation questions ("how many colors in video X")
+        # are unanswerable from an otherwise-correct summary prompt
+        multi = len({e.video_id for e in events}) > 1
+        vtag = (lambda e: f"[video {e.video_id}] ") if multi else (lambda e: "")
+        summaries = [
+            f"{vtag(e)}[{e.start_time:.0f}-{e.end_time:.0f}s] {e.summary}"
+            for e in events if e.summary
+        ]
         details: List[str] = []
         budget_parts = proportional_split(self.token_budget // 2, [1.0, 1.0])
         if qtype in ("VIDEO", "VIDEO+AUDIO", "SUMMARY"):
-            captions = [c for e in events for c in e.frame_captions]
+            captions = [f"{vtag(e)}{c}" for e in events for c in e.frame_captions]
             kept, sub = evenly_distribute_items(captions, budget_parts[0], "- {}\n")
             if kept:
                 details.append(
@@ -962,10 +972,29 @@ class QARecallSystem:
                     else f"{tag}[{t:.1f}s (since keyframe {st:.1f}s)] {c}"
                     for t, st, c in zip(times, srcs, caps)
                 ]
+            # the answer stage gets the audio-localized WINDOWS alongside the
+            # timed captions: the reference's temporally-aligned prompt
+            # (:2853-2860) ships caption times but never says where the audio
+            # content was — leaving "while X played, what was seen?" formally
+            # unanswerable from its own evidence. Each window carries the
+            # ±2 s localization buffer, and saying so lets the reasoner
+            # discount edge-of-window bleed.
+            win_parts = []
+            for vid, ws in win_by_vid.items():
+                tag = f"[video {vid}] " if multi else ""
+                win_parts += [f"{tag}{s:.1f}-{e:.1f}s" for s, e in ws]
+            extra_parts = []
+            if win_parts:
+                extra_parts.append(
+                    "Audio-localized windows (each includes a +-2 s buffer): "
+                    + "; ".join(win_parts)
+                )
+            if audio_res.answer:
+                extra_parts.append("Audio-derived answer: " + audio_res.answer)
             answer, conf = self._final_answer(
                 question,
                 captions=captions,
-                extra="Audio-derived answer: " + audio_res.answer if audio_res.answer else "",
+                extra="\n".join(extra_parts),
             )
             return QARecallResult(
                 answer=answer,

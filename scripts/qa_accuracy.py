@@ -30,6 +30,13 @@ def main(argv=None):
     ap.add_argument("--variant", default="tiny", choices=("tiny", "huge"))
     ap.add_argument("--scene-seconds", type=float, default=30.0)
     ap.add_argument("--no-negatives", action="store_true")
+    ap.add_argument("--caption-noise", type=float, default=0.0,
+                    help="per-caption probability the oracle VLM confuses the "
+                         "color with its nearest corpus neighbor (difficulty "
+                         "knob — see hippomm_tpu/benchmarks/README.md)")
+    ap.add_argument("--distractors", action="store_true",
+                    help="last video reuses video 0's colors (near-duplicate "
+                         "distractor scenes; unique tones)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -49,6 +56,8 @@ def main(argv=None):
             imagebind_variant=args.variant,
             n_videos=args.videos,
             negatives=not args.no_negatives,
+            caption_noise=args.caption_noise,
+            distractors=args.distractors,
         )
     detail = out.pop("results")
     for r in detail:

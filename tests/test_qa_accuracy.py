@@ -54,7 +54,7 @@ def test_qa_harness_multivideo_with_negatives(tmp_path):
     assert out["n_videos"] == 2 and out["n_scenes"] == 6
     assert set(out["accuracy_by_type"]) == {
         "video", "audio", "multimodal", "summary", "count", "xmodal", "order",
-        "which_video", "video_neg", "audio_neg"
+        "which_video", "video_neg", "audio_neg", "after_tone", "count_video"
     }
     assert out["qa_accuracy"] >= 0.8
     assert out["accuracy_by_type"]["video_neg"] == 1.0
@@ -62,6 +62,8 @@ def test_qa_harness_multivideo_with_negatives(tmp_path):
     # cross-video aggregation: answerable only because multi-video recall
     # evidence is attributed to its source video
     assert out["accuracy_by_type"]["which_video"] == 1.0
+    # per-video counting rides the fast path's attributed captions
+    assert out["accuracy_by_type"]["count_video"] == 1.0
 
 
 def test_oracle_asr_labels_tones(tmp_path):
@@ -168,3 +170,108 @@ def test_build_questions_hard_families_and_empty_negatives():
     # letting a constant-'no' pipeline score 100% on the family
     xm = [q["expected_yes"] for q in qs2 if q["type"] == "xmodal"]
     assert len(xm) >= 2 and True in xm and False in xm
+
+
+def test_score_answer_new_families():
+    truth = {"scenes": [(0.0, 15.0, "red", 200.0), (15.0, 30.0, "green", 240.0)]}
+    qa = {"type": "after_tone", "label": "tone200hz", "expected": "green"}
+    assert score_answer(qa, "ANSWER: green", truth)
+    # the FIRST color named is the claim — echoing the in-window color first
+    # doesn't score even if the right color appears later
+    assert not score_answer(qa, "red (then green)", truth)
+    assert not score_answer(qa, "not found", truth)
+    qc = {"type": "count_video", "video": "palette01", "expected": 2}
+    assert score_answer(qc, "2", truth)
+    assert not score_answer(qc, "3", truth)
+
+
+def test_build_questions_new_families():
+    truth = {
+        "scenes": [(0.0, 15.0, "red", 200.0), (15.0, 30.0, "green", 240.0),
+                   (0.0, 15.0, "blue", 280.0), (15.0, 30.0, "yellow", 320.0)],
+        "video_scenes": [
+            [(0.0, 15.0, "red", 200.0), (15.0, 30.0, "green", 240.0)],
+            [(0.0, 15.0, "blue", 280.0), (15.0, 30.0, "yellow", 320.0)],
+        ],
+        "video_names": ["vidA", "vidB"],
+    }
+    qs = build_questions(truth, 40, seed=1, negatives=True)
+    at = [q for q in qs if q["type"] == "after_tone"]
+    assert at
+    for q in at:
+        # expected = the color of the scene FOLLOWING the tone's scene
+        scene = next(s for v in truth["video_scenes"] for s in v
+                     if tone_label(s[3]) == q["label"])
+        vid = next(v for v in truth["video_scenes"] if scene in v)
+        assert q["expected"] == vid[vid.index(scene) + 1][2]
+    cv = [q for q in qs if q["type"] == "count_video"]
+    assert cv
+    for q in cv:
+        vi = truth["video_names"].index(q["video"])
+        assert q["expected"] == len({c for _, _, c, _ in truth["video_scenes"][vi]})
+
+
+def test_which_video_pairs_unique_under_duplicated_colors():
+    """Distractor corpora duplicate whole color sets; which_video questions
+    must still have exactly one correct answer."""
+    dup = [(0.0, 15.0, "red", 200.0), (15.0, 30.0, "green", 240.0)]
+    uniq = [(0.0, 15.0, "blue", 280.0), (15.0, 30.0, "yellow", 320.0)]
+    dup2 = [(0.0, 15.0, "red", 360.0), (15.0, 30.0, "green", 400.0)]
+    truth = {
+        "scenes": dup + uniq + dup2,
+        "video_scenes": [dup, uniq, dup2],
+        "video_names": ["vidA", "vidB", "vidC"],
+    }
+    qs = build_questions(truth, 60, seed=2, negatives=False)
+    wv = [q for q in qs if q["type"] == "which_video"]
+    assert wv
+    for q in wv:
+        # every drawn pair identifies exactly ONE video
+        holders = [
+            nm for nm, vs in zip(truth["video_names"], truth["video_scenes"])
+            if set(q["pair"]) <= {c for _, _, c, _ in vs}
+        ]
+        assert holders == [q["expected"]] == ["vidB"]
+
+
+def test_oracle_vlm_caption_noise():
+    import io
+
+    import numpy as np
+
+    from hippomm_tpu.media.io import jpeg_encode
+
+    # solid red frame
+    img = np.zeros((32, 32, 3), np.uint8)
+    img[:] = (200, 30, 30)
+    data = jpeg_encode(img)
+    clean = OracleVLM(caption_noise=0.0, noise_colors=["red", "green", "blue"])
+    assert all("red" in c for c in clean.caption_images([data] * 20, ""))
+    noisy = OracleVLM(caption_noise=1.0, noise_colors=["red", "green", "blue"],
+                      seed=1)
+    caps = noisy.caption_images([data] * 20, "")
+    # always corrupted at p=1.0, always to the nearest-by-RGB OTHER color
+    assert all("red" not in c for c in caps)
+    assert len({c for c in caps}) == 1  # deterministic confusion target
+
+
+def test_qa_harness_noise_takes_gauge_off_ceiling(tmp_path):
+    """The difficulty knob's contract (VERDICT r4 Next #4): extreme
+    query-time caption noise must push accuracy measurably below 1.0 —
+    a gauge that still reads 1.0 under p=0.9 corruption measures nothing."""
+    out = run_harness(
+        str(tmp_path),
+        duration=45.0,
+        scene_seconds=15.0,
+        n_questions=12,
+        imagebind_variant="tiny",
+        width=160,
+        height=120,
+        n_videos=1,
+        negatives=False,
+        caption_noise=0.9,
+    )
+    assert out["caption_noise"] == 0.9
+    assert out["qa_accuracy"] < 1.0
+    # ingest-stored evidence stays clean: counting is still exact
+    assert out["accuracy_by_type"]["count"] == 1.0
