@@ -107,9 +107,17 @@ def _gelu_erf_poly(x):
 
 @functools.lru_cache(maxsize=1)
 def _gelu_impl_flag() -> str:
-    """HIPPOMM_FUSED_MLP_GELU: 'as' (default, A&S erf with exp) or 'poly'
-    (exp-free, bf16 only) — measurement knob, see scripts/mlp_fused_micro."""
-    return os.environ.get("HIPPOMM_FUSED_MLP_GELU", "as").lower()
+    """HIPPOMM_FUSED_MLP_GELU: 'poly' (default — exp-free, engages for bf16
+    inputs only) or 'as' (A&S erf with exp).
+
+    Default flipped to poly on 2026-08-21 measurements (3 windows,
+    scripts/mlp_fused_micro, ViT-H b128 32-layer chain): poly 190.4/191.6/
+    190.4 ms vs XLA MLP 200.0/200.1/202.9 vs fused-A&S 202.1/203.6/193.5 —
+    the A&S exp serializes against the MXU; the pure-mul/add poly erf is the
+    only fused schedule that actually beats XLA (≈5%). Non-bf16 inputs keep
+    the A&S body (the 4.5e-4 erf error is under bf16 rounding but above fp32
+    parity tolerances)."""
+    return os.environ.get("HIPPOMM_FUSED_MLP_GELU", "poly").lower()
 
 
 def _mlp_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, acc_ref, *,
@@ -394,9 +402,13 @@ fused_ln_mlp_residual_vjp.defvjp(_blk_vjp_fwd, _blk_vjp_bwd)
 @functools.lru_cache(maxsize=1)
 def fused_block_default() -> bool:
     """Route policy for the LN+MLP+residual half-block kernel:
-    HIPPOMM_FUSED_BLOCK=1 forces on, =0 forces off. 'auto' (default) is OFF
-    pending the healthy-window hardware measurement (scripts/mlp_fused_micro
-    block rows) — flip to backend-gated once the margin is banked."""
+    HIPPOMM_FUSED_BLOCK=1 forces on, =0 forces off. Default OFF — RETIRED
+    on 2026-08-21 measurements (scripts/mlp_fused_micro, ViT-H b128 32-layer
+    half-block chain, 2 healthy-ish windows): fused 207.2/209.4 ms (bn=384:
+    208.8/208.7) vs XLA x+mlp(ln(x)) 204.2/202.1 — the LN-prologue fusion
+    saves HBM traffic the shape doesn't need saved (the chain sits at the
+    matmul floor) and pays kernel overhead for it. Kernel stays a tested
+    reference implementation (the pallas_topk precedent)."""
     flag = os.environ.get("HIPPOMM_FUSED_BLOCK", "auto").lower()
     if flag in ("1", "true", "on"):
         return True
@@ -438,8 +450,13 @@ def fused_mlp_default() -> bool:
     (default) enables on real TPU backends (like flash_default) — CPU has no
     Mosaic lowering and the XLA mlp is what hermetic tests pin numerics
     against. Hardware correctness pinned by the scripts/fused_dbg.py battery
-    (every grid complexity ≤1 bf16 ulp, 2026-08-20); the bn=512 schedule's
-    weight re-streaming analysis is in fused_mlp's docstring."""
+    and re-confirmed 2026-08-21 (scripts/fused_verdict.py: kernel vs its own
+    op order 5.7e-3 rel ≈ 1 bf16 ulp at the flagship shape; the 4.99e-01
+    reading that spooked r4 was the A&S-vs-exact-gelu REFERENCE difference
+    amplified by a max-rel metric on near-zero outputs, not a kernel bug).
+    The winning schedule is the poly-gelu body (see _gelu_impl_flag): the
+    A&S-exp body measured a ~1.5% LOSS vs XLA at ViT-H b128 and wins only
+    through the exp-free default."""
     flag = os.environ.get("HIPPOMM_FUSED_MLP", "auto").lower()
     if flag in ("1", "true", "on"):
         return True

@@ -73,18 +73,36 @@ def mlp_fused(h):
 
 
 def main():
-    # correctness on hardware first (scalar reductions: tiny reads)
+    # correctness on hardware first (scalar reductions: tiny reads).
+    # Reference = the kernel's OWN op order ("as" gelu body, fp32 A&S erf):
+    # comparing against exact-gelu XLA here read 4.99e-01 in r4 and was
+    # misdiagnosed as wedge garbage — scripts/fused_verdict.py showed it was
+    # the two XLA references differing by accumulated ±1-ulp bf16 noise over
+    # the 5120-dim contraction, amplified by max-rel on near-zero outputs
+    # (abs err ≤1.6e-2 on ~0.4-scale outputs). The kernel-vs-own-op-order
+    # check reads 5.7e-3 on hardware; tolerance 3e-2 covers it with margin.
+    from hippomm_tpu.ops.fused_mlp import _erf_as
+
     hh = jax.random.normal(jax.random.PRNGKey(4), (256, D), jnp.float32).astype(jnp.bfloat16)
-    got = fused_mlp(hh, w1.astype(jnp.bfloat16), b1, w2.astype(jnp.bfloat16), b2)
-    want = mlp_bf16_gelu(hh.reshape(1, 256, D)).reshape(256, D)
+    got = fused_mlp(hh, w1.astype(jnp.bfloat16), b1, w2.astype(jnp.bfloat16), b2,
+                    False, "as")
+
+    def mlp_as_ref(h):
+        y = jnp.dot(h, w1.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        y = (y + b1).astype(jnp.bfloat16)
+        y = 0.5 * y.astype(jnp.float32) * (
+            1.0 + _erf_as(y.astype(jnp.float32) * 0.7071067811865476)
+        )
+        y = y.astype(jnp.bfloat16)
+        z = jnp.dot(y, w2.T.astype(jnp.bfloat16), preferred_element_type=jnp.float32) + b2
+        return z.astype(jnp.bfloat16)
+
+    want = mlp_as_ref(hh)
     g32 = got.astype(jnp.float32)
     w32 = want.astype(jnp.float32)
     rel = float(fetch(jnp.max(jnp.abs(g32 - w32) / (jnp.abs(w32) + 1e-2)), give_up_s=240.0))
-    print(f"on-device rel err vs 4c op order: {rel:.2e}", flush=True)
-    # correctness is pinned separately by scripts/fused_dbg.py (full battery
-    # passed on hardware 2026-08-20); a bad reading here during a wedge
-    # window should not veto the timing rows — flag loudly instead
-    if rel >= 1e-2:
+    print(f"on-device rel err vs own op order: {rel:.2e}", flush=True)
+    if rel >= 3e-2:
         print(f"WARNING: rel err {rel:.2e} out of tolerance — window suspect", flush=True)
 
     def mlp_fused_poly(h):
@@ -114,17 +132,18 @@ def main():
             h.reshape(B * T, D), gamma, beta, w1, b1, w2, b2, bn=384
         ).reshape(B, T, D)
 
-    # on-device correctness for the half-block kernel (scalar read; a wedge
-    # window can garble readings — flag, don't veto)
+    # on-device correctness for the half-block kernel (scalar read; same
+    # own-op-order reference policy as the MLP check above)
     try:
         hb_got = fused_ln_mlp_residual(hh, gamma, beta, w1.astype(jnp.bfloat16), b1,
-                                       w2.astype(jnp.bfloat16), b2)
-        hb_want = (hh.reshape(1, 256, D) + mlp_bf16_gelu(ln_bf16(hh.reshape(1, 256, D)))).reshape(256, D)
+                                       w2.astype(jnp.bfloat16), b2,
+                                       gelu_impl="as")
+        hb_want = hh + mlp_as_ref(ln_bf16(hh.reshape(1, 256, D)).reshape(256, D))
         hb_rel = float(fetch(jnp.max(
             jnp.abs(hb_got.astype(jnp.float32) - hb_want.astype(jnp.float32))
             / (jnp.abs(hb_want.astype(jnp.float32)) + 1e-2)), give_up_s=240.0))
         print(f"halfblock on-device rel err: {hb_rel:.2e}", flush=True)
-        if hb_rel >= 1e-2:
+        if hb_rel >= 3e-2:
             print(f"WARNING: halfblock rel err {hb_rel:.2e} out of tolerance — window suspect", flush=True)
     except Exception as e:  # noqa: BLE001 — keep the timing rows alive
         print(f"halfblock correctness check FAILED: {type(e).__name__}: {e}"[:300], flush=True)
