@@ -56,6 +56,9 @@ ALL_STAGES = [
     ("attn_opt_probe", [sys.executable, "-u", os.path.join(REPO, "scripts", "attn_opt_probe.py")], 600),
     ("mlp_fused_micro", [sys.executable, "-u", os.path.join(REPO, "scripts", "mlp_fused_micro.py")], 1200),
     ("vit_op_micro", [sys.executable, os.path.join(REPO, "scripts", "vit_op_micro.py")], 1500),
+    ("asr_micro", [sys.executable, "-u", os.path.join(REPO, "scripts", "asr_micro.py")], 1500),
+    ("tower_ab", [sys.executable, "-u", os.path.join(REPO, "scripts", "tower_ab.py")], 1500),
+    ("clip30_micro", [sys.executable, "-u", os.path.join(REPO, "scripts", "clip30_micro.py")], 1200),
     ("profile_vlog", [sys.executable, os.path.join(REPO, "scripts", "profile_vlog.py")], 1800),
     ("bench", [sys.executable, os.path.join(REPO, "bench.py")], 2400),
 ]
