@@ -251,8 +251,16 @@ def _cross_kv(params: Dict, enc_out: jax.Array, heads: int, dtype):
     return jax.vmap(one, in_axes=0)(params["decoder"]["blocks"])
 
 
-def _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype):
-    """One token (x: (B, 1, d)) through all decoder layers with KV caches."""
+def _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype,
+                 beam: int = 1):
+    """One token (x: (rows, 1, d)) through all decoder layers with KV caches.
+
+    `beam` > 1 declares that rows = B·beam hypothesis rows whose CROSS K/V
+    are per-chunk (xk/xv are (L, B, H, S, hd), NOT beam-repeated): the cross
+    attention groups the beam queries of a chunk against the chunk's single
+    K/V, so the dominant HBM term of a beam step — re-reading the (H, S, hd)
+    encoder caches once per hypothesis — drops by beam× (ViT-dissection r5:
+    the repeated caches cost ~2.5 GB/step at b16·beam-5)."""
     d = x.shape[-1]
     heads, hd = cfg.heads, d // cfg.heads
     scale = 1.0 / np.sqrt(hd)
@@ -282,18 +290,21 @@ def _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype):
         )
         attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
         h = h + L.linear(pb["self_attn"]["out_proj"], attn, dtype)
-        # cross-attention against precomputed enc K/V
+        # cross-attention against precomputed enc K/V (beam-grouped: the g
+        # axis is the hypothesis index; K/V carry no beam axis)
         q = _proj_heads(pb["cross_attn"]["q_proj"], L.layer_norm(pb["cross_ln"], h, cfg.eps), heads, dtype)
+        rows = q.shape[0]
+        qg = q.reshape(rows // beam, beam, heads, 1, hd)
         logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q.astype(dtype), xk_l.astype(dtype),
+            "bghqd,bhkd->bghqk", qg.astype(dtype), xk_l.astype(dtype),
             preferred_element_type=jnp.float32,
         ) * scale
         w = jax.nn.softmax(logits, axis=-1)
         attn = jnp.einsum(
-            "bhqk,bhkd->bhqd", w.astype(dtype), xv_l.astype(dtype),
+            "bghqk,bhkd->bghqd", w.astype(dtype), xv_l.astype(dtype),
             preferred_element_type=jnp.float32,
         )
-        attn = attn.transpose(0, 2, 1, 3).reshape(h.shape[0], 1, d)
+        attn = attn.reshape(rows, heads, 1, hd).transpose(0, 2, 1, 3).reshape(rows, 1, d)
         h = h + L.linear(pb["cross_attn"]["out_proj"], attn, dtype)
         h = h + L.mlp(pb["mlp"], L.layer_norm(pb["final_ln"], h, cfg.eps), dtype=dtype)
         return h, (sk_l, sv_l)
@@ -312,13 +323,14 @@ def _embed_at(p, tokens, pos, b, d):
     )
 
 
-def _next_logits(params, cfg, tokens, pos, self_k, self_v, xk, xv, max_len, dtype):
+def _next_logits(params, cfg, tokens, pos, self_k, self_v, xk, xv, max_len, dtype,
+                 beam: int = 1):
     """Process token at `pos` and return vocab logits for position pos+1."""
     p = params["decoder"]
     b = tokens.shape[0]
     d = p["token_embedding"].shape[1]
     x = _embed_at(p, tokens, pos, b, d)
-    x, self_k, self_v = _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype)
+    x, self_k, self_v = _step_layers(params, cfg, x, pos, self_k, self_v, xk, xv, max_len, dtype, beam)
     x = L.layer_norm(p["ln"], x, cfg.eps)
     logits = jnp.dot(
         x[:, 0].astype(dtype), p["token_embedding"].T.astype(dtype),
@@ -423,12 +435,12 @@ def beam_decode_batch(
     rows = bsz * beam
     neg = jnp.float32(-1e30)
 
-    # project cross-K/V ONCE per chunk, then repeat per beam — projecting the
-    # beam-duplicated encoder output would run the 2·L big (S, d) matmuls
-    # beam× for byte-identical results
-    xk1, xv1 = _cross_kv(params, enc_out, heads, dtype)  # (L, B, H, S, hd)
-    xk = jnp.repeat(xk1, beam, axis=1)
-    xv = jnp.repeat(xv1, beam, axis=1)
+    # project cross-K/V ONCE per chunk and keep them UN-repeated: the decode
+    # step's cross attention groups each chunk's beam hypotheses against the
+    # chunk's single (H, S, hd) K/V (see _step_layers), so the per-step HBM
+    # read of the encoder caches — the beam loop's dominant bandwidth term,
+    # ~2.5 GB/step repeated at b16·beam-5 — costs the same as greedy's
+    xk, xv = _cross_kv(params, enc_out, heads, dtype)  # (L, B, H, S, hd)
 
     tokens = jnp.zeros((rows, max_len), jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
@@ -446,7 +458,7 @@ def beam_decode_batch(
         self_k, self_v = carry
         x = _embed_at(p, tokens, i, rows, d)
         _, self_k, self_v = _step_layers(
-            params, cfg, x, i, self_k, self_v, xk, xv, max_len, dtype
+            params, cfg, x, i, self_k, self_v, xk, xv, max_len, dtype, beam
         )
         return self_k, self_v
 
@@ -462,14 +474,19 @@ def beam_decode_batch(
     def body(state):
         pos, tokens, self_k, self_v, scores, finished, lengths = state
         logits, self_k, self_v = _next_logits(
-            params, cfg, tokens, pos - 1, self_k, self_v, xk, xv, max_len, dtype
+            params, cfg, tokens, pos - 1, self_k, self_v, xk, xv, max_len, dtype,
+            beam,
         )
         logprobs = jax.nn.log_softmax(logits, axis=-1)  # (rows, V)
         # finished hypotheses: only EOT at zero cost (keeps them comparable)
         frozen = jnp.full((rows, vocab), neg).at[:, cfg.eot_token].set(0.0)
         logprobs = jnp.where(finished[:, None], frozen, logprobs)
         cand = scores.reshape(rows, 1) + logprobs  # (rows, V)
-        # row-local (per chunk) top-k over this chunk's beam·V candidates
+        # row-local (per chunk) top-k over this chunk's beam·V candidates.
+        # (A two-stage per-row-top-beam reduction was measured IDENTICAL —
+        # 3762.1 vs 3761.4 ms for the full b16 loop, scripts/asr_micro.py
+        # 2026-08-21 — selection is not the beam step's cost; keep the
+        # simpler flat select.)
         top_s, flat = jax.lax.top_k(cand.reshape(bsz, beam * vocab), beam)
         src = (row_base + (flat // vocab).astype(jnp.int32)).reshape(-1)  # (rows,)
         tok = (flat % vocab).astype(jnp.int32).reshape(-1)
