@@ -296,10 +296,16 @@ def extract_frames_streaming(
     # free compute-wise and removes the mask read (which queues behind the
     # in-flight full-track ASR) from the vision critical path entirely
     # (VERDICT r2 next-#6: short-clip fixed overhead).
+    # HIPPOMM_ENCODE_ALL_MAX tunes the gate (default 64): a 33-64-candidate
+    # clip pays a SECOND padded 32-wide tower program for the early dispatch
+    # — whether mask-wait + one keyframe program beats it depends on how far
+    # the mask read queues behind the in-flight ASR (measure with
+    # scripts/clip30_micro.py before changing the default)
     encode_all_candidates = (
         vision_stream is not None
         and not np.isfinite(emit_seconds)  # whole-video mode: single emit
-        and len(candidate_idx) <= 64
+        and len(candidate_idx)
+        <= int(os.environ.get("HIPPOMM_ENCODE_ALL_MAX", "64"))
     )
 
     # scan-block size: 256 candidates per device round trip normally; a
