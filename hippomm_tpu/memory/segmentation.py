@@ -119,6 +119,18 @@ def adjacent_similarity_gray(grays: np.ndarray) -> np.ndarray:
     t = grays.shape[0]
     if t < 2:
         return np.zeros((0,), np.float32)
+    if t <= 33:
+        # one-chunk inputs compute on HOST: a keyframe-sparse video's saved
+        # luma is a handful of (90, 160) frames and ssim_pairs_host finishes
+        # in ~ms, while the device dispatch+fetch queues behind the in-flight
+        # tower/ASR programs — the 60-min streamed ingest measured 2.4 s of
+        # pure queue wait PER EMIT on a 13-keyframe video (36 s of its 60 s
+        # wall), and the headline vlogs pay ~0.3 s/video the same way. Same
+        # fp32 math as the device kernel (ssim_pairs_host mirrors ssim_pairs;
+        # segmentation gates at 0.95 with wide margins).
+        return ssim_pairs_host(grays[:-1], grays[1:], dtype=np.float32).astype(
+            np.float32
+        )
     CHUNK = 32
     # Dispatch EVERY chunk's kernel before reading any result: the per-chunk
     # synchronous fetch serialized one ~80-120 ms tunnel round trip per 32
