@@ -60,6 +60,7 @@ ALL_STAGES = [
     ("tower_ab", [sys.executable, "-u", os.path.join(REPO, "scripts", "tower_ab.py")], 1500),
     ("clip30_micro", [sys.executable, "-u", os.path.join(REPO, "scripts", "clip30_micro.py")], 1200),
     ("profile_vlog", [sys.executable, os.path.join(REPO, "scripts", "profile_vlog.py")], 1800),
+    ("long_ingest", [sys.executable, "-u", os.path.join(REPO, "scripts", "long_ingest.py"), "--minutes", "60"], 2000),
     ("bench", [sys.executable, os.path.join(REPO, "bench.py")], 2400),
 ]
 # optional 2nd arg: comma-separated stage subset, e.g. "mlp_fused_micro,bench"
