@@ -637,7 +637,17 @@ def process_single_video_streaming(
     dispatched ONCE up front (global timestamps); consolidation + replay run
     once at the end, so the video still produces a single ThetaEvent exactly
     like the whole-video path (reference base_time flow,
-    hippocampal_memory.py:1134)."""
+    hippocampal_memory.py:1134).
+
+    The up-front dispatch was re-validated r5 against a per-chunk-async
+    alternative with a steady-state interleaved A/B (900 s, post-warm, same
+    process): up-front 8.7/9.2 s vs per-chunk 10.5/10.7 s vs ASR-stubbed
+    8.0-8.5 s — the full track's ASR absorbs entirely under chunk 0's decode
+    and never blocks again, while per-chunk dispatches land ahead of the
+    NEXT chunk's streaming vision feeds in the device FIFO (encode_vision
+    5.1 s vs 1.7-2.1 s). Earlier readings that suggested the up-front flow
+    was slow were first-ingest-in-process warmth artifacts (a biased A/B
+    order), not steady state."""
     mem = memory_system
     if mem is None:  # the advertised default crashed with AttributeError
         from hippomm_tpu.memory.engine import HippocampalMemory

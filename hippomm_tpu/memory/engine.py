@@ -438,6 +438,24 @@ class HippocampalMemory:
                         )
                     )
 
+        # ---- call_audio ASR: dispatch async NOW, collect in the
+        # transcription section below. Ordering on the single device FIFO:
+        # after the audio-tower dispatch (so encode_audio's fetch doesn't
+        # queue behind the ASR programs) but before any fetch (so the ASR
+        # runs while the host drains the towers and assembles STMs) — same
+        # programs and results as the old synchronous transcribe at the
+        # transcription stage, minus the dead device time. (The streamed
+        # driver doesn't take this branch — its full-track up-front dispatch
+        # measured FASTER at steady state, see
+        # batch_process.process_single_video_streaming — but direct
+        # engine-API ingests with audio_data get the overlap for free.)
+        asr_chunk_finish = None
+        if (video_id not in self._asr_futures
+                and not (video_id in self._transcript_full_track and base_time)
+                and call_audio is not None
+                and len(call_audio) >= sample_rate // 10):
+            asr_chunk_finish = self.whisper.transcribe_async(call_audio, sample_rate)
+
         vision_feats: Optional[np.ndarray] = None
         if (frames_rgb is None or not len(frames_rgb)) and vision_stream is not None:
             # no vision track to index into — release whatever the stream
@@ -496,7 +514,11 @@ class HippocampalMemory:
             asr_segs = self._full_transcript[video_id]
         elif call_audio is not None and len(call_audio) >= sample_rate // 10:
             with self.timers.stage("transcribe"):
-                local = self.whisper.transcribe(call_audio, sample_rate)
+                local = (
+                    asr_chunk_finish()
+                    if asr_chunk_finish is not None
+                    else self.whisper.transcribe(call_audio, sample_rate)
+                )
             asr_segs = [
                 Segment(s.start + base_time, s.end + base_time, s.text) for s in local
             ] if base_time else local
